@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.QueryRegistry
+import graft.functions.ScalarOps
+import graft.operators.{ReferenceOps, RelationalOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
+  *
+  * Every implemented operator is a named query here; those with a
+  * DuckDB-expressible equivalent also appear in [[oracleSql]] and are
+  * hash-checked by the driver at sf0.01 (SURVEY §5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001 — the reference's `ticketAnswers` join
+    * shape (/root/reference/config.json:36); driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ReferenceOps.queries("r_inner_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++
+      Map("r_catalog" -> ((s: SparkSession, d: String) =>
+        QueryRegistry.describe(s, d,
+          ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries)))
+
+  /** DuckDB-equivalent SQL per oracle-checked query. Column names and
+    * aliases match the Spark side exactly (driver sorts columns by name
+    * before hashing).
+    */
+  def oracleSql: Map[String, String] =
+    ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles
 }

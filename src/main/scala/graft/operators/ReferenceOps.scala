@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.QueryRegistry
+
+/** Reference-parity queries (SURVEY §2.3 `r_*`) — the full relational
+  * surface the reference declares or generates, re-expressed Spark-first.
+  * Citations are to /root/reference/ files.
+  */
+object ReferenceOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A3/B1 — full-relation scan (`select * from invoices ...` shape,
+    * config.json:20; generated `select * from <rel>` index.js:482).
+    */
+  private val rScanAll: Q = (spark, dir) =>
+    Tables.load(spark, dir, "region").orderBy("r_regionkey")
+
+  /** B5 — equality filter on a bound value (`where date = ?`,
+    * config.json:20). Pushed to the parquet scan by Catalyst.
+    */
+  private val rFilterEqDate: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") === lit("1995-01-01").cast("timestamp"))
+      .orderBy("o_orderkey")
+
+  /** B5/C2 — FK-child lookup (`line_items where invoice_id = ?`,
+    * config.json:21; subrelation convention index.js:575) through the
+    * registry's validated path.
+    */
+  private val rFkLookup: Q = (spark, dir) =>
+    QueryRegistry.subRecordList(spark, dir, "lineitem",
+      "l_orderkey", 7L, Seq("l_linenumber"))
+
+  /** B5 — point lookup (`anyById`, config.json:22; fetchRow
+    * index.js:524-533).
+    */
+  private val rPointLookup: Q = (spark, dir) =>
+    QueryRegistry.pointLookup(spark, dir, "customer", "c_custkey", 42L)
+
+  /** B4/B6 — dynamic projection + dynamic filter column
+    * (`getXfromYwhereZisQ`: `select $x from $y where $z = '$q'`,
+    * config.json:23) via catalog-validated identifier splice.
+    */
+  private val rDynamicProj: Q = (spark, dir) =>
+    QueryRegistry.dynamicProjection(spark, dir,
+      table = "customer", column = "c_name",
+      whereCol = "c_mktsegment", whereVal = "BUILDING")
+      .orderBy("c_name")
+
+  /** C1 — the reference's only explicit join (`ticketAnswers`:
+    * `select t.id, a.* from ticket t inner join answer a on
+    * (t.id = a.ticket_id) where t.id = ?`, config.json:36). The filter
+    * pushes through the join to both scans; with the key filter applied
+    * the build side is tiny, so Catalyst broadcast-hash-joins it.
+    */
+  private val rInnerJoin: Q = (spark, dir) => {
+    val o = Tables.load(spark, dir, "orders").as("o")
+    val l = Tables.load(spark, dir, "lineitem").as("l")
+    o.join(l, col("o.o_orderkey") === col("l.l_orderkey"), "inner")
+      .where(col("o.o_orderkey") === lit(7L))
+      .select(col("o.o_orderkey") +: l.columns.map(c => col(s"l.$c")): _*)
+      .orderBy("l_linenumber")
+  }
+
+  /** F1-F3 — sorted offset pagination with the reference's clamp
+    * semantics (perpage∈[1,1000] default 20, offset = perpage*(page-1),
+    * index.js:434-482). Page 2 of customers by account balance.
+    */
+  private val rPageSort: Q = (spark, dir) =>
+    QueryRegistry.recordList(spark, dir, "customer",
+      page = 2, perpage = 20, sortBy = Seq("c_acctbal", "c_custkey"))
+
+  /** `descTable` (`desc $table`, config.json:34) — schema-as-data.
+    * The reference ships `desc` to MySQL; Catalyst's analyzed schema is
+    * the native equivalent. No oracle (DuckDB type names differ).
+    */
+  private val rDescTable: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem").schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("col_name", "data_type", "nullable")
+      .orderBy("col_name")
+  }
+
+  /** A5/B2 — the Salesforce plugin's SOQL projection shape
+    * (`select id, accountnumber, name from account`, config.json:57):
+    * same named-query model over a different backend; here the backend
+    * is the parquet source and the projection prunes the scan.
+    */
+  private val rSoqlProj: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val queries: Map[String, Q] = Map(
+    "r_scan_all" -> rScanAll,
+    "r_filter_eq_date" -> rFilterEqDate,
+    "r_fk_lookup" -> rFkLookup,
+    "r_point_lookup" -> rPointLookup,
+    "r_dynamic_proj" -> rDynamicProj,
+    "r_inner_join" -> rInnerJoin,
+    "r_page_sort" -> rPageSort,
+    "r_desc_table" -> rDescTable,
+    "r_soql_proj" -> rSoqlProj,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r_scan_all" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "r_filter_eq_date" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderdate = TIMESTAMP '1995-01-01' ORDER BY o_orderkey""".stripMargin,
+    "r_fk_lookup" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem WHERE l_orderkey = 7 ORDER BY l_linenumber""".stripMargin,
+    "r_point_lookup" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey = 42 LIMIT 1""".stripMargin,
+    "r_dynamic_proj" ->
+      "SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_name",
+    "r_inner_join" ->
+      """SELECT o.o_orderkey, l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+        |l.l_quantity, l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+        |l.l_linestatus, l.l_shipdate
+        |FROM orders o INNER JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey = 7 ORDER BY l.l_linenumber""".stripMargin,
+    "r_page_sort" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_acctbal, c_custkey LIMIT 20 OFFSET 20""".stripMargin,
+    "r_soql_proj" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+  )
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Num, Tables}
+
+/** Relational extension suite (SURVEY §2.3 `e_agg_*`, `e_join_*`,
+  * `e_window_*`, `e_topk`, `e_set_*`) — the aggregation/join/window/set
+  * algebra the reference delegates to pg/mysql (it declares none itself;
+  * SURVEY §2.1 D/E/G), expressed with Catalyst built-ins only.
+  *
+  * Scale notes (100 TB): every group-by here is hash-partitioned with
+  * map-side partial aggregation; dimension joins are broadcast; top-k
+  * fuses to TakeOrderedAndProject (no global sort); windows shuffle once
+  * on their partition key.
+  */
+object RelationalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 shape: partial+final hash aggregation over the fact table.
+    * Decimal-exact sums (see Num) keep results bit-identical across any
+    * partitioning, so map-side combine stays on.
+    */
+  private val aggGroup: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))))
+          .cast("double").as("sum_disc_price"),
+        round(Num.dsum(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct aggregate — Spark plans this as a two-phase expand +
+    * aggregate; exact (no sketch), shuffles on the group key.
+    */
+  private val aggDistinct: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP grouping sets. Subtotal rows surface NULL keys; COALESCE to a
+    * sentinel on both sides so ORDER BY is total without relying on
+    * engine-specific NULL ordering (Spark: NULLS FIRST, DuckDB: LAST).
+    */
+  private val aggRollup: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_all_")).as("rf"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Broadcast equi-join of two small dimensions. The explicit
+    * broadcast() hint is what we'd write at 100 TB too: region/nation
+    * stay tiny no matter the fact-table scale.
+    */
+  private val joinBroadcast: Q = (spark, dir) => {
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** Left outer join + aggregate: order count per customer including
+    * zero-order customers. COUNT(o_orderkey) counts only matched rows —
+    * the standard outer-join-count idiom.
+    */
+  private val joinOuter: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(o("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left semi join — EXISTS. No payload columns from the right side
+    * cross the shuffle, which is the point at scale.
+    */
+  private val joinSemi: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti join — NOT EXISTS (null-safe by construction, unlike
+    * NOT IN with nullable keys).
+    */
+  private val joinAnti: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Ranking window: top-3 orders per customer. One shuffle on
+    * o_custkey; rank filter applies before any downstream exchange.
+    */
+  private val windowRank: Q = (spark, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-total window with an explicit ROWS frame. Decimal-exact sum
+    * keeps the running values deterministic.
+    */
+  private val windowRunning: Q = (spark, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global top-k: sort+limit fuses into TakeOrderedAndProject —
+    * per-partition heaps + driver merge, no global sort. This is the
+    * plan shape that survives 100 TB.
+    */
+  private val topk: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  /** UNION ALL — no shuffle at all, just partition concatenation. */
+  private val setUnion: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer").select(col("c_name").as("name"))
+    val s = Tables.load(spark, dir, "supplier").select(col("s_name").as("name"))
+    c.unionAll(s).orderBy("name")
+  }
+
+  /** INTERSECT (set semantics — Spark plans a left-semi over distinct). */
+  private val setIntersect: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersect(s).orderBy("nationkey")
+  }
+
+  /** EXCEPT (set semantics — left-anti over distinct). */
+  private val setExcept: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.except(s).orderBy("nationkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e_agg_group" -> aggGroup,
+    "e_agg_distinct" -> aggDistinct,
+    "e_agg_rollup" -> aggRollup,
+    "e_join_broadcast" -> joinBroadcast,
+    "e_join_outer" -> joinOuter,
+    "e_join_semi" -> joinSemi,
+    "e_join_anti" -> joinAnti,
+    "e_window_rank" -> windowRank,
+    "e_window_running" -> windowRunning,
+    "e_topk" -> topk,
+    "e_set_union" -> setUnion,
+    "e_set_intersect" -> setIntersect,
+    "e_set_except" -> setExcept,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+        |COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "e_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e_agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, '_all_') AS rf, COALESCE(l_linestatus, '_all_') AS ls,
+        |COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "e_join_broadcast" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n INNER JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin,
+    "e_join_outer" ->
+      """SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "e_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "e_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "e_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "e_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+    "e_set_union" ->
+      """SELECT name FROM (
+        |SELECT c_name AS name FROM customer UNION ALL SELECT s_name AS name FROM supplier
+        |) t ORDER BY name""".stripMargin,
+    "e_set_intersect" ->
+      """SELECT nationkey FROM (
+        |SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier
+        |) t ORDER BY nationkey""".stripMargin,
+    "e_set_except" ->
+      """SELECT nationkey FROM (
+        |SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier
+        |) t ORDER BY nationkey""".stripMargin,
+  )
+}
