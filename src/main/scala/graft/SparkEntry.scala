@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
-import graft.functions.ScalarOps
-import graft.operators.{ReferenceOps, RelationalOps}
+import graft.functions.{ScalarOps, TextOps}
+import graft.multimodal.MultimodalOps
+import graft.operators.{DedupOps, ReferenceOps, RelationalOps, SimilarityOps}
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
   *
@@ -19,17 +21,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ReferenceOps.queries("r_inner_join")(spark, "/root/testdata/sf0.001")
 
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] =
+    ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
+      MultimodalOps.queries ++ StreamingOps.queries
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++
-      Map("r_catalog" -> ((s: SparkSession, d: String) =>
-        QueryRegistry.describe(s, d,
-          ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries)))
+    baseQueries ++ Map("r_catalog" -> ((s: SparkSession, d: String) =>
+      QueryRegistry.describe(s, d, baseQueries)))
 
   /** DuckDB-equivalent SQL per oracle-checked query. Column names and
     * aliases match the Spark side exactly (driver sorts columns by name
     * before hashing).
     */
   def oracleSql: Map[String, String] =
-    ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles
+    ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
+      MultimodalOps.oracles ++ StreamingOps.oracles
 }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All per-row Catalyst expressions (one codegen'd scan,
+  * no shuffle) — the shape that processes 100 TB of text at I/O speed.
+  *
+  * Every type that crosses the oracle boundary is normalized to
+  * BIGINT/DOUBLE and arbitrary-double rounding avoids half-way
+  * ambiguity (ratios of integer counts).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex pass
+    * (letter runs / digit runs / single other chars — the pre-tokenizer
+    * split most BPE vocabularies assume).
+    */
+  private val tokenCount: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast("long").as("re_tokens"),
+      round(col("n_chars").cast("double") /
+        greatest(size(toks(col("text"))).cast("double"), lit(1.0)), 4)
+        .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "by", "at", "from")
+
+  /** Quality scoring: length, stopword ratio, alpha-character ratio,
+    * mean token length — the standard cheap heuristics (C4/Gopher-style
+    * filters) composed into one score.
+    */
+  private val qualityScore: Q = (spark, dir) => {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopRatio = size(filter(t, x => x.isin(Stopwords: _*))).cast("double") /
+      greatest(nTok, lit(1.0))
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(col("n_chars").cast("double"), lit(1.0))
+    val meanTokLen = (col("n_chars").cast("double") - (nTok - 1.0)) /
+      greatest(nTok, lit(1.0))
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(meanTokLen, 4).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram-heuristic language ID: score = stopword hits per language
+    * list; argmax with a fixed tie order (en > de > es > fr > unknown).
+    * Real lists would be larger; the operator shape (per-row scoring
+    * against broadcast-literal lists) is the production one.
+    */
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "en", "que", "un", "une", "pour"))
+
+  def langIdOver(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val scores = LangStops.map { case (lang, stops) =>
+      lang -> size(filter(t, x => x.isin(stops: _*))).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // when-chain in list order: earlier languages win ties (en first),
+    // matching the oracle's CASE evaluation order
+    val pred = scores.foldLeft(Option.empty[Column]) { case (acc, (lang, s)) =>
+      Some(acc.fold(when(s === best && s > 0, lit(lang)))(
+        c => c.when(s === best && s > 0, lit(lang))))
+    }.get.otherwise(lit("unknown"))
+    docs.select(
+      (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
+        pred.as("pred_lang"): _*)
+  }
+
+  private val langId: Q = (spark, dir) =>
+    langIdOver(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Document fingerprinting: content hash (md5, oracle-checkable) plus
+    * the custom codegen'd polynomial rolling hash ([[RollingHash]]).
+    */
+  private val fingerprint: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("md5_fp"))
+      .orderBy("doc_id")
+
+  /** Engine-native fingerprints DuckDB can't mirror: xxhash64 plus the
+    * custom codegen'd rolling hash — ScalaTest-verified instead.
+    */
+  private val fingerprintRolling: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      xxhash64(col("text")).as("xx_fp"),
+      RollingHash.rollingHash(spark, col("text")).as("roll_fp"))
+      .orderBy("doc_id")
+
+  /** Per-language corpus stats (SURVEY §2.3 e_text_stats). */
+  private val textStats: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  val queries: Map[String, Q] = Map(
+    "e_token_count" -> tokenCount,
+    "e_quality_score" -> qualityScore,
+    "e_lang_id" -> langId,
+    "e_fingerprint" -> fingerprint,
+    "e_fingerprint_rolling" -> fingerprintRolling,
+    "e_text_stats" -> textStats,
+  )
+
+  private def sqlStops(stops: Seq[String]): String =
+    stops.map(s => s"'$s'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "e_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+        |ROUND(CAST(n_chars AS DOUBLE) / GREATEST(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 1.0), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_quality_score" ->
+      s"""SELECT doc_id,
+         |CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |ROUND(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (${sqlStops(Stopwords)}))) AS DOUBLE) / GREATEST(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 1.0), 4) AS stopword_ratio,
+         |ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 4) AS alpha_ratio,
+         |ROUND((CAST(n_chars AS DOUBLE) - (CAST(len(string_split(lower(text), ' ')) AS DOUBLE) - 1.0)) / GREATEST(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 1.0), 4) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_lang_id" -> {
+      val scoreExprs = LangStops.map { case (lang, stops) =>
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (${sqlStops(stops)}))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n")
+      val bestExpr = "GREATEST(" + LangStops.map(_._1).map(l => s"score_$l").mkString(", ") + ")"
+      val caseExpr = LangStops.map(_._1).map(l =>
+        s"WHEN score_$l = $bestExpr AND score_$l > 0 THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, ${LangStops.map(_._1).map(l => s"score_$l").mkString(", ")},
+         |CASE $caseExpr ELSE 'unknown' END AS pred_lang FROM (
+         |SELECT doc_id, $scoreExprs FROM documents) t ORDER BY doc_id""".stripMargin
+    },
+    "e_fingerprint" ->
+      "SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id",
+    "e_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
+        |COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shingling + MinHash signatures as pure Catalyst expressions.
+  * MinHash/LSH follows the classic scheme (Broder 1997; MMDS ch.3):
+  * shingle → per-shingle hash → k permutation-hash minima → banded
+  * bucketing. Everything is per-row and codegen'd; the only shuffle in
+  * an LSH dedup is the band-bucket exchange, which is how it scales to
+  * 100 TB (no O(n²) pair enumeration).
+  */
+object TextShingles {
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic affine hash parameters for the k minhash functions. */
+  def hashParams(k: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % MersennePrime + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** Whitespace word tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** w-word shingles joined with single spaces; empty array if the doc
+    * has fewer than w tokens.
+    */
+  def wordShingles(text: Column, w: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= w,
+      transform(sequence(lit(1), size(t) - (w - 1)),
+        i => concat_ws(" ", slice(t, i, lit(w)))))
+      .otherwise(array())
+  }
+
+  /** Character n-grams of the lowercased text (distinct set). */
+  def charGrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** xxhash64 of every element (shingle set → hash set). */
+  def hashed(arr: Column): Column = transform(arr, x => xxhash64(x))
+
+  /** k-element MinHash signature of a hash array. Empty input → nulls,
+    * which callers must filter (they can't be near-dups anyway).
+    * The affine hash runs in DECIMAL(38,0) — a·h overflows LONG and
+    * Spark 4's default ANSI mode makes that an error, not a wrap.
+    */
+  def minhashSignature(hashes: Column, k: Int, seed: Long = 7L): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    array(hashParams(k, seed).map { case (a, b) =>
+      array_min(transform(hashes, h =>
+        pmod(pmod(h, lit(MersennePrime)).cast(dec) * lit(a) + lit(b),
+          lit(MersennePrime).cast(dec)).cast("long")))
+    }: _*)
+  }
+
+  /** LSH band keys: one xxhash64 per band over its signature slice,
+    * tagged with the band index so buckets never cross bands.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, j * rowsPerBand + 1, rowsPerBand))).as("key"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+}

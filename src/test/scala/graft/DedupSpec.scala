@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions.col
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup keeps the min doc_id per identical text") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val kept = DedupOps.exactDedup(d).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("exactDedup is idempotent") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val once = DedupOps.exactDedup(d)
+    val twice = DedupOps.exactDedup(once)
+    assert(once.count() == twice.count())
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+
+  test("minhashDedup removes a near-identical doc, keeps distinct ones") {
+    val nearDup = base + " extra"
+    val distinct = "completely different words about spark query engines and scale"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> distinct, 4L -> base)
+    val kept = DedupOps.minhashDedup(d, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(3L), "distinct doc must survive")
+    assert(kept.contains(1L), "smallest id of the dup group must survive")
+    assert(!kept.contains(4L), "exact dup (jaccard 1.0) must be removed")
+    assert(!kept.contains(2L), "near dup above threshold must be removed")
+  }
+
+  test("simhash is deterministic and near-dups have small hamming distance") {
+    val d = docs(1L -> base, 2L -> (base + " extra"), 3L -> "qq ww ee rr tt")
+      .withColumn("simhash", DedupOps.simhash(col("text")))
+    val m = d.select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val ham12 = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val ham13 = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(ham12 < ham13, s"near-dup hamming $ham12 should be < distinct $ham13")
+    // determinism across evaluations
+    val again = docs(1L -> base).withColumn("simhash", DedupOps.simhash(col("text")))
+      .select("simhash").as[Long].head()
+    assert(again == m(1L))
+  }
+
+  test("simhashDedup removes identical-text docs") {
+    val d = docs(1L -> base, 2L -> base, 3L -> "qq ww ee rr tt aa ss dd ff gg")
+    val kept = DedupOps.simhashDedup(d).select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(1L) && kept.contains(3L) && !kept.contains(2L))
+  }
+
+  test("ngramDedup removes char-level near dups") {
+    val d = docs(1L -> base, 2L -> (base + "!"), 3L -> "zzzz yyyy xxxx wwww vvvv")
+    val kept = DedupOps.ngramDedup(d, threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(1L) && kept.contains(3L) && !kept.contains(2L))
+  }
+
+  test("embeddingDedup removes a duplicated vector, keeps orthogonal ones") {
+    val v1 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.map(x => x * 1.0001f)                    // cosine ≈ 1
+    val v3 = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val d = Seq((1L, v1, 0), (2L, v2, 0), (3L, v3, 1))
+      .toDF("vec_id", "embedding", "label")
+    val kept = DedupOps.embeddingDedup(d, dim = 8)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.contains(1L) && kept.contains(3L) && !kept.contains(2L))
+  }
+
+  test("fixture near-dups are caught at sf0.001 only when real") {
+    val full = Tables.load(spark, sf, "documents")
+    val kept = DedupOps.minhashDedup(full)
+    assert(kept.count() <= full.count())
+  }
+}

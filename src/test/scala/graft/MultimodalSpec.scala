@@ -1,0 +1,40 @@
+package graft
+
+import graft.multimodal.MultimodalOps
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table assigns deterministic types and carries payload bytes") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    val byType = m.groupByKey(_.media_type).count().collect().toMap
+    assert(byType.keySet == Set("image", "audio", "video"))
+    assert(byType.values.sum == 500L)
+    val r = m.filter(_.doc_id == 0L).head()
+    assert(r.media_type == "image" && r.payload.length > 0)
+  }
+
+  test("decode pipeline is deterministic and preserves row count") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    val d1 = MultimodalOps.decodeAll(m).collect().sortBy(_.doc_id)
+    val d2 = MultimodalOps.decodeAll(m).collect().sortBy(_.doc_id)
+    assert(d1.length == 500)
+    assert(d1.toSeq == d2.toSeq, "stub decode must be deterministic")
+    assert(d1.forall(r => r.width >= 16 && r.height >= 16 && r.n_frames >= 1))
+    assert(d1.filter(_.media_type != "video").forall(_.n_frames == 1))
+  }
+
+  test("frame sampling emits every k-th frame for videos only") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    val frames = MultimodalOps.sampleFrames(m, everyK = 30).collect()
+    val decoded = MultimodalOps.decodeAll(m).collect()
+      .filter(_.media_type == "video").map(d => d.doc_id -> d.n_frames).toMap
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => decoded.contains(f.doc_id)))
+    val counts = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    counts.foreach { case (id, n) =>
+      val expected = (decoded(id) + 29) / 30
+      assert(n == expected, s"doc $id: $n frames sampled, expected $expected")
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.engine.{QueryRegistry, Validate}
+
+class RegistrySpec extends SparkSpec {
+
+  test("identifier validation mirrors the reference examiner semantics") {
+    assert(Validate.value("abc_1.2 x").isRight)
+    assert(Validate.value("2fd61f6c-1d4f-4a0e-9b0a-123456789abc").isRight)
+    assert(Validate.value("a--b").isLeft)          // SQL comment ban
+    assert(Validate.value("").isLeft)              // required
+    assert(Validate.value("x;drop").isLeft)        // out of domain
+    assert(Validate.table("customer").isRight)
+    assert(Validate.table("pg_shadow").isLeft)
+  }
+
+  test("dynamicProjection rejects bad identifiers, resolves good ones") {
+    val df = QueryRegistry.dynamicProjection(spark, sf,
+      "customer", "c_name", "c_mktsegment", "BUILDING")
+    assert(df.columns.toSeq == Seq("c_name"))
+    assert(df.count() > 0)
+    intercept[IllegalArgumentException] {
+      QueryRegistry.dynamicProjection(spark, sf, "customer", "nope", "c_mktsegment", "B")
+    }
+    intercept[IllegalArgumentException] {
+      QueryRegistry.dynamicProjection(spark, sf, "orders; drop", "o_orderkey", "o_orderstatus", "O")
+    }
+  }
+
+  test("recordList clamps perpage to [1,1000] and floors page at 1") {
+    assert(QueryRegistry.recordList(spark, sf, "customer", 1, 5000, Seq("c_custkey")).count() == 150)
+    assert(QueryRegistry.recordList(spark, sf, "customer", 1, -2, Seq("c_custkey")).count() == 1)
+    val p0 = QueryRegistry.recordList(spark, sf, "customer", 0, 5, Seq("c_custkey"))
+      .collect().map(_.getLong(0)).toSeq
+    val p1 = QueryRegistry.recordList(spark, sf, "customer", 1, 5, Seq("c_custkey"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(p0 == p1)
+  }
+
+  test("pages partition the ordered relation (concatenation = full sort)") {
+    val all = QueryRegistry.recordList(spark, sf, "nation", 1, 1000, Seq("n_nationkey"))
+      .collect().map(_.getInt(0)).toSeq
+    val paged = (1 to 5).flatMap(p =>
+      QueryRegistry.recordList(spark, sf, "nation", p, 5, Seq("n_nationkey"))
+        .collect().map(_.getInt(0)))
+    assert(paged == all && all == (0 until 25))
+  }
+
+  test("keyset pagination continues exactly after the last key") {
+    val page = QueryRegistry.recordListAfter(spark, sf, "customer", "c_custkey", 10L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(page == Seq(11L, 12L, 13L, 14L, 15L))
+  }
+
+  test("describe exposes analyzed schemas for every query") {
+    val d = QueryRegistry.describe(spark, sf,
+      Map("one" -> ((s, dir) => Tables.load(s, dir, "region"))))
+    val row = d.head()
+    assert(row.getString(0) == "one" && row.getInt(1) == 2)
+    assert(row.getString(2).contains("r_regionkey:int"))
+  }
+}

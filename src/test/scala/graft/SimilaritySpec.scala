@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine column matches hand-computed values") {
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-3.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b"))).as[Double].head()
+    val exp = VectorOps.cosineSeq(a.map(_.toDouble), b.map(_.toDouble))
+    assert(math.abs(got - exp) < 1e-12)
+    // zero-norm guard
+    val z = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b"))).as[Double].head()
+    assert(z == 0.0)
+  }
+
+  test("brute-force top-k matches a driver-side recomputation") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { case Row(id: Long, v: scala.collection.Seq[_]) =>
+        id -> v.asInstanceOf[scala.collection.Seq[Float]].map(_.toDouble).toSeq
+      }.toMap
+    val q = emb(0L)
+    val expected = emb.view.filterKeys(_ != 0L)
+      .mapValues(v => VectorOps.cosineSeq(v, q)).toSeq
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = SimilarityOps.queries("e_similarity_topk")(spark, sf)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("IVF ANN returns true cosines in descending order with decent recall") {
+    val brute = SimilarityOps.queries("e_similarity_topk")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val ivf = SimilarityOps.queries("e_ann_ivf")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf.nonEmpty && ivf.size <= 10)
+    assert(ivf.map(_._2) == ivf.map(_._2).sorted.reverse, "descending order")
+    val bruteMap = brute.toMap
+    ivf.foreach { case (id, c) =>
+      bruteMap.get(id).foreach(bc => assert(math.abs(bc - c) < 1e-9,
+        s"IVF cosine for $id must equal brute-force value"))
+    }
+    val recall = ivf.map(_._1).count(brute.map(_._1).toSet) / 10.0
+    assert(recall >= 0.2, s"recall $recall suspiciously low for nprobe=4/16")
+  }
+}

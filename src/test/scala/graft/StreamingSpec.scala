@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def th(hour: Int, minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("batch sessionize groups by 30-minute gaps per user") {
+    val rows = Seq(
+      Ev(t(0), 1L, "a", 1.0), Ev(t(10), 1L, "a", 2.0),   // session 1
+      Ev(th(11, 0), 1L, "a", 4.0),                        // gap 50m → session 2
+      Ev(t(5), 2L, "b", 8.0))                             // user 2, own session
+    val out = StreamingOps.sessionize(rows.toDF())
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, t(0), 2L, 3.0),
+      (1L, th(11, 0), 1L, 4.0),
+      (2L, t(5), 1L, 8.0)))
+  }
+
+  test("streaming sessionize over MemoryStream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(
+        mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_test").start()
+    try {
+      mem.addData(Ev(t(0), 1L, "a", 1.0), Ev(t(5), 1L, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(th(12, 0), 1L, "a", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_test")
+        .orderBy("user_id", "session_start")
+        .as[(Long, Timestamp, Long, Double)].collect().toSeq
+      assert(out == Seq(
+        (1L, t(0), 2L, 3.0),
+        (1L, th(12, 0), 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sliding window counts each event in overlapping windows") {
+    val rows = Seq(Ev(th(10, 15), 1L, "x", 1.0))
+    val out = StreamingOps.slidingCounts(rows.toDF())
+      .orderBy("win_start")
+      .as[(Timestamp, String, Long)].collect().toSeq
+    // 1h window sliding 30m → event at 10:15 lands in [9:30,10:30) and [10:00,11:00)
+    assert(out.map(_._1) == Seq(th(9, 30), th(10, 0)))
+    assert(out.forall(_._3 == 1L))
+  }
+
+  test("file-stream replay of events produces sessions matching batch") {
+    val q = StreamingOps.runSessionStream(spark, sf)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sessions").count()
+      val batch = StreamingOps.queries("e_stream_session")(spark, sf).count()
+      assert(streamed == batch,
+        s"streamed $streamed sessions vs batch $batch")
+    } finally q.stop()
+  }
+}
