@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.engine.QueryRegistry
+import graft.engine.{QueryRegistry, SqlTemplates}
 
 /** Reference-parity queries (SURVEY §2.3 `r_*`) — the full relational
   * surface the reference declares or generates, re-expressed Spark-first.
@@ -95,7 +95,19 @@ object ReferenceOps {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** H1 — the template layer itself: a named-parameter SQL template
+    * bound through Catalyst's parameterized-query API (the reference's
+    * handlebars render + node-dbi bind, config.json:19-24 shape).
+    */
+  private val rSqlTemplate: Q = (spark, dir) =>
+    SqlTemplates.named(spark, dir,
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = :status AND o_totalprice > :minp
+        |ORDER BY o_orderkey""".stripMargin,
+      Map("status" -> "F", "minp" -> 400000.0))
+
   val queries: Map[String, Q] = Map(
+    "r_sql_template" -> rSqlTemplate,
     "r_scan_all" -> rScanAll,
     "r_filter_eq_date" -> rFilterEqDate,
     "r_fk_lookup" -> rFkLookup,
@@ -108,6 +120,10 @@ object ReferenceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "r_sql_template" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "r_scan_all" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "r_filter_eq_date" ->
