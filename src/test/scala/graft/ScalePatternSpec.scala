@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.SkewOps
+import graft.sources.Bucketing
+import graft.streaming.{DocEvent, StreamingDedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class ScalePatternSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result") {
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    val salted = SkewOps.saltedJoin(orders, customer, "o_custkey", "c_custkey", 8)
+      .select("o_orderkey", "c_custkey")
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("bucketed join plan has no shuffle exchange") {
+    // session warehouse.dir points at a temp dir (SparkTestSession)
+    Bucketing.saveBucketed(
+      Tables.load(spark, sf, "orders"), "b_orders", "o_custkey", 8)
+    Bucketing.saveBucketed(
+      Tables.load(spark, sf, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 8)
+    val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_customer", "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() ==
+      Tables.load(spark, sf, "orders").count(), "inner join on FK keeps all orders")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+  }
+
+  test("streaming dedup emits first-seen only across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingDedup.firstSeenOnly(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      mem.addData(
+        DocEvent(100L, 1L, "a"), DocEvent(100L, 2L, "a dup in batch"),
+        DocEvent(200L, 3L, "b"))
+      q.processAllAvailable()
+      mem.addData(
+        DocEvent(100L, 4L, "a dup later"), DocEvent(300L, 5L, "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").as[DocEvent].collect()
+        .map(e => e.fingerprint -> e.doc_id).sorted.toSeq
+      assert(out == Seq(100L -> 1L, 200L -> 3L, 300L -> 5L))
+    } finally q.stop()
+  }
+}
