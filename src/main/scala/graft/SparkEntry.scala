@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{DedupOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, DedupOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -24,7 +24,7 @@ object SparkEntry {
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
-      MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries
+      MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++ AsOfOps.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -38,5 +38,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
-      MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles
+      MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++ AsOfOps.oracles
 }
