@@ -143,6 +143,23 @@ object RelationalOps {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(25)
 
+  /** HLL++ sketch vs exact distinct — the constant-memory cardinality
+    * path for 100 TB (exact distinct shuffles every distinct value; the
+    * sketch shuffles one ~1.5 KB buffer per group per partition).
+    * Deterministic for fixed input but engine-specific, so no DuckDB
+    * oracle; the query carries its own error column instead.
+    */
+  private val aggApprox: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .select(col("l_returnflag"), col("exact_parts"), col("approx_parts"),
+        round(abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts"), 4).as("rel_err"))
+      .orderBy("l_returnflag")
+
   /** UNION ALL — no shuffle at all, just partition concatenation. */
   private val setUnion: Q = (spark, dir) => {
     val c = Tables.load(spark, dir, "customer").select(col("c_name").as("name"))
@@ -168,6 +185,7 @@ object RelationalOps {
     "e_agg_group" -> aggGroup,
     "e_agg_distinct" -> aggDistinct,
     "e_agg_rollup" -> aggRollup,
+    "e_agg_approx" -> aggApprox,
     "e_join_broadcast" -> joinBroadcast,
     "e_join_outer" -> joinOuter,
     "e_join_semi" -> joinSemi,
