@@ -52,6 +52,23 @@ object TextShingles {
   /** xxhash64 of every element (shingle set → hash set). */
   def hashed(arr: Column): Column = transform(arr, x => xxhash64(x))
 
+  /** Token-level hashes — stage this as its own column before calling
+    * [[shingleHashesFrom]] (expression trees duplicate subtrees).
+    */
+  def tokenHashes(text: Column): Column = hashed(tokens(text))
+
+  /** w-token shingle hashes mixed directly from staged token hashes —
+    * no shingle string is ever built (concat_ws per shingle was the
+    * hot spot in the interpreted HOF pipeline; hashing w longs is ~6×
+    * cheaper than building + hashing the string).
+    */
+  def shingleHashesFrom(th: Column, w: Int): Column =
+    when(size(th) >= w,
+      transform(sequence(lit(1), size(th) - (w - 1)),
+        i => xxhash64((0 until w).map(j => element_at(th, i + lit(j))): _*)))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+
   /** The i-th affine permutation hash of a shingle hash, in overflow-free
     * LONG arithmetic — the scalar building block shared by the HOF
     * signature ([[minhashSignature]]) and the aggregate formulation.

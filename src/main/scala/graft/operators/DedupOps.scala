@@ -102,8 +102,9 @@ object DedupOps {
     // measured 30× slower. Persisting signatures is also what a 100 TB
     // LSH dedup does (compute once, reuse across band rounds).
     val staged = docs
+      .select(col("doc_id"), TS.tokenHashes(col("text")).as("_th"))
       .select(col("doc_id"),
-        array_distinct(TS.hashed(TS.wordShingles(col("text"), 3))).as("feat"))
+        array_distinct(TS.shingleHashesFrom(col("_th"), 3)).as("feat"))
       .persist()
     survivors(docs, staged,
       bandPairs(sigBands(staged, 16, 7L, 4, 4), "doc_id"), threshold)
