@@ -38,20 +38,48 @@ object SimilarityOps {
       .limit(10)
   }
 
-  /** IVF-style ANN: nlist=16 coarse cells, nprobe=4. */
-  private val annIvf: Q = (spark, dir) => {
-    val emb = Tables.load(spark, dir, "embeddings")
-    val centroids: Seq[(Int, Seq[Double])] =
-      emb.where(col("vec_id") < 16L).orderBy("vec_id")
+  /** nearest-cell assignment expression for a centroid list. */
+  private def cellExpr(centroids: Seq[(Int, Seq[Double])]) =
+    array_max(array(centroids.map { case (i, c) =>
+      struct(VectorOps.cosineConst(col("embedding"), c).as("s"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** Deterministic k-means (Lloyd) for the IVF coarse quantizer:
+    * seeded with the first k vectors, `iters` assignment/mean rounds.
+    * Each round is one Spark aggregation (posexplode → per-(cell,dim)
+    * mean); only k×dim doubles ever reach the driver, so the same code
+    * trains the quantizer from a sample at 100 TB.
+    */
+  def kmeansCentroids(emb: org.apache.spark.sql.DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    var centroids: Seq[(Int, Seq[Double])] =
+      emb.where(col("vec_id") < k.toLong).orderBy("vec_id")
         .select("vec_id", "embedding").collect().toSeq
         .map { case Row(id: Long, v: scala.collection.Seq[_]) =>
           (id.toInt, v.asInstanceOf[scala.collection.Seq[Float]].toSeq.map(_.toDouble))
         }
-    // nearest-cell assignment: argmax over per-centroid cosine columns,
-    // via array_max on (sim, idx) structs — pure expressions, codegen'd
-    val cellOf = array_max(array(centroids.map { case (i, c) =>
-      struct(VectorOps.cosineConst(col("embedding"), c).as("s"), lit(i).as("i"))
-    }: _*)).getField("i")
+    for (_ <- 1 to iters) {
+      val means = emb.withColumn("cell", cellExpr(centroids))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty cells keep their previous centroid
+      centroids = centroids.map { case (i, c) => (i, means.getOrElse(i, c)) }
+    }
+    centroids
+  }
+
+  /** IVF ANN: k-means coarse quantizer (nlist=16, 2 Lloyd rounds),
+    * nprobe=4 — the query scans only the 4 nearest cells.
+    */
+  private val annIvf: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(emb, k = 16, iters = 2)
+    val cellOf = cellExpr(centroids)
     val q = vectorOf(spark, dir, 0L)
     val probeCells = centroids
       .map { case (i, c) => (i, VectorOps.cosineSeq(q, c)) }

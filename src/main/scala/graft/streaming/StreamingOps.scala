@@ -46,6 +46,23 @@ object StreamingOps {
     sessionize(Tables.load(spark, dir, "events"))
       .orderBy("user_id", "session_start")
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views from the preceding 10 minutes. Watermarks on BOTH sides
+    * bound the join state (Spark evicts buffered rows older than
+    * watermark + interval) — without them a stream-stream join's state
+    * grows without bound.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+    val v = views
+      .withColumnRenamed("user_id", "v_user_id")
+      .withColumnRenamed("ts", "v_ts")
+      .withWatermark("v_ts", "10 minutes")
+    c.join(v, expr(
+      """user_id = v_user_id AND
+        |v_ts BETWEEN ts - INTERVAL 10 MINUTES AND ts""".stripMargin))
+  }
+
   /** File-source streaming replay of the events table through the same
     * sessionize transform, memory-sink'd. Demonstrates the readStream →
     * transform → writeStream path; used by tests, not the batch driver.

@@ -59,6 +59,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_._3 == 1L))
   }
 
+  test("stream-stream interval join matches clicks to recent views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = StreamingOps.clickViewJoin(
+        clicks.toDF().select("user_id", "ts"),
+        views.toDF().select("user_id", "ts", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try {
+      views.addData(Ev(t(0), 1L, "view", 1.0), Ev(t(30), 1L, "view", 2.0))
+      clicks.addData(Ev(t(8), 1L, "click", 0.0),   // matches view@0 only
+        Ev(t(35), 1L, "click", 0.0),               // matches view@30 only
+        Ev(t(50), 2L, "click", 0.0))               // other user: no match
+      q.processAllAvailable()
+      val out = spark.table("ssj_test")
+        .select("ts", "value").as[(Timestamp, Double)].collect().sorted.toSeq
+      assert(out == Seq((t(8), 1.0), (t(35), 2.0)))
+    } finally q.stop()
+  }
+
   test("file-stream replay of events produces sessions matching batch") {
     val q = StreamingOps.runSessionStream(spark, sf)
     try {
