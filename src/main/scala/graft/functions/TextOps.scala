@@ -91,6 +91,24 @@ object TextOps {
   private val langId: Q = (spark, dir) =>
     langIdOver(Tables.load(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Repetition metrics (Gopher-style filters): fraction of duplicate
+    * word bigrams and duplicate tokens. High repetition flags
+    * boilerplate/spam — a standard pretraining-quality gate.
+    */
+  private val repetition: Q = (spark, dir) => {
+    val t = toks(col("text"))
+    val big = graft.functions.TextShingles.wordShingles(col("text"), 2)
+    Tables.load(spark, dir, "documents")
+      .withColumn("_t", t).withColumn("_b", big)
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("_b"))).cast("double") /
+          greatest(size(col("_b")), lit(1)).cast("double"), 4).as("rep_bigram"),
+        round(lit(1.0) - size(array_distinct(col("_t"))).cast("double") /
+          greatest(size(col("_t")), lit(1)).cast("double"), 4).as("rep_token"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: content hash (md5, oracle-checkable) plus
     * the custom codegen'd polynomial rolling hash ([[RollingHash]]).
     */
@@ -123,6 +141,7 @@ object TextOps {
     "e_token_count" -> tokenCount,
     "e_quality_score" -> qualityScore,
     "e_lang_id" -> langId,
+    "e_repetition" -> repetition,
     "e_fingerprint" -> fingerprint,
     "e_fingerprint_rolling" -> fingerprintRolling,
     "e_text_stats" -> textStats,
@@ -158,6 +177,14 @@ object TextOps {
     },
     "e_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id",
+    "e_repetition" ->
+      """SELECT doc_id,
+        |ROUND(1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(string_split(lower(text),' '))-1),
+        |  i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1]))) AS DOUBLE)
+        |  / GREATEST(len(string_split(lower(text),' '))-1, 1), 4) AS rep_bigram,
+        |ROUND(1.0 - CAST(len(list_distinct(string_split(lower(text),' '))) AS DOUBLE)
+        |  / GREATEST(len(string_split(lower(text),' ')), 1), 4) AS rep_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
         |COUNT(DISTINCT source) AS n_sources

@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, IsNotNull, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source modeling a paginated REST endpoint — the scale
+  * path for the reference's external-service federation
+  * (/root/reference/index.js:327-366, SURVEY §4 "potential future
+  * customs"). The reference proxies remote JSON opaquely on the one
+  * node; a DSv2 table instead:
+  *
+  *  - plans one InputPartition per remote page → executors fetch pages
+  *    in parallel (here the "endpoint" is a deterministic in-memory
+  *    record generator — the container has no egress; an HTTP client
+  *    drops into [[RestPageReader.fetchPage]] without touching the
+  *    planning code),
+  *  - implements SupportsPushDownFilters, translating Catalyst filters
+  *    into the query parameters a REST API would accept (`id = n`,
+  *    `id > n`, `id < n`) so executors skip non-matching pages — the
+  *    DSv2 analog of predicate pushdown into parquet,
+  *  - implements SupportsPushDownRequiredColumns (column pruning).
+  *
+  * Usage: spark.read.format("graft.sources.RestLikeSource")
+  *   .option("pages", 4).option("pageSize", 250).load()
+  */
+class RestLikeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestLikeSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RestTable(
+      properties.asScala.getOrElse("pages", "4").toInt,
+      properties.asScala.getOrElse("pageSize", "250").toInt)
+}
+
+object RestLikeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  /** The deterministic fake "remote" record for a given id. */
+  def record(id: Long): (Long, String, Double) =
+    (id, s"item_$id", (id % 97) / 97.0)
+}
+
+class RestTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"rest_like($pages pages x $pageSize)"
+  override def schema(): StructType = RestLikeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(pages, pageSize)
+}
+
+class RestScanBuilder(pages: Int, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = RestLikeSource.schema
+
+  /** Accept id-range filters (what a REST query string could express);
+    * everything else stays in Spark as a post-filter.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("id", _) | GreaterThan("id", _) | LessThan("id", _) |
+           IsNotNull("id") => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new RestScan(pages, pageSize, pushed, required)
+}
+
+class RestScan(pages: Int, pageSize: Int, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** One partition per page — but pages whose id range can't satisfy
+    * the pushed filters are never planned (partition pruning).
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).filter { p =>
+      val lo = p.toLong * pageSize
+      val hi = lo + pageSize - 1
+      pushed.forall {
+        case EqualTo("id", v: Long) => v >= lo && v <= hi
+        case GreaterThan("id", v: Long) => hi > v
+        case LessThan("id", v: Long) => lo < v
+        case _ => true
+      }
+    }.map(p => RestPage(p, pageSize): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(pushed, required)
+}
+
+case class RestPage(page: Int, pageSize: Int) extends InputPartition
+
+class RestReaderFactory(pushed: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RestPageReader(partition.asInstanceOf[RestPage], pushed, required)
+}
+
+class RestPageReader(page: RestPage, pushed: Array[Filter],
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  /** Stand-in for the HTTP page fetch (executor-side, one call per
+    * partition; pushed filters would become query-string params here).
+    */
+  private def fetchPage: Iterator[(Long, String, Double)] = {
+    val lo = page.page.toLong * page.pageSize
+    (lo until lo + page.pageSize).iterator.map(RestLikeSource.record)
+  }
+
+  private val rows = fetchPage.filter { case (id, _, _) =>
+    pushed.forall {
+      case EqualTo("id", v: Long) => id == v
+      case GreaterThan("id", v: Long) => id > v
+      case LessThan("id", v: Long) => id < v
+      case _ => true
+    }
+  }
+
+  private var current: (Long, String, Double) = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = {
+    val full = Map[String, Any](
+      "id" -> current._1,
+      "name" -> UTF8String.fromString(current._2),
+      "score" -> current._3)
+    InternalRow.fromSeq(required.fields.toSeq.map(f => full(f.name)))
+  }
+
+  override def close(): Unit = ()
+}
