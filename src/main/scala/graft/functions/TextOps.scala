@@ -137,7 +137,27 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
+  /** End-to-end training-data pipeline in one plan: exact dedup →
+    * quality gate (length + alpha ratio) → per-language corpus stats.
+    * The composed query stays a single Catalyst plan — dedup's shuffle,
+    * the codegen'd quality filter, and the final aggregation pipeline
+    * together with no materialization between stages.
+    */
+  private val pipelineE2e: Q = (spark, dir) => {
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(col("n_chars").cast("double"), lit(1.0))
+    graft.operators.DedupOps.exactDedup(Tables.load(spark, dir, "documents"))
+      .where(col("n_chars") >= 100 && alphaRatio >= lit(0.8))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        sum(size(toks(col("text")))).cast("long").as("total_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_pipeline_e2e" -> pipelineE2e,
     "e_token_count" -> tokenCount,
     "e_quality_score" -> qualityScore,
     "e_lang_id" -> langId,
@@ -189,5 +209,17 @@ object TextOps {
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
         |COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_pipeline_e2e" ->
+      """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
+        |CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+        |FROM (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) d WHERE rn = 1
+        |) dd
+        |WHERE n_chars >= 100
+        |  AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(CAST(n_chars AS DOUBLE), 1.0) >= 0.8
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

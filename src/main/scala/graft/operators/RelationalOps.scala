@@ -160,6 +160,27 @@ object RelationalOps {
           col("exact_parts"), 4).as("rel_err"))
       .orderBy("l_returnflag")
 
+  /** Top-3 orders per customer via the typed heap Aggregator
+    * ([[graft.functions.TopKAggregator]]): partial aggregation carries
+    * ≤k rows per key through the shuffle, where the window formulation
+    * (e_window_rank) sorts every group in full. Same oracle shape as
+    * the window query — semantics proven equal.
+    */
+  private val topkPerKey: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.{Scored, TopK}
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, price, key) => Scored(price, key) }
+      .agg(TopK.aggregator(3).toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.map(s => (cust, s.id, s.score)) }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** UNION ALL — no shuffle at all, just partition concatenation. */
   private val setUnion: Q = (spark, dir) => {
     val c = Tables.load(spark, dir, "customer").select(col("c_name").as("name"))
@@ -193,6 +214,7 @@ object RelationalOps {
     "e_window_rank" -> windowRank,
     "e_window_running" -> windowRunning,
     "e_topk" -> topk,
+    "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
     "e_set_intersect" -> setIntersect,
     "e_set_except" -> setExcept,
@@ -246,6 +268,12 @@ object RelationalOps {
     "e_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+    "e_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) t WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "e_set_union" ->
       """SELECT name FROM (
         |SELECT c_name AS name FROM customer UNION ALL SELECT s_name AS name FROM supplier
