@@ -15,11 +15,12 @@ import graft.streaming.StreamingOps
   */
 object SparkEntry {
 
-  /** Flagship query on sf0.001 — the reference's `ticketAnswers` join
-    * shape (/root/reference/config.json:36); driver smoke-checks rows>0.
+  /** Flagship query on sf0.001 — the end-to-end training-data pipeline
+    * (exact dedup → quality gate → per-language stats, one Catalyst
+    * plan); driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame =
-    ReferenceOps.queries("r_inner_join")(spark, "/root/testdata/sf0.001")
+    TextOps.queries("e_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++

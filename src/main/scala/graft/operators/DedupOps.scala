@@ -57,11 +57,22 @@ object DedupOps {
           bands, rowsPerBand).as("bands"))
   }
 
-  /** Candidate pairs (a < b) that share at least one LSH band bucket. */
-  private def bandPairs(withBands: DataFrame, idCol: String): DataFrame = {
+  /** Candidate pairs (a < b) that share at least one LSH band bucket.
+    * Buckets larger than `maxBucket` are dropped before the self-join:
+    * a degenerate bucket (empty docs, boilerplate) of size m yields
+    * m²/2 pairs — the one way LSH can go quadratic at scale. Members of
+    * an oversized bucket almost always still collide in another,
+    * selective band; production systems (e.g. near-dup pipelines over
+    * web crawls) apply the same "too common to be informative" cap.
+    */
+  private def bandPairs(withBands: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
     val exploded = withBands
       .select(col(idCol), explode(col("bands")).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("_bc",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .where(col("_bc") <= maxBucket).drop("_bc")
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
