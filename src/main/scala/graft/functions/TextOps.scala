@@ -96,16 +96,19 @@ object TextOps {
     * boilerplate/spam — a standard pretraining-quality gate.
     */
   private val repetition: Q = (spark, dir) => {
-    val t = toks(col("text"))
-    val big = graft.functions.TextShingles.wordShingles(col("text"), 2)
+    // distinct-count over 64-bit token/bigram hashes instead of strings:
+    // same counts (collisions are measure-zero at corpus scale) at a
+    // fraction of the interpreted-HOF cost; _th staged once per row
+    import graft.functions.{TextShingles => TS}
     Tables.load(spark, dir, "documents")
-      .withColumn("_t", t).withColumn("_b", big)
+      .withColumn("_th", TS.tokenHashes(col("text")))
+      .withColumn("_bh", TS.shingleHashesFrom(col("_th"), 2))
       .select(
         col("doc_id"),
-        round(lit(1.0) - size(array_distinct(col("_b"))).cast("double") /
-          greatest(size(col("_b")), lit(1)).cast("double"), 4).as("rep_bigram"),
-        round(lit(1.0) - size(array_distinct(col("_t"))).cast("double") /
-          greatest(size(col("_t")), lit(1)).cast("double"), 4).as("rep_token"))
+        round(lit(1.0) - size(array_distinct(col("_bh"))).cast("double") /
+          greatest(size(col("_bh")), lit(1)).cast("double"), 4).as("rep_bigram"),
+        round(lit(1.0) - size(array_distinct(col("_th"))).cast("double") /
+          greatest(size(col("_th")), lit(1)).cast("double"), 4).as("rep_token"))
       .orderBy("doc_id")
   }
 

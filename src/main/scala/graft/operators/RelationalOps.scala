@@ -143,6 +143,32 @@ object RelationalOps {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(25)
 
+  /** CUBE grouping sets — all 4 grouping combinations in one pass
+    * (Spark plans an Expand + single aggregation). Same NULL-sentinel
+    * discipline as ROLLUP.
+    */
+  private val aggCube: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_all_")).as("rf"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** PIVOT with an explicit value list (explicit values keep the output
+    * schema static — an implicit pivot would scan once just to discover
+    * columns, and nondeterministic column sets break 100 TB jobs).
+    */
+  private val pivot: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   /** HLL++ sketch vs exact distinct — the constant-memory cardinality
     * path for 100 TB (exact distinct shuffles every distinct value; the
     * sketch shuffles one ~1.5 KB buffer per group per partition).
@@ -207,6 +233,8 @@ object RelationalOps {
     "e_agg_distinct" -> aggDistinct,
     "e_agg_rollup" -> aggRollup,
     "e_agg_approx" -> aggApprox,
+    "e_agg_cube" -> aggCube,
+    "e_pivot" -> pivot,
     "e_join_broadcast" -> joinBroadcast,
     "e_join_outer" -> joinOuter,
     "e_join_semi" -> joinSemi,
@@ -238,6 +266,19 @@ object RelationalOps {
         |COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "e_agg_cube" ->
+      """SELECT COALESCE(l_returnflag, '_all_') AS rf, COALESCE(l_linestatus, '_all_') AS ls,
+        |COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "e_pivot" ->
+      """SELECT DATE_TRUNC('day', ts) AS day,
+        |COUNT(*) FILTER (event_type = 'click') AS click,
+        |COUNT(*) FILTER (event_type = 'view') AS "view",
+        |COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY DATE_TRUNC('day', ts) ORDER BY day""".stripMargin,
     "e_join_broadcast" ->
       """SELECT n.n_nationkey, n.n_name, r.r_name
         |FROM nation n INNER JOIN region r ON n.n_regionkey = r.r_regionkey
