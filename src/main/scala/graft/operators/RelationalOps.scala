@@ -133,6 +133,20 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Offset windows (LAG/LEAD) + NTILE bucketing — the remaining window
+    * shapes: prior/next order price per customer and quartile binning,
+    * all over one shuffle on the partition key.
+    */
+  private val windowLag: Q = (spark, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global top-k: sort+limit fuses into TakeOrderedAndProject —
     * per-partition heaps + driver merge, no global sort. This is the
     * plan shape that survives 100 TB.
@@ -241,6 +255,7 @@ object RelationalOps {
     "e_join_anti" -> joinAnti,
     "e_window_rank" -> windowRank,
     "e_window_running" -> windowRunning,
+    "e_window_lag" -> windowLag,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -306,6 +321,14 @@ object RelationalOps {
         |PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |LAG(o_totalprice, 1) OVER w AS prev_price,
+        |LEAD(o_totalprice, 1) OVER w AS next_price,
+        |CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
