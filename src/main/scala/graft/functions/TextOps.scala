@@ -159,7 +159,25 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Deterministic stratified sampling: key-hash modulus instead of
+    * `sample()` — reproducible across runs, partitionings, and cluster
+    * sizes (RNG-based sampling is none of those), which is what a
+    * training-data pipeline needs for auditable subsets. Different
+    * strata get different rates (en kept at 2/3, others at 1/3).
+    */
+  private val sampleStratified: Q = (spark, dir) => {
+    val keep = when(col("lang") === "en", pmod(col("doc_id"), lit(3)) < 2)
+      .otherwise(pmod(col("doc_id"), lit(3)) < 1)
+    Tables.load(spark, dir, "documents")
+      .where(keep)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_sample_stratified" -> sampleStratified,
     "e_pipeline_e2e" -> pipelineE2e,
     "e_token_count" -> tokenCount,
     "e_quality_score" -> qualityScore,
@@ -212,6 +230,11 @@ object TextOps {
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
         |COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_sampled, ROUND(AVG(n_chars), 2) AS avg_chars
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN doc_id % 3 < 2 ELSE doc_id % 3 < 1 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "e_pipeline_e2e" ->
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
         |CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
