@@ -221,6 +221,22 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** The custom KMV sketch ([[graft.functions.KmvDistinct]], a
+    * TypedImperativeAggregate) next to the exact count — deterministic
+    * constant-memory cardinality, unlike HLL's engine-specific buckets.
+    */
+  private val kmvDistinctQ: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        graft.functions.KmvDistinct.kmvDistinct(spark,
+          col("l_partkey").cast("string")).as("kmv_parts"))
+      .select(col("l_returnflag"), col("exact_parts"), col("kmv_parts"),
+        round(abs(col("kmv_parts") - col("exact_parts")) /
+          col("exact_parts"), 4).as("rel_err"))
+      .orderBy("l_returnflag")
+
   /** UNION ALL — no shuffle at all, just partition concatenation. */
   private val setUnion: Q = (spark, dir) => {
     val c = Tables.load(spark, dir, "customer").select(col("c_name").as("name"))
@@ -247,6 +263,7 @@ object RelationalOps {
     "e_agg_distinct" -> aggDistinct,
     "e_agg_rollup" -> aggRollup,
     "e_agg_approx" -> aggApprox,
+    "e_kmv_distinct" -> kmvDistinctQ,
     "e_agg_cube" -> aggCube,
     "e_pivot" -> pivot,
     "e_join_broadcast" -> joinBroadcast,

@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-quality regression tests: the physical-plan properties the
+  * 100 TB story depends on, asserted so a refactor can't silently lose
+  * them. String checks run against executedPlan (AQE initial plan —
+  * stable for these shapes).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("equality filters push into the parquet scan") {
+    val p = plan("r_filter_eq_date")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderdate"),
+      s"expected o_orderdate pushdown in:\n$p")
+  }
+
+  test("projection prunes the scan schema") {
+    val p = plan("r_soql_proj")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"expected 2-column ReadSchema in:\n$p")
+  }
+
+  test("global top-k fuses to TakeOrderedAndProject (no global sort)") {
+    val p = plan("e_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k must not range-shuffle for a global sort")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = plan("e_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("key-filtered join pushes the key to both scans") {
+    val p = plan("r_inner_join")
+    assert("EqualTo\\(o_orderkey,7\\)".r.findAllIn(p).nonEmpty)
+    assert("EqualTo\\(l_orderkey,7\\)".r.findAllIn(p).nonEmpty)
+  }
+
+  test("group-by aggregations are partial+final (map-side combine)") {
+    val p = plan("e_agg_group")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected two-phase hash aggregation in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("windows shuffle exactly once on their partition key plus the final sort") {
+    val p = plan("e_window_rank")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"window query should have ≤2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("semi/anti joins carry no right-side payload columns") {
+    assert(plan("e_join_semi").contains("LeftSemi"))
+    assert(plan("e_join_anti").contains("LeftAnti"))
+  }
+}
