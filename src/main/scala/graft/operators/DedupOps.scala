@@ -96,6 +96,50 @@ object DedupOps {
     docs.join(dups, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected-component min-label propagation over a duplicate-pair
+    * graph: every node ends labeled with its component's minimum id, so
+    * star/chain-shaped duplicate clusters collapse to exactly one
+    * survivor (the greedy per-pair removal can keep extras: with edges
+    * (1,3),(2,3) it keeps both 1 and 2). Iterative label propagation —
+    * each round is one join + min-aggregate, converging in
+    * O(component diameter) rounds; the driver only checks a
+    * changed-count per round. This is the exact dedup closure used when
+    * transitive duplicate chains matter.
+    */
+  def connectedMinLabels(pairs: DataFrame): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Survivors of a pair graph under connected-component semantics:
+    * every id whose component label is itself (the component minimum).
+    */
+  def ccSurvivorIds(pairs: DataFrame): DataFrame =
+    connectedMinLabels(pairs).where(col("id") === col("label")).select("id")
+
   /** MinHash+LSH near-dup removal on 3-word shingles.
     * k=16 hashes, 4 bands × 4 rows → collision prob ≈ 1-(1-s⁴)⁴,
     * catching Jaccard ≳ 0.6 reliably; exact-verify at 0.8.
