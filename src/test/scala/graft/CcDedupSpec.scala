@@ -29,4 +29,24 @@ class CcDedupSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(DedupOps.ccSurvivorIds(pairs).count() == 0)
   }
+
+  test("200-node chain converges within the round cap (pointer jumping)") {
+    // diameter 199 — one-hop neighbor-min propagation would need 199
+    // rounds; path compression must close it within the 20-round cap
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedMinLabels(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 0L))
+  }
+
+  test("registered e_dedup_cc labels the sf documents graph") {
+    val out = DedupOps.queries("e_dedup_cc")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every label is a member of its own component and is the minimum
+    val byLabel = out.groupBy(_._2)
+    byLabel.foreach { case (label, members) =>
+      assert(members.map(_._1).min == label)
+    }
+  }
 }
