@@ -39,5 +39,73 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
-      MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++ AsOfOps.oracles
+      MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
+      AsOfOps.oracles ++ Map(
+    // r_catalog pins the registered-query contract (name, arity,
+    // field list) as a VALUES literal. REGENERATE this block whenever a
+    // query is added or its schema changes — the driver's hash check
+    // fails loudly if it drifts.
+    "r_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('e_agg_approx', 4, 'l_returnflag:string,exact_parts:bigint,approx_parts:bigint,rel_err:double'),
+        |  ('e_agg_cube', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
+        |  ('e_agg_distinct', 2, 'l_returnflag:string,n_parts:bigint'),
+        |  ('e_agg_group', 7, 'l_returnflag:string,l_linestatus:string,sum_qty:double,sum_base_price:double,sum_disc_price:double,avg_qty:double,cnt:bigint'),
+        |  ('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
+        |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
+        |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
+        |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
+        |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
+        |  ('e_dedup_cc', 2, 'id:bigint,label:bigint'),
+        |  ('e_dedup_embedding', 2, 'vec_id:bigint,label:int'),
+        |  ('e_dedup_exact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_minhash', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
+        |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
+        |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
+        |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
+        |  ('e_join_broadcast', 3, 'n_nationkey:int,n_name:string,r_name:string'),
+        |  ('e_join_outer', 3, 'c_custkey:bigint,c_name:string,n_orders:bigint'),
+        |  ('e_join_semi', 2, 'c_custkey:bigint,c_name:string'),
+        |  ('e_json_funcs', 4, 'event_id:bigint,event_type:string,k_str:string,k_num:bigint'),
+        |  ('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
+        |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
+        |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
+        |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
+        |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
+        |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
+        |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
+        |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
+        |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
+        |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
+        |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
+        |  ('e_set_except', 1, 'nationkey:int'),
+        |  ('e_set_intersect', 1, 'nationkey:int'),
+        |  ('e_set_union', 1, 'name:string'),
+        |  ('e_similarity_topk', 2, 'vec_id:bigint,cos_sim:double'),
+        |  ('e_skew_salted', 3, 'c_nationkey:int,n_orders:bigint,revenue:double'),
+        |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
+        |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
+        |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
+        |  ('e_token_count', 4, 'doc_id:bigint,ws_tokens:bigint,re_tokens:bigint,chars_per_token:double'),
+        |  ('e_topk', 3, 'l_orderkey:bigint,l_linenumber:int,l_extendedprice:double'),
+        |  ('e_topk_per_key', 3, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double'),
+        |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
+        |  ('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
+        |  ('e_window_rank', 4, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,rn:int'),
+        |  ('e_window_running', 3, 'o_custkey:bigint,o_orderkey:bigint,running_total:double'),
+        |  ('r_desc_table', 3, 'col_name:string,data_type:string,nullable:boolean'),
+        |  ('r_dynamic_proj', 1, 'c_name:string'),
+        |  ('r_filter_eq_date', 6, 'o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string'),
+        |  ('r_fk_lookup', 11, 'l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz'),
+        |  ('r_inner_join', 12, 'o_orderkey:bigint,l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz'),
+        |  ('r_page_sort', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
+        |  ('r_point_lookup', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
+        |  ('r_scan_all', 2, 'r_regionkey:int,r_name:string'),
+        |  ('r_soql_proj', 2, 'c_custkey:bigint,c_name:string'),
+        |  ('r_sql_template', 3, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double')
+        |) AS t(query_name, n_columns, fields)
+        |ORDER BY query_name""".stripMargin
+  )
 }

@@ -121,13 +121,13 @@ object TextOps {
       md5(col("text").cast("binary")).as("md5_fp"))
       .orderBy("doc_id")
 
-  /** Engine-native fingerprints DuckDB can't mirror: xxhash64 plus the
-    * custom codegen'd rolling hash — ScalaTest-verified instead.
+  /** The custom codegen'd polynomial rolling hash ([[RollingHash]]),
+    * oracle-checked against a DuckDB recursive-CTE replay of the same
+    * h = h·B + byte (mod 2⁶⁴) recurrence in HUGEINT arithmetic.
     */
   private val fingerprintRolling: Q = (spark, dir) =>
     Tables.load(spark, dir, "documents").select(
       col("doc_id"),
-      xxhash64(col("text")).as("xx_fp"),
       RollingHash.rollingHash(spark, col("text")).as("roll_fp"))
       .orderBy("doc_id")
 
@@ -247,5 +247,25 @@ object TextOps {
         |  AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
         |      / GREATEST(CAST(n_chars AS DOUBLE), 1.0) >= 0.8
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Replays RollingHash's h = h·1000003 + byte (mod 2⁶⁴) recurrence
+    // as a recursive CTE in HUGEINT arithmetic, then maps the result
+    // back to the signed-long domain. ascii(substr(..)) == the UTF-8
+    // byte because the synthetic corpus is pure ASCII (verified at
+    // sf0.01 and sf0.1: octet_length(encode(text)) == length(text)
+    // for every row).
+    "e_fingerprint_rolling" ->
+      """WITH RECURSIVE roll(doc_id, i, n, h) AS (
+        |  SELECT doc_id, 0, length(text), 0::HUGEINT FROM documents
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1, r.n,
+        |    (r.h * 1000003 + ascii(substr(d.text, r.i + 1, 1)))
+        |      % 18446744073709551616::HUGEINT
+        |  FROM roll r JOIN documents d ON r.doc_id = d.doc_id WHERE r.i < r.n
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+        |       ELSE h::BIGINT END AS roll_fp
+        |FROM roll WHERE i = n ORDER BY doc_id""".stripMargin,
   )
 }

@@ -183,9 +183,19 @@ object DedupOps {
     chain(col("lang"), bucket).union(chain(col("source"), bucket))
   }
 
+  // The CC label table is computed by a driver-side iterative loop, so
+  // (unlike every other query) just CONSTRUCTING the DataFrame runs
+  // Spark jobs. Cache the result per (app, dataset): r_catalog's
+  // schema walk and the query's own execution then share one closure
+  // computation (the loop's output is localCheckpointed, so reuse is a
+  // cached-RDD scan).
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private val dedupCc: Q = (spark, dir) =>
-    connectedMinLabels(ccChainPairs(Tables.load(spark, dir, "documents")))
-      .orderBy("id")
+    ccCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir", _ =>
+      connectedMinLabels(ccChainPairs(Tables.load(spark, dir, "documents")))
+        .orderBy("id"))
 
   /** MinHash+LSH near-dup removal on 3-word shingles.
     * k=16 hashes, 4 bands × 4 rows → collision prob ≈ 1-(1-s⁴)⁴,

@@ -149,5 +149,23 @@ object ReferenceOps {
         |FROM customer ORDER BY c_acctbal, c_custkey LIMIT 20 OFFSET 20""".stripMargin,
     "r_soql_proj" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    // Schema-as-data pinned as a VALUES literal: the lineitem schema is
+    // part of the table contract (TESTDATA.md), so the oracle hardcodes
+    // the expected rows rather than asking DuckDB to mirror Spark's
+    // type names.
+    "r_desc_table" ->
+      """SELECT * FROM (VALUES
+        |  ('l_discount', 'double', true),
+        |  ('l_extendedprice', 'double', true),
+        |  ('l_linenumber', 'int', true),
+        |  ('l_linestatus', 'string', true),
+        |  ('l_orderkey', 'bigint', true),
+        |  ('l_partkey', 'bigint', true),
+        |  ('l_quantity', 'double', true),
+        |  ('l_returnflag', 'string', true),
+        |  ('l_shipdate', 'timestamp_ntz', true),
+        |  ('l_suppkey', 'bigint', true),
+        |  ('l_tax', 'double', true)
+        |) AS t(col_name, data_type, nullable) ORDER BY col_name""".stripMargin,
   )
 }

@@ -133,9 +133,19 @@ object SimilarityOps {
     "e_ann_ivf" -> annIvf,
   )
 
-  /** No oracles: DuckDB list-cosine availability/precision is unverified
-    * (SURVEY §2.3); both queries are ScalaTest-checked against
-    * hand-computed cosines instead.
+  /** Brute-force top-k is oracle-checked via DuckDB's
+    * list_cosine_similarity — the FLOAT[] must be cast to DOUBLE[] on
+    * the oracle side so both engines accumulate in float64 (the raw
+    * FLOAT[] overload computes in float32 and disagrees in the 6th
+    * decimal). e_ann_ivf stays ScalaTest-only: its output depends on
+    * the quantizer, which DuckDB cannot replay.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "e_similarity_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+        |  6) AS cos_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+  )
 }
