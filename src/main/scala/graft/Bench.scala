@@ -30,20 +30,33 @@ object Bench {
     runFull("r_inner_join") // warmup: JIT + parquet footer caches
 
     val names = SparkEntry.queries.keySet.toSeq.sorted.filterNot(_ == "r_catalog")
-    // two passes per query, min taken: the host shows intermittent
-    // external contention (one random straggler per pass), and min-of-2
-    // measures the engine rather than the neighbor
-    val results = names.map { name =>
-      val secs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try runFull(name)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // One untimed warmup pass per query (plan compilation, codegen,
+    // offline index/closure builds), then three timed passes run
+    // INTERLEAVED (pass-major order). The host shows sustained
+    // external contention windows: back-to-back passes of one query
+    // can all land inside a bad window (r2 measured the same binary
+    // 2.2x slower than r1), while interleaving spreads each query's
+    // passes across the whole run so min-of-3 measures the engine,
+    // not the neighbor.
+    names.foreach { name =>
+      try runFull(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
-      System.err.println(f"[bench] $name%-24s ${secs.min}%8.2f s")
-      name -> secs.min
+    }
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to 3; name <- names) {
+      val t0 = System.nanoTime()
+      try runFull(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val s = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
+    }
+    val results = names.map { name =>
+      System.err.println(f"[bench] $name%-24s ${best(name)}%8.2f s")
+      name -> best(name)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
