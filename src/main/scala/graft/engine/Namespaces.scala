@@ -1,0 +1,54 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+
+/** Namespaced query registry with the reference's legacy flat alias
+  * namespace. The reference registers every config-declared query
+  * twice: under its database namespace (`/q/<db>/<qname>`,
+  * `queryInfo[db][qname]`) AND under the bare name
+  * (`/query/<qname>`, `legacyQinfo[qname] = info` —
+  * `index.js:117-118`, route pair `index.js:318-324`). When two
+  * databases declare the same query name the bare-name slot is
+  * LAST-WRITER-WINS — intentional reference behavior this mirrors
+  * exactly (the namespaced lookup stays unambiguous).
+  */
+final class Namespaces {
+  private val byDb = TrieMap.empty[(String, String), NamedQuery]
+  private val legacy = TrieMap.empty[String, NamedQuery]
+
+  def register(db: String, query: NamedQuery): Unit = {
+    byDb.put((db, query.name), query)
+    legacy.put(query.name, query) // last writer wins, as in the reference
+  }
+
+  /** `/q/<db>/<qname>` — the namespaced (unambiguous) lookup. */
+  def lookup(db: String, name: String): Option[NamedQuery] =
+    byDb.get((db, name))
+
+  /** `/query/<qname>` — the legacy bare-name lookup; resolves to the
+    * most recently registered query of that name across all databases.
+    */
+  def lookupLegacy(name: String): Option[NamedQuery] =
+    legacy.get(name)
+
+  def databases: Set[String] = byDb.keySet.map(_._1).toSet
+  def names(db: String): Set[String] =
+    byDb.keySet.collect { case (d, n) if d == db => n }.toSet
+  def legacyNames: Set[String] = legacy.keySet.toSet
+}
+
+object Namespaces {
+  /** Build a registry from a flat query map under one database name —
+    * how SparkEntry's catalog mounts as a namespace.
+    */
+  def of(db: String,
+      queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame],
+      oracles: Map[String, String] = Map.empty): Namespaces = {
+    val ns = new Namespaces
+    queries.foreach { case (name, build) =>
+      ns.register(db, NamedQuery(name, build, oracles.get(name)))
+    }
+    ns
+  }
+}

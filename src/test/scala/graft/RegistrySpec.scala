@@ -59,4 +59,32 @@ class RegistrySpec extends SparkSpec {
     assert(row.getString(0) == "one" && row.getInt(1) == 2)
     assert(row.getString(2).contains("r_regionkey:int"))
   }
+
+  test("legacy alias namespace: bare name is last-writer-wins across dbs") {
+    import graft.engine.{NamedQuery, Namespaces}
+    val ns = new Namespaces
+    val regions = NamedQuery("lookup", (s, d) => Tables.load(s, d, "region"), None)
+    val nations = NamedQuery("lookup", (s, d) => Tables.load(s, d, "nation"), None)
+    ns.register("pgdb", regions)
+    ns.register("mydb", nations)
+    // namespaced lookups stay unambiguous (/q/<db>/<qname>)
+    assert(ns.lookup("pgdb", "lookup").get.build(spark, sf).count() == 5)
+    assert(ns.lookup("mydb", "lookup").get.build(spark, sf).count() == 25)
+    // bare-name lookup (/query/<qname>) resolves to the LAST registration
+    assert(ns.lookupLegacy("lookup").get.build(spark, sf).count() == 25)
+    // re-registering flips the alias back — last writer wins, always
+    ns.register("pgdb", regions)
+    assert(ns.lookupLegacy("lookup").get.build(spark, sf).count() == 5)
+    assert(ns.lookup("mydb", "lookup").get.build(spark, sf).count() == 25)
+    assert(ns.databases == Set("pgdb", "mydb") && ns.legacyNames == Set("lookup"))
+  }
+
+  test("the full catalog mounts as a namespace with legacy aliases") {
+    import graft.engine.Namespaces
+    val ns = Namespaces.of("spark", SparkEntry.queries, SparkEntry.oracleSql)
+    assert(ns.names("spark") == SparkEntry.queries.keySet)
+    assert(ns.legacyNames == SparkEntry.queries.keySet)
+    assert(ns.lookup("spark", "r_scan_all").get.oracle.isDefined)
+    assert(ns.lookupLegacy("nope").isEmpty)
+  }
 }
