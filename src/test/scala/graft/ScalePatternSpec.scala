@@ -56,4 +56,42 @@ class ScalePatternSpec extends SparkSpec {
       assert(out == Seq(100L -> 1L, 200L -> 3L, 300L -> 5L))
     } finally q.stop()
   }
+
+  test("TTL-bounded streaming dedup re-emits a key after state expiry") {
+    // ProcessingTimeTimeout makes the engine schedule micro-batches
+    // continuously to fire pending timeouts, and processAllAvailable
+    // does not reliably return under that churn — so this test drives
+    // the query with a 100 ms trigger and polls the sink for positive
+    // conditions instead.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    def outPairs: Seq[(Long, Long)] =
+      spark.table("dedup_ttl_test").as[DocEvent].collect()
+        .map(e => e.fingerprint -> e.doc_id).toSeq.sorted
+    def awaitCond(clue: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && !cond) Thread.sleep(100L)
+      assert(cond, clue)
+    }
+    val q = StreamingDedup
+      .firstSeenWithTtl(mem.toDS(), java.time.Duration.ofMillis(1500))
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .format("memory").queryName("dedup_ttl_test").start()
+    try {
+      mem.addData(DocEvent(100L, 1L, "a"), DocEvent(100L, 2L, "a dup"))
+      awaitCond("first-seen emits min doc_id")(outPairs == Seq(100L -> 1L))
+      mem.addData(DocEvent(100L, 3L, "a dup within ttl"))
+      // let the state expire, then prove eviction with a fresh key…
+      Thread.sleep(3000L)
+      mem.addData(DocEvent(200L, 4L, "b"))
+      awaitCond("post-expiry batch emits new key")(
+        outPairs.contains(200L -> 4L))
+      // …and the evicted key re-emits as a fresh first-seen
+      mem.addData(DocEvent(100L, 5L, "a after expiry"))
+      awaitCond("expired key re-emits")(outPairs.contains(100L -> 5L))
+      // the within-TTL duplicate (doc 3) must never have been emitted
+      assert(outPairs == Seq(100L -> 1L, 100L -> 5L, 200L -> 4L))
+    } finally q.stop()
+  }
 }
