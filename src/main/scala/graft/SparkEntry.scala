@@ -60,6 +60,7 @@ object SparkEntry {
         |  ('e_dedup_embedding', 2, 'vec_id:bigint,label:int'),
         |  ('e_dedup_exact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_minhash', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_minhash_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),

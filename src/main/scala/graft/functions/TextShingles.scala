@@ -96,6 +96,25 @@ object TextShingles {
           slice(sig, j * rowsPerBand + 1, rowsPerBand))).as("key"))
     }: _*)
 
+  /** md5-derived 60-bit hash of a string — the cross-engine hash used
+    * by the oracle-checkable MinHash variant: DuckDB computes the
+    * identical value as ('0x' || substr(md5(s),1,15))::BIGINT, so the
+    * whole LSH pipeline can be replayed by the oracle. 15 hex digits
+    * keep the value positive and well inside a signed long.
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Band keys via [[md5Hash60]] instead of xxhash64 (same structure as
+    * [[bandKeys]]) — for pipelines that must be oracle-replayable.
+    */
+  def bandKeysMd5(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        md5Hash60(concat_ws(",",
+          slice(sig, j * rowsPerBand + 1, rowsPerBand))).as("key"))
+    }: _*)
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -44,7 +44,8 @@ object DedupOps {
     * collapses it to k longs per doc before the shuffle.
     */
   private def sigBands(feats: DataFrame, k: Int, seed: Long,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int,
+      bandKeyFn: (Column, Int, Int) => Column = TS.bandKeys): DataFrame = {
     val params = TS.hashParams(k, seed)
     val g = feats.where(size(col("feat")) > 0)
       .select(col("doc_id"), explode(col("feat")).as("gh"))
@@ -53,7 +54,7 @@ object DedupOps {
     }
     g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        TS.bandKeys(array((0 until k).map(i => col(s"m$i")): _*),
+        bandKeyFn(array((0 until k).map(i => col(s"m$i")): _*),
           bands, rowsPerBand).as("bands"))
   }
 
@@ -227,6 +228,31 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Oracle-checkable MinHash+LSH: identical structure to
+    * [[minhashDedup]] (16 hashes, 4 bands × 4 rows, verify at 0.8) but
+    * every hash is md5-derived ([[TS.md5Hash60]]) instead of xxhash64,
+    * so DuckDB replays the ENTIRE pipeline — shingling, minhash
+    * signatures, banding, bucket cap, candidate join, exact-Jaccard
+    * verify, anti join — and the driver hash-checks the result. The
+    * xxhash64 variant stays the production path (codegen'd long mixing,
+    * no string build per shingle); this one is the correctness bridge.
+    */
+  def minhashMd5Dedup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"),
+        array_distinct(transform(TS.wordShingles(col("text"), 3),
+          s => TS.md5Hash60(s))).as("feat"))
+      .persist()
+    survivors(docs, staged,
+      bandPairs(sigBands(staged, 16, 7L, 4, 4, TS.bandKeysMd5), "doc_id"),
+      threshold)
+  }
+
+  private val dedupMinhashMd5: Q = (spark, dir) =>
+    minhashMd5Dedup(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** 64-bit SimHash (Charikar'02 / Manku WWW'07): per-token hash votes
     * on each bit; near-dups have small Hamming distance. Bit loop is
     * unrolled into 64 codegen'd aggregate expressions (no UDF).
@@ -356,7 +382,58 @@ object DedupOps {
     "e_dedup_ngram" -> dedupNgram,
     "e_dedup_embedding" -> dedupEmbedding,
     "e_dedup_cc" -> dedupCc,
+    "e_dedup_minhash_md5" -> dedupMinhashMd5,
   )
+
+  /** DuckDB replay of [[minhashMd5Dedup]], generated so the affine
+    * hash constants are interpolated from the same [[TS.hashParams]]
+    * call the Spark side uses.
+    */
+  private def minhashMd5Oracle: String = {
+    val p = 2147483647L
+    val params = TS.hashParams(16, 7L)
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"    list_min(list_transform(feat, h -> (h % $p * $a + $b) % $p)) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"m${j * 4 + r}").mkString(", ")
+      s"  SELECT doc_id, $j AS band, ('0x' || substr(md5(array_to_string([$cols], ',')), 1, 15))::BIGINT AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toked AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+       |), feats AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS feat
+       |  FROM toked
+       |), sigs AS (
+       |  SELECT doc_id,
+       |$minExprs
+       |  FROM feats WHERE len(feat) > 0
+       |), bands AS (
+       |$bandSelects
+       |), okbuckets AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM okbuckets a JOIN okbuckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), dups AS (
+       |  SELECT DISTINCT p.id_b AS doc_id
+       |  FROM pairs p
+       |  JOIN feats fa ON fa.doc_id = p.id_a
+       |  JOIN feats fb ON fb.doc_id = p.id_b
+       |  WHERE CASE WHEN len(list_distinct(fa.feat || fb.feat)) = 0 THEN 0.0
+       |        ELSE len(list_intersect(fa.feat, fb.feat))::DOUBLE
+       |             / len(list_distinct(fa.feat || fb.feat)) END >= 0.8
+       |)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+       |LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Only the exact variant is batch-SQL-expressible for the oracle; the
     * LSH variants are verified by ScalaTest with crafted near-dup docs.
@@ -390,5 +467,6 @@ object DedupOps {
         |)
         |SELECT id, MIN(label) AS label FROM walk
         |GROUP BY id ORDER BY id""".stripMargin,
+    "e_dedup_minhash_md5" -> minhashMd5Oracle,
   )
 }

@@ -37,6 +37,16 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(2L), "near dup above threshold must be removed")
   }
 
+  test("minhashMd5Dedup mirrors the xxhash variant's removal behavior") {
+    val nearDup = base + " extra"
+    val distinct = "completely different words about spark query engines and scale"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> distinct, 4L -> base)
+    val kept = DedupOps.minhashMd5Dedup(d, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L),
+      "md5-hash variant must keep the group minimum and the distinct doc")
+  }
+
   test("simhash is deterministic and near-dups have small hamming distance") {
     val d = docs(1L -> base, 2L -> (base + " extra"), 3L -> "qq ww ee rr tt")
       .withColumn("simhash", DedupOps.simhash(col("text")))
