@@ -63,6 +63,7 @@ object SparkEntry {
         |  ('e_dedup_minhash_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
+        |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),

@@ -279,9 +279,10 @@ object DedupOps {
     * the packed partial sum stays < 2⁴⁸ — no ANSI overflow at any n.
     * Shuffles once on doc_id; the exchange carries 23 longs per doc.
     */
-  def simhashAgg(docs: DataFrame): DataFrame = {
+  def simhashAgg(docs: DataFrame,
+      tokenHashes: Column => Column = t => TS.hashed(TS.tokens(t))): DataFrame = {
     val th = docs.select(col("doc_id"),
-      explode(TS.hashed(TS.tokens(col("text")))).as("h"))
+      explode(tokenHashes(col("text"))).as("h"))
     val fieldsPerCol = 3
     val nCols = (64 + fieldsPerCol - 1) / fieldsPerCol // 22
     val packCols = (0 until nCols).map { g =>
@@ -307,10 +308,11 @@ object DedupOps {
   /** SimHash near-dup removal: Manku-style banding — 4 bands of 16 bits;
     * pairs agreeing on ≥1 band are checked for Hamming distance ≤ 3.
     */
-  def simhashDedup(docsIn: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDedup(docsIn: DataFrame, maxHamming: Int = 3,
+      tokenHashes: Column => Column = t => TS.hashed(TS.tokens(t))): DataFrame = {
     // (doc_id, simhash) is 16 bytes/doc — persist so the band explode,
     // both pair sides, and the final anti join share one computation
-    val docs = docsIn.join(simhashAgg(docsIn).persist(), "doc_id")
+    val docs = docsIn.join(simhashAgg(docsIn, tokenHashes).persist(), "doc_id")
     val withBands = docs.select(col("doc_id"),
       array((0 until 4).map { j =>
         struct(lit(j).as("band"),
@@ -328,6 +330,19 @@ object DedupOps {
 
   private val dedupSimhash: Q = (spark, dir) =>
     simhashDedup(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** Oracle-checkable SimHash: token hashes via [[TS.md5Hash60]] (bits
+    * 60–63 are therefore always 0 — a 60-bit simhash in a 64-bit
+    * layout), everything else identical to [[simhashDedup]]. DuckDB
+    * replays the per-bit majority vote with 60 SUM columns, the
+    * 16-bit banding, the bucket cap, and the Hamming-distance verify
+    * (bit_count(xor(..)) ≤ 3).
+    */
+  private val dedupSimhashMd5: Q = (spark, dir) =>
+    simhashDedup(Tables.load(spark, dir, "documents"),
+      tokenHashes = t => transform(TS.tokens(t), tok => TS.md5Hash60(tok)))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
@@ -383,7 +398,56 @@ object DedupOps {
     "e_dedup_embedding" -> dedupEmbedding,
     "e_dedup_cc" -> dedupCc,
     "e_dedup_minhash_md5" -> dedupMinhashMd5,
+    "e_dedup_simhash_md5" -> dedupSimhashMd5,
   )
+
+  /** DuckDB replay of [[dedupSimhashMd5]]: 60-bit md5-derived token
+    * hashes, per-bit majority vote, 4×16-bit banding, bucket cap,
+    * Hamming ≤ 3 verify, anti join.
+    */
+  private def simhashMd5Oracle: String = {
+    val cntExprs = (0 until 60).map(i =>
+      s"    SUM((h >> $i) & 1) AS c$i").mkString(",\n")
+    // OR-operators sit at line ENDS: a leading "|" would be eaten by
+    // stripMargin as a margin marker.
+    val bitOr = (0 until 60).map(i =>
+      s"(CASE WHEN 2 * c$i > n THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString("    ", " |\n    ", "")
+    val bandSelects = (0 until 4).map { j =>
+      s"  SELECT doc_id, $j AS band, (simhash >> ${16 * j}) & 65535 AS key FROM sh"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |        FROM documents) u
+       |), cnts AS (
+       |  SELECT doc_id, count(*) AS n,
+       |$cntExprs
+       |  FROM tok GROUP BY doc_id
+       |), sh AS (
+       |  SELECT doc_id,
+       |$bitOr AS simhash
+       |  FROM cnts
+       |), bands AS (
+       |$bandSelects
+       |), okbuckets AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM okbuckets a JOIN okbuckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), dups AS (
+       |  SELECT DISTINCT p.id_b AS doc_id
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.id_a
+       |  JOIN sh sb ON sb.doc_id = p.id_b
+       |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+       |)
+       |SELECT s.doc_id, s.simhash FROM sh s
+       |LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
+       |ORDER BY s.doc_id""".stripMargin
+  }
 
   /** DuckDB replay of [[minhashMd5Dedup]], generated so the affine
     * hash constants are interpolated from the same [[TS.hashParams]]
@@ -468,5 +532,6 @@ object DedupOps {
         |SELECT id, MIN(label) AS label FROM walk
         |GROUP BY id ORDER BY id""".stripMargin,
     "e_dedup_minhash_md5" -> minhashMd5Oracle,
+    "e_dedup_simhash_md5" -> simhashMd5Oracle,
   )
 }

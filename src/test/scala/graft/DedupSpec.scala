@@ -47,6 +47,18 @@ class DedupSpec extends SparkSpec {
       "md5-hash variant must keep the group minimum and the distinct doc")
   }
 
+  test("md5-token simhash removes identical docs and caps at 60 bits") {
+    val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
+    val kept = DedupOps.simhashDedup(d,
+        tokenHashes = t => org.apache.spark.sql.functions.transform(
+          graft.functions.TextShingles.tokens(t),
+          tok => graft.functions.TextShingles.md5Hash60(tok)))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().sortBy(_._1)
+    assert(kept.map(_._1).toSeq == Seq(1L, 3L))
+    // bits 60..63 can never be set with 60-bit token hashes
+    assert(kept.forall { case (_, sh) => (sh >>> 60) == 0L })
+  }
+
   test("simhash is deterministic and near-dups have small hamming distance") {
     val d = docs(1L -> base, 2L -> (base + " extra"), 3L -> "qq ww ee rr tt")
       .withColumn("simhash", DedupOps.simhash(col("text")))
