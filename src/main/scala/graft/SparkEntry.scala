@@ -72,6 +72,7 @@ object SparkEntry {
         |  ('e_join_semi', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_json_funcs', 4, 'event_id:bigint,event_type:string,k_str:string,k_num:bigint'),
         |  ('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
+        |  ('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),

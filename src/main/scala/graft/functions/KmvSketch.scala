@@ -42,6 +42,19 @@ final class KmvBuffer(val k: Int) {
       val frac = (kth.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
       math.round((k - 1) / math.max(frac, java.lang.Double.MIN_VALUE))
     }
+
+  /** KMV estimator for hashes uniform over [0, 2^bits) instead of the
+    * full signed-long range — used by the pre-hashed (md5-derived,
+    * 60-bit) input path so an external engine computing the same
+    * hashes can replay the estimate bit-for-bit.
+    */
+  def estimateWithDomain(bits: Int): Long =
+    if (hashes.size < k) hashes.size.toLong
+    else {
+      val kth = hashes.last().toLong
+      val frac = kth.toDouble / math.pow(2.0, bits)
+      math.round((k - 1) / math.max(frac, java.lang.Double.MIN_VALUE))
+    }
 }
 
 /** Distinct-count sketch over a STRING column as a
@@ -62,6 +75,11 @@ case class KmvDistinct(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] {
 
+  // LONG input = already hashed upstream (e.g. the md5-derived 60-bit
+  // hash the DuckDB oracle can also compute): insert raw and estimate
+  // over the [0, 2^60) domain. STRING input = hash internally (XXH64).
+  private val preHashed = child.dataType == LongType
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -71,8 +89,11 @@ case class KmvDistinct(
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      buf.insert(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      if (preHashed) buf.insert(v.asInstanceOf[Long])
+      else {
+        val s = v.asInstanceOf[UTF8String]
+        buf.insert(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      }
     }
     buf
   }
@@ -81,7 +102,8 @@ case class KmvDistinct(
     buf.merge(other); buf
   }
 
-  override def eval(buf: KmvBuffer): Any = buf.estimate
+  override def eval(buf: KmvBuffer): Any =
+    if (preHashed) buf.estimateWithDomain(60) else buf.estimate
 
   override def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.hashes.size)

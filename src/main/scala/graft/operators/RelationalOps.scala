@@ -237,6 +237,26 @@ object RelationalOps {
           col("exact_parts"), 4).as("rel_err"))
       .orderBy("l_returnflag")
 
+  /** Oracle-checkable KMV: the same TypedImperativeAggregate fed
+    * md5-derived 60-bit hashes (pre-hashed LONG path, estimate over
+    * [0, 2^60)) so DuckDB can replay the estimator exactly — rank the
+    * distinct hashes per group, take the 256th smallest, apply
+    * (k−1)/(kth/2^60). The internal-XXH64 variant stays the production
+    * path; this one proves the sketch against an external engine.
+    */
+  private val kmvDistinctMd5Q: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        graft.functions.KmvDistinct.kmvDistinct(spark,
+          graft.functions.TextShingles.md5Hash60(
+            col("l_partkey").cast("string"))).as("kmv_parts"))
+      .select(col("l_returnflag"), col("exact_parts"), col("kmv_parts"),
+        round(abs(col("kmv_parts") - col("exact_parts")) /
+          col("exact_parts"), 4).as("rel_err"))
+      .orderBy("l_returnflag")
+
   /** UNION ALL — no shuffle at all, just partition concatenation. */
   private val setUnion: Q = (spark, dir) => {
     val c = Tables.load(spark, dir, "customer").select(col("c_name").as("name"))
@@ -264,6 +284,7 @@ object RelationalOps {
     "e_agg_rollup" -> aggRollup,
     "e_agg_approx" -> aggApprox,
     "e_kmv_distinct" -> kmvDistinctQ,
+    "e_kmv_distinct_md5" -> kmvDistinctMd5Q,
     "e_agg_cube" -> aggCube,
     "e_pivot" -> pivot,
     "e_join_broadcast" -> joinBroadcast,
@@ -281,6 +302,34 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the KMV estimator on the same md5-derived 60-bit hashes:
+    // kth-smallest distinct hash per group, (k-1)/(kth/2^60), exact
+    // count below k. 1152921504606846976 = 2^60.
+    "e_kmv_distinct_md5" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem
+        |), ranked AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+        |  FROM hashed
+        |), est AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN nd < 256 THEN nd
+        |         ELSE CAST(round(255.0 / (h::DOUBLE / 1152921504606846976.0))
+        |              AS BIGINT) END AS kmv_parts
+        |  FROM ranked
+        |  WHERE rn = CASE WHEN nd < 256 THEN 1 ELSE 256 END
+        |), ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT e.l_returnflag, ex.exact_parts, e.kmv_parts,
+        |  round(abs(e.kmv_parts - ex.exact_parts)::DOUBLE / ex.exact_parts, 4)
+        |    AS rel_err
+        |FROM est e JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "e_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
