@@ -533,5 +533,42 @@ object DedupOps {
         |GROUP BY id ORDER BY id""".stripMargin,
     "e_dedup_minhash_md5" -> minhashMd5Oracle,
     "e_dedup_simhash_md5" -> simhashMd5Oracle,
+    "e_dedup_embedding" -> embeddingOracle,
   )
+
+  /** DuckDB replay of [[embeddingDedup]]: the 16 fixed-seed hyperplanes
+    * are interpolated as double literals (Scala's Double.toString is
+    * shortest-roundtrip, so DuckDB parses the identical values), dot
+    * products use list_dot_product over DOUBLE[] (sequential float64
+    * accumulation, same as the Catalyst aggregate fold), and cosine is
+    * written out as d / (sqrt(sa)·sqrt(sb)) to mirror VectorOps.cosine's
+    * exact floating-point expression shape — NOT list_cosine_similarity,
+    * whose internal rounding is unspecified.
+    */
+  private def embeddingOracle: String = {
+    val planes = VectorOps.hyperplanes(16, 64)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) > 0.0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString("    ", " |\n    ", "")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), sigs AS (
+       |  SELECT vec_id, label, v,
+       |$sigExpr AS sig
+       |  FROM vecs
+       |), dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |  WHERE CASE
+       |    WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0.0
+       |    THEN 0.0
+       |    ELSE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |    END >= 0.99
+       |)
+       |SELECT s.vec_id, s.label FROM sigs s
+       |LEFT JOIN dups USING (vec_id) WHERE dups.vec_id IS NULL
+       |ORDER BY s.vec_id""".stripMargin
+  }
 }
