@@ -62,6 +62,7 @@ object SparkEntry {
         |  ('e_dedup_minhash', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_minhash_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_ngram_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),

@@ -368,6 +368,25 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Oracle-checkable char-5-gram Jaccard dedup: [[ngramDedup]] with
+    * md5-derived gram hashes (see [[minhashMd5Dedup]] for the pattern).
+    */
+  def ngramMd5Dedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"),
+        array_distinct(transform(TS.charGrams(col("text"), 5),
+          g => TS.md5Hash60(g))).as("feat"))
+      .persist()
+    survivors(docs, staged,
+      bandPairs(sigBands(staged, 16, 11L, 2, 8, TS.bandKeysMd5), "doc_id"),
+      threshold)
+  }
+
+  private val dedupNgramMd5: Q = (spark, dir) =>
+    ngramMd5Dedup(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** Embedding-cosine near-dup: 16-bit sign-LSH buckets, in-bucket
     * pairwise cosine ≥ 0.99 removes the larger vec_id. The bucket join
     * shuffles on the signature — never all-pairs.
@@ -399,6 +418,7 @@ object DedupOps {
     "e_dedup_cc" -> dedupCc,
     "e_dedup_minhash_md5" -> dedupMinhashMd5,
     "e_dedup_simhash_md5" -> dedupSimhashMd5,
+    "e_dedup_ngram_md5" -> dedupNgramMd5,
   )
 
   /** DuckDB replay of [[dedupSimhashMd5]]: 60-bit md5-derived token
@@ -449,30 +469,24 @@ object DedupOps {
        |ORDER BY s.doc_id""".stripMargin
   }
 
-  /** DuckDB replay of [[minhashMd5Dedup]], generated so the affine
-    * hash constants are interpolated from the same [[TS.hashParams]]
-    * call the Spark side uses.
+  /** DuckDB replay of an md5-hash LSH dedup ([[minhashMd5Dedup]] /
+    * [[ngramMd5Dedup]]), generated so the affine hash constants are
+    * interpolated from the same [[TS.hashParams]] call the Spark side
+    * uses. `featsCte` must define `feats(doc_id, feat)` over documents.
     */
-  private def minhashMd5Oracle: String = {
+  private def lshMd5Oracle(featsCte: String, k: Int, seed: Long,
+      bands: Int, rowsPerBand: Int, threshold: Double): String = {
     val p = 2147483647L
-    val params = TS.hashParams(16, 7L)
+    val params = TS.hashParams(k, seed)
     val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
       s"    list_min(list_transform(feat, h -> (h % $p * $a + $b) % $p)) AS m$i"
     }.mkString(",\n")
-    val bandSelects = (0 until 4).map { j =>
-      val cols = (0 until 4).map(r => s"m${j * 4 + r}").mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"m${j * rowsPerBand + r}").mkString(", ")
       s"  SELECT doc_id, $j AS band, ('0x' || substr(md5(array_to_string([$cols], ',')), 1, 15))::BIGINT AS key FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH toked AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-       |), feats AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      list_transform(generate_series(1, len(toks) - 2),
-       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-       |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS feat
-       |  FROM toked
-       |), sigs AS (
+    s"""WITH $featsCte, sigs AS (
        |  SELECT doc_id,
        |$minExprs
        |  FROM feats WHERE len(feat) > 0
@@ -492,15 +506,50 @@ object DedupOps {
        |  JOIN feats fb ON fb.doc_id = p.id_b
        |  WHERE CASE WHEN len(list_distinct(fa.feat || fb.feat)) = 0 THEN 0.0
        |        ELSE len(list_intersect(fa.feat, fb.feat))::DOUBLE
-       |             / len(list_distinct(fa.feat || fb.feat)) END >= 0.8
+       |             / len(list_distinct(fa.feat || fb.feat)) END >= $threshold
        |)
        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
        |LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** Only the exact variant is batch-SQL-expressible for the oracle; the
-    * LSH variants are verified by ScalaTest with crafted near-dup docs.
+  /** feats CTE for 3-word-shingle md5 hashes ([[minhashMd5Dedup]]). */
+  private val shingleFeatsCte: String =
+    """toked AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      |), feats AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS feat
+      |  FROM toked
+      |)""".stripMargin
+
+  /** feats CTE for char-5-gram md5 hashes ([[ngramMd5Dedup]]). */
+  private val gramFeatsCte: String =
+    """lowed AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents
+      |), feats AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(generate_series(1, length(t) - 4),
+      |        i -> substr(t, i, 5)),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS feat
+      |  FROM lowed
+      |)""".stripMargin
+
+  private def minhashMd5Oracle: String =
+    lshMd5Oracle(shingleFeatsCte, 16, 7L, 4, 4, 0.8)
+
+  private def ngramMd5Oracle: String =
+    lshMd5Oracle(gramFeatsCte, 16, 11L, 2, 8, 0.9)
+
+  /** Exact dedup, the CC closure, embedding-cosine dedup, and the three
+    * md5-hash LSH variants are all DuckDB-replayable; the xxhash64 LSH
+    * originals (the production paths — codegen'd long mixing, no string
+    * build per feature) are ScalaTest-verified and mirrored structurally
+    * by their oracle-checked md5 twins.
     */
   val oracles: Map[String, String] = Map(
     "e_dedup_exact" ->
@@ -533,6 +582,7 @@ object DedupOps {
         |GROUP BY id ORDER BY id""".stripMargin,
     "e_dedup_minhash_md5" -> minhashMd5Oracle,
     "e_dedup_simhash_md5" -> simhashMd5Oracle,
+    "e_dedup_ngram_md5" -> ngramMd5Oracle,
     "e_dedup_embedding" -> embeddingOracle,
   )
 
