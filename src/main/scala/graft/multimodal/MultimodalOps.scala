@@ -126,10 +126,65 @@ object MultimodalOps {
     "e_multimodal_frames" -> multimodalFrames,
   )
 
+  /** The decode/frames stub is a pure function of the payload bytes
+    * (FNV-1a fold), so DuckDB can replay it: the fold runs as a
+    * recursive CTE in HUGEINT arithmetic mod 2⁶⁴ (XOR emulated on the
+    * low byte — the only byte the XOR can touch), then width/height/
+    * frame fields derive from the hash exactly as in [[decodeStub]].
+    * ascii(substr(..)) == the UTF-8 byte because the corpus is pure
+    * ASCII (verified in the rolling-hash oracle's notes).
+    */
+  private val fnvCte: String =
+    """RECURSIVE fnv(doc_id, i, n, h) AS (
+      |  SELECT doc_id, 0, length(text), 14695981039346656037::HUGEINT
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT f.doc_id, f.i + 1, f.n,
+      |    (((f.h - (f.h % 256))
+      |       + xor((f.h % 256)::BIGINT,
+      |             ascii(substr(d.text, f.i + 1, 1)))::HUGEINT)
+      |      * 1099511628211) % 18446744073709551616::HUGEINT
+      |  FROM fnv f JOIN documents d ON f.doc_id = d.doc_id WHERE f.i < f.n
+      |), hashed AS (
+      |  SELECT doc_id, h,
+      |    CASE WHEN h >= 9223372036854775808::HUGEINT
+      |         THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+      |         ELSE h::BIGINT END AS hs
+      |  FROM fnv WHERE i = n
+      |), media AS (
+      |  SELECT d.doc_id,
+      |    CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    length(d.text)::BIGINT AS n_bytes, h.h, h.hs
+      |  FROM documents d JOIN hashed h USING (doc_id)
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "e_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_multimodal_decode" -> (s"WITH $fnvCte\n" +
+      """SELECT doc_id, media_type, n_bytes,
+        |  (16 + abs(hs % 1905))::INT AS width,
+        |  (16 + ((h // 131072) % 1065)::BIGINT)::INT AS height,
+        |  CASE WHEN media_type = 'video'
+        |       THEN (1 + ((h // 2147483648) % 240)::BIGINT)::INT
+        |       ELSE 1 END AS n_frames
+        |FROM media ORDER BY doc_id""".stripMargin),
+    "e_multimodal_frames" -> (s"WITH $fnvCte\n" +
+      """SELECT doc_id, frame_idx,
+        |  CASE WHEN hw >= 9223372036854775808::HUGEINT
+        |       THEN (hw - 18446744073709551616::HUGEINT)::BIGINT
+        |       ELSE hw::BIGINT END AS frame_hash
+        |FROM (
+        |  SELECT doc_id, h,
+        |    unnest(generate_series(0,
+        |      (1 + ((h // 2147483648) % 240)::BIGINT)::INT - 1, 30))::INT
+        |      AS frame_idx
+        |  FROM media WHERE media_type = 'video'
+        |) f, LATERAL (SELECT (f.h + f.frame_idx)
+        |              % 18446744073709551616::HUGEINT AS hw) x
+        |ORDER BY doc_id, frame_idx""".stripMargin),
   )
 }
