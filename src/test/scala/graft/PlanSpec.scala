@@ -57,4 +57,41 @@ class PlanSpec extends SparkSpec {
     assert(plan("e_join_semi").contains("LeftSemi"))
     assert(plan("e_join_anti").contains("LeftAnti"))
   }
+
+  test("LSH band pairing has no window sort and no bucket self-join") {
+    // bandPairs = one groupBy with a bounded collector + in-bucket
+    // explode: a regression back to the window-count + equi-self-join
+    // formulation would show WindowExec (and one more exchange pair)
+    val p = plan("e_dedup_minhash")
+    assert(!p.contains("Window"),
+      s"bandPairs must not use a window for the bucket cap:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded bucket collection should run on the object-hash-agg path")
+  }
+
+  test("simhash aggregate stays within 23 packed buffers") {
+    // 64 separate SUMs pushed the aggregate out of codegen; the packed
+    // formulation carries 22 packed sums + 1 count through the exchange
+    val p = plan("e_dedup_simhash")
+    assert(!p.contains("b63"), "per-bit aggregate columns must not reappear")
+    // the persisted aggregate subtree prints once per consuming branch,
+    // so count sums per HashAggregate LINE, not across the whole string
+    val maxSumsPerAgg = p.linesIterator
+      .filter(_.contains("partial_sum"))
+      .map(l => "partial_sum".r.findAllIn(l).size)
+      .maxOption.getOrElse(0)
+    assert(maxSumsPerAgg > 0 && maxSumsPerAgg <= 23,
+      s"the packed simhash aggregate must carry ≤23 sums, saw $maxSumsPerAgg")
+  }
+
+  test("IVF probe scans the cached assignment table, not raw parquet") {
+    val df = graft.operators.SimilarityOps
+      .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),
+        Seq.fill(64)(0.1), nprobe = 4, k = 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"probe must read the persisted index, not rebuild it:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "probe top-k must not global-sort")
+  }
 }
