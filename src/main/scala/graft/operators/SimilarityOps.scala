@@ -59,9 +59,16 @@ object SimilarityOps {
           (id.toInt, v.asInstanceOf[scala.collection.Seq[Float]].toSeq.map(_.toDouble))
         }
     for (_ <- 1 to iters) {
+      // Decimal-quantized mean: summing doubles is partition-order
+      // dependent, so a plain avg() could assign borderline vectors to
+      // different cells on different cluster sizes — the index must be
+      // REPRODUCIBLE at any parallelism. DECIMAL(28,14) per-element
+      // rounding is deterministic and the decimal sum is associative.
       val means = emb.withColumn("cell", cellExpr(centroids))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double").as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
