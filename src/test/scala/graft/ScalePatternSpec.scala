@@ -74,7 +74,7 @@ class ScalePatternSpec extends SparkSpec {
       assert(cond, clue)
     }
     val q = StreamingDedup
-      .firstSeenWithTtl(mem.toDS(), java.time.Duration.ofMillis(1500))
+      .firstSeenWithTtl(mem.toDS(), java.time.Duration.ofMillis(2500))
       .writeStream.outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       .format("memory").queryName("dedup_ttl_test").start()
@@ -83,7 +83,7 @@ class ScalePatternSpec extends SparkSpec {
       awaitCond("first-seen emits min doc_id")(outPairs == Seq(100L -> 1L))
       mem.addData(DocEvent(100L, 3L, "a dup within ttl"))
       // let the state expire, then prove eviction with a fresh key…
-      Thread.sleep(3000L)
+      Thread.sleep(4500L)
       mem.addData(DocEvent(200L, 4L, "b"))
       awaitCond("post-expiry batch emits new key")(
         outPairs.contains(200L -> 4L))
