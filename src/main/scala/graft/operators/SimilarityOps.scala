@@ -144,8 +144,8 @@ object SimilarityOps {
     * list_cosine_similarity — the FLOAT[] must be cast to DOUBLE[] on
     * the oracle side so both engines accumulate in float64 (the raw
     * FLOAT[] overload computes in float32 and disagrees in the 6th
-    * decimal). e_ann_ivf stays ScalaTest-only: its output depends on
-    * the quantizer, which DuckDB cannot replay.
+    * decimal). e_ann_ivf is oracle-checked by REPLAYING the
+    * deterministic quantizer in DuckDB — see [[ivfOracle]].
     */
   val oracles: Map[String, String] = Map(
     "e_similarity_topk" ->
@@ -154,5 +154,72 @@ object SimilarityOps {
         |  6) AS cos_sim
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "e_ann_ivf" -> ivfOracle(),
   )
+
+  /** DuckDB replay of the full IVF build+probe ([[buildIvfIndex]] +
+    * [[probeIvf]]). Possible only because the quantizer is deterministic
+    * by construction: seeded with the first `nlist` vectors, a fixed
+    * number of Lloyd rounds, and DECIMAL(28,14)-quantized means (the
+    * decimal sum is associative, so the index is identical at any
+    * partitioning — and replayable by a single-threaded engine).
+    * Unrolled as one CTE per assignment/mean/update step:
+    *  - assignment argmax mirrors [[cellExpr]]'s array_max over
+    *    struct(sim, cell): ties break to the HIGHER cell id;
+    *  - cosine is written out as d/(sqrt(sa)·sqrt(sb)) to match
+    *    VectorOps.cosine's expression shape (see DedupOps embedding
+    *    oracle for the precedent);
+    *  - probe-cell ranking mirrors probeIvf's stable sortBy: ties keep
+    *    ascending cell order;
+    *  - the final cos_sim reuses the list_cosine_similarity-on-DOUBLE[]
+    *    form already proven against round(cosineConst, 6) by
+    *    e_similarity_topk.
+    */
+  private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
+      k: Int = 10, dim: Int = 64): String = {
+    def cos(a: String, b: String): String =
+      s"CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0.0 THEN 0.0 " +
+        s"ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.v, c.cell FROM vecs e CROSS JOIN $cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cos("e.v", "c.c")} DESC, c.cell DESC) = 1
+         |)""".stripMargin
+    def meanCte(name: String, assigned: String): String =
+      s"""$name AS (
+         |  SELECT cell, gs.i AS pos,
+         |    (sum((v[gs.i])::DECIMAL(28,14)))::DOUBLE / count(*) AS m
+         |  FROM $assigned CROSS JOIN generate_series(1, $dim) AS gs(i)
+         |  GROUP BY cell, gs.i
+         |)""".stripMargin
+    def centCte(name: String, prev: String, means: String): String =
+      s"""$name AS (
+         |  SELECT cell, coalesce(mm.c, p.c) AS c FROM $prev p
+         |  LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c
+         |             FROM $means GROUP BY cell) mm USING (cell)
+         |)""".stripMargin
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(assignCte(s"a$r", s"c${r - 1}"), meanCte(s"m$r", s"a$r"),
+        centCte(s"c$r", s"c${r - 1}", s"m$r"))
+    }.mkString(",\n")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id::INT AS cell, v AS c FROM vecs WHERE vec_id < $nlist
+       |),
+       |$rounds,
+       |${assignCte("afinal", s"c$iters")},
+       |qv AS (
+       |  SELECT v FROM vecs WHERE vec_id = 0
+       |), probe AS (
+       |  SELECT c.cell FROM c$iters c CROSS JOIN qv
+       |  ORDER BY ${cos("qv.v", "c.c")} DESC, c.cell ASC LIMIT $nprobe
+       |)
+       |SELECT a.vec_id,
+       |  round(list_cosine_similarity(a.v, (SELECT v FROM qv)), 6) AS cos_sim
+       |FROM afinal a
+       |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+  }
 }
