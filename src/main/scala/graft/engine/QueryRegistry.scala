@@ -99,6 +99,32 @@ object QueryRegistry {
     df.where(col(k) > lit(lastKey)).orderBy(col(k)).limit(pp)
   }
 
+  /** Composite keyset pagination: resume strictly after the last
+    * (k1, …, kn) tuple seen, i.e. the SQL row-value comparison
+    * `(k1, …, kn) > (v1, …, vn)`, expanded to its disjunctive form
+    * `k1 > v1 OR (k1 = v1 AND k2 > v2) OR …` — which Catalyst pushes
+    * to the parquet scan (Or/And of comparisons are pushable; a LIMIT
+    * after a pushed filter never sorts-and-discards like offset does).
+    * Key columns must be non-null for the expansion to equal row-value
+    * semantics (true for every fixture key).
+    */
+  def recordListAfterKeys(
+      spark: SparkSession, dir: String, relation: String,
+      after: Seq[(String, Any)], perpage: Int = 20): DataFrame = {
+    require(after.nonEmpty, "keyset pagination needs at least one key column")
+    val t = Validate.table(relation).fold(e => throw new IllegalArgumentException(e), identity)
+    val df = Tables.load(spark, dir, t)
+    val ks = after.map { case (c, v) =>
+      (Validate.column(df, c).fold(e => throw new IllegalArgumentException(e), identity), v)
+    }
+    val pp = math.min(math.max(perpage, 1), 1000)
+    val pred = ks.indices.map { i =>
+      val eqs = (0 until i).map(j => col(ks(j)._1) === lit(ks(j)._2))
+      (eqs :+ (col(ks(i)._1) > lit(ks(i)._2))).reduce(_ && _)
+    }.reduce(_ || _)
+    df.where(pred).orderBy(ks.map(k => col(k._1)): _*).limit(pp)
+  }
+
   /** Point lookup — reference `getRecord`/`fetchRow`
     * (/root/reference/index.js:494-534): `select * from rel where id = ?`
     * limited to one row.

@@ -73,6 +73,16 @@ object ReferenceOps {
     QueryRegistry.recordList(spark, dir, "customer",
       page = 2, perpage = 20, sortBy = Seq("c_acctbal", "c_custkey"))
 
+  /** F1-F3, keyset variant — the 100 TB-safe pagination (SURVEY §4
+    * names offset pagination the scale anti-pattern): resume strictly
+    * after the last (c_acctbal, c_custkey) seen. Same clamp semantics
+    * as the reference's perpage (index.js:475-482); the row-value
+    * predicate prunes the scan instead of sorting and discarding.
+    */
+  private val rPageKeyset: Q = (spark, dir) =>
+    QueryRegistry.recordListAfterKeys(spark, dir, "customer",
+      Seq("c_acctbal" -> 1000.0, "c_custkey" -> 0L), perpage = 20)
+
   /** `descTable` (`desc $table`, config.json:34) — schema-as-data.
     * The reference ships `desc` to MySQL; Catalyst's analyzed schema is
     * the native equivalent. No oracle (DuckDB type names differ).
@@ -115,6 +125,7 @@ object ReferenceOps {
     "r_dynamic_proj" -> rDynamicProj,
     "r_inner_join" -> rInnerJoin,
     "r_page_sort" -> rPageSort,
+    "r_page_keyset" -> rPageKeyset,
     "r_desc_table" -> rDescTable,
     "r_soql_proj" -> rSoqlProj,
   )
@@ -147,6 +158,13 @@ object ReferenceOps {
     "r_page_sort" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_acctbal, c_custkey LIMIT 20 OFFSET 20""".stripMargin,
+    // DuckDB's native row-value comparison IS the keyset predicate —
+    // the oracle states the intent; the engine's disjunctive expansion
+    // must behave identically (key columns are non-null).
+    "r_page_keyset" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE (c_acctbal, c_custkey) > (1000.0, 0)
+        |ORDER BY c_acctbal, c_custkey LIMIT 20""".stripMargin,
     "r_soql_proj" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
     // Schema-as-data pinned as a VALUES literal: the lineitem schema is

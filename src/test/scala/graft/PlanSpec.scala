@@ -22,6 +22,16 @@ class PlanSpec extends SparkSpec {
       s"expected 2-column ReadSchema in:\n$p")
   }
 
+  test("keyset pagination pushes the row-value predicate into the scan") {
+    val p = plan("r_page_keyset")
+    // the disjunctive expansion reaches the parquet reader: both the
+    // strict bound on the first key and the tie-break branch push down
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(c_acctbal"),
+      s"expected c_acctbal keyset bound pushed to the scan in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "keyset page must fuse sort+limit (no global sort, no offset)")
+  }
+
   test("global top-k fuses to TakeOrderedAndProject (no global sort)") {
     val p = plan("e_topk")
     assert(p.contains("TakeOrderedAndProject"))
