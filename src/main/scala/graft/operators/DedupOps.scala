@@ -108,10 +108,10 @@ object DedupOps {
     * star/chain-shaped duplicate clusters collapse to exactly one
     * survivor (the greedy per-pair removal can keep extras: with edges
     * (1,3),(2,3) it keeps both 1 and 2). Iterative label propagation —
-    * each round is one join + min-aggregate, converging in
-    * O(component diameter) rounds; the driver only checks a
-    * changed-count per round. This is the exact dedup closure used when
-    * transitive duplicate chains matter.
+    * each round is ONE Spark action (the eager checkpoint; convergence
+    * is tallied by an accumulator riding its materialization). This is
+    * the exact dedup closure used when transitive duplicate chains
+    * matter.
     */
   def connectedMinLabels(pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
@@ -135,9 +135,13 @@ object DedupOps {
           .withColumnRenamed("label", "n_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
-      val hooked = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
+      // Carry the round-entry label through as `old`: the convergence
+      // tally can then ride the same action that materializes the round
+      // instead of a separate join-of-two-checkpoints + count job.
+      val hooked = labels.withColumnRenamed("label", "old")
+        .join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("n_min"), col("old"))).as("label"))
       // Pointer jumping (path compression): follow label → label(label).
       // Neighbor-min alone needs O(component diameter) rounds — a chain
       // of n duplicate docs would need n rounds; compressing one hop
@@ -145,17 +149,34 @@ object DedupOps {
       // is O(log diameter) rounds total (the Hash-to-Min / large-star
       // trick from the MapReduce CC literature). Every label is itself
       // a node id, so the self-join below always resolves.
+      // ONE action per round: the eager checkpoint's materialization is
+      // the only job, and a fresh accumulator tallies still-moving
+      // labels as a side effect of the final projection (a task retry
+      // could overcount, but only changed==0 vs >0 is ever consulted —
+      // undercount is impossible). The previous separate
+      // join-of-two-checkpoints + count() doubled the actions per round.
+      val chgAcc = pairs.sparkSession.sparkContext.longAccumulator("cc-changed")
+      val tally = udf { (l: Long, o: Long) =>
+        if (l != o) chgAcc.add(1L); l
+      }
       val next = hooked.as("x")
         .join(hooked.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          tally(least(col("label"), coalesce(col("ll"), col("label"))),
+            col("old")).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
+      changed = chgAcc.value
       labels = next
       rounds += 1
     }
+    // A silent non-converged exit would surface only as a confusing
+    // oracle-hash mismatch downstream; the cap covers diameter ~2^20,
+    // so hitting it means something is structurally wrong — fail loudly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedMinLabels did not converge after $rounds rounds " +
+          s"($changed labels still changing)")
     labels
   }
 

@@ -39,6 +39,39 @@ class CcDedupSpec extends SparkSpec {
     assert(labels.size == 200 && labels.values.forall(_ == 0L))
   }
 
+  test("one Spark action per propagation round (count rides the checkpoint)") {
+    // single edge {1,2}: round 1 relabels 2→1, round 2 confirms fixpoint
+    // — exactly 2 rounds. Job-running actions: 1 init checkpoint + ONE
+    // eager checkpoint per round (the accumulator tally rides it) + the
+    // final collect = 4. The old formulation ran a separate
+    // join-of-two-checkpoints count per round (6 for the same run).
+    // Count DISTINCT sql execution ids that start jobs: raw job counts
+    // are useless (AQE runs each shuffle stage as its own job).
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        execs.add(if (id == null) s"rdd-job-${js.jobId}" else id)
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+      DedupOps.connectedMinLabels(pairs).collect()
+      // the listener bus is asynchronous — poll until the count settles
+      var last = -1; var cur = execs.size
+      val deadline = System.nanoTime + 5_000_000_000L
+      while (cur != last && System.nanoTime < deadline) {
+        last = cur; Thread.sleep(300)
+        cur = execs.size
+      }
+      assert(cur > 0 && cur <= 4,
+        s"expected ≤4 job-running actions for a 2-round CC run " +
+          s"(init + one checkpoint/round + collect), saw $cur")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("registered e_dedup_cc labels the sf documents graph") {
     val out = DedupOps.queries("e_dedup_cc")(spark, sf)
       .as[(Long, Long)].collect()
