@@ -56,6 +56,7 @@ object SparkEntry {
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
+        |  ('e_decontaminate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_cc', 2, 'id:bigint,label:bigint'),
         |  ('e_dedup_embedding', 2, 'vec_id:bigint,label:int'),
         |  ('e_dedup_exact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),

@@ -430,7 +430,49 @@ object DedupOps {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** Test-set decontamination: remove every training document that
+    * CONTAINS an eval example — |shingles(e) ∩ shingles(d)| /
+    * |shingles(e)| ≥ τ for some eval doc e (the n-gram-containment rule
+    * standard in LLM training-data hygiene; the eval member itself has
+    * containment 1.0 and is removed too, which is the point).
+    *
+    * 100 TB shape: the eval set is small by construction, so its
+    * exploded shingle hashes BROADCAST; the corpus side is one explode +
+    * broadcast-hash-join + partial-aggregated count per (doc, eval) —
+    * the only exchange carries matching (doc, eval) pairs, never the
+    * corpus. Exact set intersection (no banding/minhash), so the
+    * xxhash64 production path is directly oracle-checkable: the oracle
+    * replays containment on the shingle strings themselves, identical
+    * up to a 64-bit hash collision.
+    */
+  def decontaminate(docs: DataFrame, evalModulus: Long = 97L, w: Int = 3,
+      tau: Double = 0.8): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), TS.tokenHashes(col("text")).as("_th"))
+      .select(col("doc_id"),
+        array_distinct(TS.shingleHashesFrom(col("_th"), w)).as("feat"))
+      .where(size(col("feat")) > 0)
+    val evalShingles = feats.where(col("doc_id") % evalModulus === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("feat")).as("gh"))
+    val evalSizes = evalShingles.groupBy("eval_id")
+      .agg(count(lit(1)).as("eval_n"))
+    val overlap = feats
+      .select(col("doc_id"), explode(col("feat")).as("gh"))
+      .join(broadcast(evalShingles), "gh")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_common"))
+    val contaminated = overlap.join(broadcast(evalSizes), "eval_id")
+      .where(col("n_common").cast("double") / col("eval_n") >= tau)
+      .select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  private val decontaminateQ: Q = (spark, dir) =>
+    decontaminate(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "e_decontaminate" -> decontaminateQ,
     "e_dedup_exact" -> dedupExact,
     "e_dedup_minhash" -> dedupMinhash,
     "e_dedup_simhash" -> dedupSimhash,
@@ -601,6 +643,37 @@ object DedupOps {
         |)
         |SELECT id, MIN(label) AS label FROM walk
         |GROUP BY id ORDER BY id""".stripMargin,
+    // Containment is exact set intersection — the oracle replays it on
+    // the shingle STRINGS (the engine intersects xxhash64 values of the
+    // same shingles; bijective up to a 64-bit collision). Tokenization
+    // uses regexp_split_to_array to mirror Spark's split(·, "\s+") on
+    // any whitespace run, not just single spaces.
+    "e_decontaminate" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS feat
+        |  FROM toked WHERE len(toks) >= 3
+        |), ev AS (
+        |  SELECT doc_id AS eval_id, unnest(feat) AS g FROM feats
+        |  WHERE doc_id % 97 = 0
+        |), evsz AS (
+        |  SELECT eval_id, count(*) AS eval_n FROM ev GROUP BY eval_id
+        |), dg AS (
+        |  SELECT doc_id, unnest(feat) AS g FROM feats
+        |), overlap AS (
+        |  SELECT dg.doc_id, ev.eval_id, count(*) AS n_common
+        |  FROM dg JOIN ev USING (g) GROUP BY dg.doc_id, ev.eval_id
+        |), contaminated AS (
+        |  SELECT DISTINCT o.doc_id FROM overlap o JOIN evsz USING (eval_id)
+        |  WHERE o.n_common::DOUBLE / eval_n >= 0.8
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        |LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
     "e_dedup_minhash_md5" -> minhashMd5Oracle,
     "e_dedup_simhash_md5" -> simhashMd5Oracle,
     "e_dedup_ngram_md5" -> ngramMd5Oracle,

@@ -47,6 +47,23 @@ class DedupSpec extends SparkSpec {
       "md5-hash variant must keep the group minimum and the distinct doc")
   }
 
+  test("decontaminate removes docs containing an eval example") {
+    // doc 0 (0 % 97 == 0) is the eval example; doc 5 embeds its text
+    // verbatim as a prefix (containment 1.0); doc 7 shares only 3 of
+    // its 12 shingles (0.25 < τ)
+    val d = docs(
+      0L -> base,
+      5L -> (base + " plus surrounding training prose around the eval text"),
+      6L -> "completely different words about spark query engines and scale",
+      7L -> base.split(" ").take(5).mkString(" "))
+    val kept = DedupOps.decontaminate(d, evalModulus = 97L, tau = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(!kept.contains(0L), "the eval member itself is contaminated")
+    assert(!kept.contains(5L), "doc embedding the eval text must be removed")
+    assert(kept.contains(6L), "unrelated doc survives")
+    assert(kept.contains(7L), "partial overlap below tau survives")
+  }
+
   test("md5-token simhash removes identical docs and caps at 60 bits") {
     val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
     val kept = DedupOps.simhashDedup(d,
