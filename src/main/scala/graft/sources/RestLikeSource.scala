@@ -65,9 +65,20 @@ class RestTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
 
 class RestScanBuilder(pages: Int, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RestLikeSource.schema
+  private var limit: Option[Int] = None
+
+  /** LIMIT n prunes trailing pages the same way the id filters prune
+    * non-matching ones — the reference's `perpage` clamp
+    * (/root/reference/index.js:475-478) pushed all the way into the
+    * source: a REST backend would receive `?limit=n` and stop paging.
+    * Partially pushed: whole pages are still fetched, so Spark keeps
+    * its own final limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept id-range filters (what a REST query string could express);
     * everything else stays in Spark as a post-filter.
@@ -86,28 +97,48 @@ class RestScanBuilder(pages: Int, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RestScan(pages, pageSize, pushed, required)
+  override def build(): Scan =
+    new RestScan(pages, pageSize, pushed, required, limit)
 }
 
 class RestScan(pages: Int, pageSize: Int, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, limit: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One partition per page — but pages whose id range can't satisfy
-    * the pushed filters are never planned (partition pruning).
+  /** Exact count of page ids in [lo, hi] that satisfy every pushed
+    * filter — ids are dense, so the filters intersect to one interval.
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).filter { p =>
+  private def matching(lo: Long, hi: Long): Long = {
+    var a = lo; var b = hi
+    pushed.foreach {
+      case EqualTo("id", v: Long) => a = math.max(a, v); b = math.min(b, v)
+      case GreaterThan("id", v: Long) => a = math.max(a, v + 1)
+      case LessThan("id", v: Long) => b = math.min(b, v - 1)
+      case _ =>
+    }
+    math.max(0L, b - a + 1)
+  }
+
+  /** One partition per page — pages whose id range can't satisfy the
+    * pushed filters are never planned (partition pruning), and under a
+    * pushed LIMIT, planning stops at the first page prefix whose
+    * cumulative matching-row count covers the limit (trailing-page
+    * pruning).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val live = (0 until pages).map { p =>
       val lo = p.toLong * pageSize
-      val hi = lo + pageSize - 1
-      pushed.forall {
-        case EqualTo("id", v: Long) => v >= lo && v <= hi
-        case GreaterThan("id", v: Long) => hi > v
-        case LessThan("id", v: Long) => lo < v
-        case _ => true
-      }
-    }.map(p => RestPage(p, pageSize): InputPartition).toArray
+      (p, matching(lo, lo + pageSize - 1))
+    }.filter(_._2 > 0)
+    val selected = limit match {
+      case Some(n) =>
+        var cum = 0L
+        live.takeWhile { case (_, c) => val need = cum < n; cum += c; need }
+      case None => live
+    }
+    selected.map { case (p, _) => RestPage(p, pageSize): InputPartition }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(pushed, required)

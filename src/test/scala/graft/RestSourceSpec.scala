@@ -26,6 +26,25 @@ class RestSourceSpec extends SparkSpec {
     assert(point.count() == 1)
   }
 
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.get
+
+  test("limit pushdown prunes trailing pages") {
+    // 300 rows need pages 0-1 (250 rows each); pages 2-3 never planned
+    val q = rest.limit(300)
+    assert(scanPartitions(q) == 2, "LIMIT 300 over 250-row pages plans 2")
+    assert(q.count() == 300)
+    // combined with a pushed filter: id > 250 leaves 249 matches in
+    // page 1, enough to cover LIMIT 100 — exactly one page planned
+    val fq = rest.where(col("id") > 250L).limit(100)
+    assert(scanPartitions(fq) == 1,
+      "filter + limit must prune to the single covering page")
+    assert(fq.count() == 100)
+  }
+
   test("column pruning reaches the reader") {
     val names = rest.select("name").where(col("id") < 3L)
       .as[String].collect().sorted.toSeq
