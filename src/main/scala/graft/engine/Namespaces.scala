@@ -16,6 +16,12 @@ final class Namespaces {
   private val byDb = TrieMap.empty[(String, String), NamedQuery]
   private val legacy = TrieMap.empty[String, NamedQuery]
 
+  /** Startup-only contract (as in the reference, which registers
+    * synchronously at boot — index.js:117-118): the two puts are not
+    * atomic, so a reader racing a REGISTRATION could briefly see the
+    * namespaced entry without its legacy alias. Harmless at startup;
+    * synchronize here before adding runtime registration.
+    */
   def register(db: String, query: NamedQuery): Unit = {
     byDb.put((db, query.name), query)
     legacy.put(query.name, query) // last writer wins, as in the reference

@@ -210,7 +210,11 @@ object DedupOps {
   // Spark jobs. Cache the result per (app, dataset): r_catalog's
   // schema walk and the query's own execution then share one closure
   // computation (the loop's output is localCheckpointed, so reuse is a
-  // cached-RDD scan).
+  // cached-RDD scan). Staleness contract: the key assumes a dataset
+  // directory is immutable within an application (true for the
+  // fixtures and for any content-addressed lake layout); key by a
+  // dataset fingerprint (e.g. file mtimes) before pointing this at
+  // mutable paths, and note the pinned blocks live for the app.
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -302,8 +306,13 @@ object DedupOps {
     */
   def simhashAgg(docs: DataFrame,
       tokenHashes: Column => Column = t => TS.hashed(TS.tokens(t))): DataFrame = {
+    // Cap votes at 65 535 tokens/doc: the 16-bit packed counters would
+    // silently carry into the neighboring bit's field beyond that. A
+    // deterministic truncation (first 64k tokens vote) beats both a
+    // runtime error on one giant document and a corrupted simhash; a
+    // 64k-token prefix pins the fingerprint in practice.
     val th = docs.select(col("doc_id"),
-      explode(tokenHashes(col("text"))).as("h"))
+      explode(slice(tokenHashes(col("text")), 1, 65535)).as("h"))
     val fieldsPerCol = 3
     val nCols = (64 + fieldsPerCol - 1) / fieldsPerCol // 22
     val packCols = (0 until nCols).map { g =>
@@ -501,7 +510,7 @@ object DedupOps {
     }.mkString("\n  UNION ALL\n")
     s"""WITH tok AS (
        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
-       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
        |        FROM documents) u
        |), cnts AS (
        |  SELECT doc_id, count(*) AS n,
@@ -576,10 +585,14 @@ object DedupOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** feats CTE for 3-word-shingle md5 hashes ([[minhashMd5Dedup]]). */
+  /** feats CTE for 3-word-shingle md5 hashes ([[minhashMd5Dedup]]).
+    * regexp_split_to_array mirrors Spark's split(·, "\s+") on any
+    * whitespace run (string_split on ' ' would emit empty tokens for
+    * consecutive spaces/tabs/newlines).
+    */
   private val shingleFeatsCte: String =
     """toked AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
       |), feats AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(

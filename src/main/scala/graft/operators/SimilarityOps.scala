@@ -96,6 +96,9 @@ object SimilarityOps {
     * by (application, dir, params) so repeated probes — and bench
     * passes — reuse one quantizer and one persisted assignment table,
     * exactly like an on-disk index would be reused at 100 TB.
+    * Staleness contract: assumes the dataset directory is immutable
+    * within an application (true for the fixtures); key by a dataset
+    * fingerprint before pointing this at mutable paths.
     */
   def buildIvfIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       iters: Int = 2): IvfIndex = {
