@@ -239,14 +239,25 @@ object DedupOps {
     // HOF pipeline into each branch AND into pushed-down filters —
     // measured 30× slower. Persisting signatures is also what a 100 TB
     // LSH dedup does (compute once, reuse across band rounds).
-    val staged = docs
-      .select(col("doc_id"), TS.tokenHashes(col("text")).as("_th"))
-      .select(col("doc_id"),
-        array_distinct(TS.shingleHashesFrom(col("_th"), 3)).as("feat"))
-      .persist()
+    val staged = minhashStaged(docs)
     survivors(docs, staged,
       bandPairs(sigBands(staged, 16, 7L, 4, 4), "doc_id"), threshold)
   }
+
+  private def minhashStaged(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TS.tokenHashes(col("text")).as("_th"))
+    .select(col("doc_id"),
+      array_distinct(TS.shingleHashesFrom(col("_th"), 3)).as("feat"))
+    .persist()
+
+  /** Candidate pairs of the production MinHash pipeline — exposed for
+    * the scale-rehearsal test: candidate growth must stay ~linear in
+    * corpus size (a quadratic candidate blowup under a shifted
+    * similarity distribution is the one way LSH degrades at scale —
+    * see the 1.2M-pair char-3-gram incident in BASELINE.md).
+    */
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame =
+    bandPairs(sigBands(minhashStaged(docs), 16, 7L, 4, 4), "doc_id")
 
   private val dedupMinhash: Q = (spark, dir) =>
     minhashDedup(Tables.load(spark, dir, "documents"))

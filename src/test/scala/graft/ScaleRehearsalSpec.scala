@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.tagobjects.Slow
+import graft.operators.DedupOps
+
+/** Scale rehearsal for the dedup family: the sf fixtures top out at
+  * sf0.1, so nothing else would catch a quadratic candidate blowup
+  * reintroduced under a different similarity distribution. A synthetic
+  * 10× corpus is built from 10 DISJOINT copies of sf0.1: every token of
+  * replica i is suffixed `_ri`, so cross-replica shingle similarity is
+  * exactly zero while the within-copy near-dup structure is preserved
+  * token-for-token — candidate pairs and wall-time must therefore both
+  * grow ~linearly (naive replication would be wrong here: 10 exact
+  * copies of every doc make bucket membership 10× and in-bucket pairs
+  * ~100×, a quadratic law inherent to that data, not a regression).
+  */
+class ScaleRehearsalSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  private def docs1x: DataFrame =
+    Tables.load(spark, sf01, "documents").select("doc_id", "text")
+
+  private def docs10x: DataFrame =
+    (0 until 10).map { i =>
+      docs1x.select(
+        (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"_r$i")))).as("text"))
+    }.reduce(_ union _)
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Run `f`, then unpersist only the frames it pinned (the staged
+    * feature tables persist internally; other suites' caches — e.g.
+    * the IVF index PlanSpec asserts on — must stay untouched).
+    */
+  private def cleaningUp[A](f: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try f
+    finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
+  }
+
+  test("minhash candidate pairs grow linearly with corpus size", Slow) {
+    cleaningUp {
+      val p1 = DedupOps.minhashCandidates(docs1x).count()
+      val p10 = DedupOps.minhashCandidates(docs10x).count()
+      assert(p1 > 0, "sf0.1 must produce candidates (near-dups exist)")
+      // exactly-linear would be 10×; headroom for rare cross-replica
+      // band-key hash collisions
+      assert(p10 <= 12 * p1 + 100,
+        s"candidate pairs must scale ~linearly: $p1 at 1x but $p10 at 10x")
+    }
+  }
+
+  test("minhash and simhash dedup wall-time grows ~linearly at 10x", Slow) {
+    cleaningUp {
+      val (k1, t1) = timed(DedupOps.minhashDedup(docs1x).count())
+      val (k10, t10) = timed(DedupOps.minhashDedup(docs10x).count())
+      // per-copy removal counts vary slightly (different hash values →
+      // different probabilistic band collisions), so bound loosely
+      assert(k10 >= 9 * k1, "each disjoint copy keeps ~its survivors")
+      assert(t10 <= 15 * t1 + 5.0,
+        f"minhash 10x took $t10%.1f s vs $t1%.1f s at 1x — superlinear")
+      val (_, s1) = timed(DedupOps.simhashDedup(docs1x).count())
+      val (_, s10) = timed(DedupOps.simhashDedup(docs10x).count())
+      assert(s10 <= 15 * s1 + 5.0,
+        f"simhash 10x took $s10%.1f s vs $s1%.1f s at 1x — superlinear")
+    }
+  }
+}
