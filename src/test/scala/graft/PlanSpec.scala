@@ -94,6 +94,16 @@ class PlanSpec extends SparkSpec {
       s"the packed simhash aggregate must carry ≤23 sums, saw $maxSumsPerAgg")
   }
 
+  test("decontamination broadcasts the eval shingle set") {
+    // the corpus-side explode must meet the eval shingles through a
+    // broadcast hash join — a sort-merge join here would shuffle the
+    // whole exploded corpus on shingle hash
+    val p = plan("e_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the eval-shingle join to broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),
