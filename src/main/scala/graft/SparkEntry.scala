@@ -76,6 +76,7 @@ object SparkEntry {
         |  ('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
+        |  ('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
@@ -94,6 +95,7 @@ object SparkEntry {
         |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
         |  ('e_token_count', 4, 'doc_id:bigint,ws_tokens:bigint,re_tokens:bigint,chars_per_token:double'),
+        |  ('e_top_terms', 4, 'lang:string,term:string,cnt:bigint,term_rank:int'),
         |  ('e_topk', 3, 'l_orderkey:bigint,l_linenumber:int,l_extendedprice:double'),
         |  ('e_topk_per_key', 3, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double'),
         |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),

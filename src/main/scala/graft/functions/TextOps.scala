@@ -176,7 +176,51 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Exact corpus length quantiles per language via rank-pick: the
+    * value at row_number floor(p·(n−1))+1 of the per-stratum sort. One
+    * exchange on lang + one window sort — the distributed-exact path
+    * (Spark's `percentile` aggregate buffers every value per group;
+    * `approx_percentile` is nondeterministic vs any oracle). The picked
+    * index is the lower (type-1) quantile, so results are integers from
+    * the data, not interpolations.
+    */
+  private val lengthQuantiles: Q = (spark, dir) => {
+    val byLen = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars", "doc_id")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    def pick(p: Double) =
+      max(when(col("rn") === floor(lit(p) * (col("n") - 1)).cast("long") + 1,
+        col("n_chars")))
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(byLen).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy("lang")
+      .agg(pick(0.25).as("p25"), pick(0.50).as("p50"), pick(0.90).as("p90"))
+      .orderBy("lang")
+  }
+
+  /** Top-5 terms per language: explode → two-phase count on
+    * (lang, term) — map-side combine collapses each partition to its
+    * distinct vocabulary before the shuffle — then a per-lang window
+    * over the counted vocabulary (bounded by vocabulary size, not
+    * corpus size).
+    */
+  private val topTerms: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(TextShingles.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= 5)
+      .orderBy("lang", "term_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_length_quantiles" -> lengthQuantiles,
+    "e_top_terms" -> topTerms,
     "e_sample_stratified" -> sampleStratified,
     "e_pipeline_e2e" -> pipelineE2e,
     "e_token_count" -> tokenCount,
@@ -192,6 +236,32 @@ object TextOps {
     stops.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "e_length_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  max(CASE WHEN rn = floor(0.25 * (n - 1))::BIGINT + 1 THEN n_chars END) AS p25,
+        |  max(CASE WHEN rn = floor(0.50 * (n - 1))::BIGINT + 1 THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = floor(0.90 * (n - 1))::BIGINT + 1 THEN n_chars END) AS p90
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_top_terms" ->
+      """WITH terms AS (
+        |  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), counted AS (
+        |  SELECT lang, term, count(*) AS cnt FROM terms
+        |  WHERE length(term) > 0 GROUP BY lang, term
+        |), ranked AS (
+        |  SELECT lang, term, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS term_rank
+        |  FROM counted
+        |)
+        |SELECT lang, term, cnt, term_rank FROM ranked
+        |WHERE term_rank <= 5 ORDER BY lang, term_rank""".stripMargin,
     "e_token_count" ->
       """SELECT doc_id,
         |CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
