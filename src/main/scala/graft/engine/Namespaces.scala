@@ -58,3 +58,34 @@ object Namespaces {
     ns
   }
 }
+
+/** Route-style dispatch over a [[Namespaces]] registry — the
+  * engine-side analog of the reference's route pair
+  * (`/q/<db>/<qname>` + legacy `/query/<qname>`, index.js:318-324)
+  * with its `{ok:false, error}` envelope (sendError, index.js:260-262).
+  * No HTTP layer by scope (SURVEY §1.4): a path string goes in, an
+  * `Either[error, DataFrame]` envelope comes out. "Database not
+  * found." byte-matches the reference (index.js:440,501,544); an
+  * unknown query name has no reference string — the reference only
+  * mounts routes for queries that exist, so it 404s at the server —
+  * and maps here to a `Query "…" not found.` error in the same
+  * envelope (the shape the salesforce plugin uses for services,
+  * index.js:608).
+  */
+object Router {
+  def dispatch(ns: Namespaces, path: String)(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Either[String, org.apache.spark.sql.DataFrame] =
+    path.split("/").filter(_.nonEmpty).toList match {
+      case "q" :: db :: qname :: Nil =>
+        if (!ns.databases.contains(db)) Left("Database not found.")
+        else ns.lookup(db, qname)
+          .toRight(s"""Query "$qname" not found.""")
+          .flatMap(q => SqlTemplates.tryQuery(q.build(spark, dir)))
+      case "query" :: qname :: Nil =>
+        ns.lookupLegacy(qname)
+          .toRight(s"""Query "$qname" not found.""")
+          .flatMap(q => SqlTemplates.tryQuery(q.build(spark, dir)))
+      case _ => Left("Route not found.")
+    }
+}

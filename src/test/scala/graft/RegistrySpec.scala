@@ -87,4 +87,24 @@ class RegistrySpec extends SparkSpec {
     assert(ns.lookup("spark", "r_scan_all").get.oracle.isDefined)
     assert(ns.lookupLegacy("nope").isEmpty)
   }
+
+  test("router dispatches both route shapes with the reference envelope") {
+    import graft.engine.{Namespaces, Router}
+    val ns = Namespaces.of("spark", SparkEntry.queries)
+    // namespaced and legacy paths execute the same query
+    val viaNs = Router.dispatch(ns, "/q/spark/r_scan_all")(spark, sf)
+    val viaLegacy = Router.dispatch(ns, "/query/r_scan_all")(spark, sf)
+    assert(viaNs.toOption.get.count() == 5)
+    assert(viaLegacy.toOption.get.count() == 5)
+    // error strings: unknown db byte-matches the reference; unknown
+    // query and malformed route use the documented envelope messages
+    assert(Router.dispatch(ns, "/q/nodb/r_scan_all")(spark, sf) ==
+      Left("Database not found."))
+    assert(Router.dispatch(ns, "/q/spark/nope")(spark, sf) ==
+      Left("Query \"nope\" not found."))
+    assert(Router.dispatch(ns, "/query/nope")(spark, sf) ==
+      Left("Query \"nope\" not found."))
+    assert(Router.dispatch(ns, "/what/ever/else/x")(spark, sf) ==
+      Left("Route not found."))
+  }
 }
