@@ -125,6 +125,16 @@ object QueryRegistry {
     df.where(pred).orderBy(ks.map(k => col(k._1)): _*).limit(pp)
   }
 
+  /** Cursor for the NEXT keyset page: the current page's last row
+    * projected to the key columns, shaped for `recordListAfterKeys`'s
+    * `after` — the client carries this instead of an offset. None when
+    * the page is empty (pagination is done).
+    */
+  def nextPageCursor(page: DataFrame,
+      keyCols: Seq[String]): Option[Seq[(String, Any)]] =
+    page.select(keyCols.map(col): _*).tail(1).lastOption
+      .map(r => keyCols.zipWithIndex.map { case (c, i) => c -> r.get(i) })
+
   /** Point lookup — reference `getRecord`/`fetchRow`
     * (/root/reference/index.js:494-534): `select * from rel where id = ?`
     * limited to one row.

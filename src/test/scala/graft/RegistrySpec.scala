@@ -52,6 +52,26 @@ class RegistrySpec extends SparkSpec {
     assert(page == Seq(11L, 12L, 13L, 14L, 15L))
   }
 
+  test("composite keyset pages chain via the cursor and tile the sort") {
+    val keys = Seq("c_acctbal", "c_custkey")
+    // walk three pages from the beginning via cursors
+    var after: Seq[(String, Any)] = Seq("c_acctbal" -> -100000.0, "c_custkey" -> 0L)
+    val walked = (1 to 3).flatMap { _ =>
+      val page = QueryRegistry.recordListAfterKeys(spark, sf, "customer", after, 7)
+      after = QueryRegistry.nextPageCursor(page, keys).get
+      page.select("c_custkey").collect().map(_.getLong(0))
+    }
+    // the walk must equal the first 21 rows of the global sort
+    val expected = Tables.load(spark, sf, "customer")
+      .orderBy("c_acctbal", "c_custkey")
+      .select("c_custkey").limit(21).collect().map(_.getLong(0)).toSeq
+    assert(walked.toSeq == expected)
+    // empty page → no cursor → pagination terminates
+    val empty = QueryRegistry.recordListAfterKeys(spark, sf, "customer",
+      Seq("c_acctbal" -> 1e12, "c_custkey" -> 0L), 7)
+    assert(QueryRegistry.nextPageCursor(empty, keys).isEmpty)
+  }
+
   test("describe exposes analyzed schemas for every query") {
     val d = QueryRegistry.describe(spark, sf,
       Map("one" -> ((s, dir) => Tables.load(s, dir, "region"))))
