@@ -465,12 +465,21 @@ object DedupOps {
     * replays containment on the shingle strings themselves, identical
     * up to a 64-bit hash collision.
     */
+  /** doc frame → staged `feat` shingle-set column. Two separate
+    * projections on purpose: inlining the token pipeline into
+    * shingleHashesFrom would re-evaluate it per reference (HOF tree
+    * duplication — see minhashDedup's staging note). Stateless, so it
+    * applies unchanged to a streaming frame.
+    */
+  def withShingleFeature(docs: DataFrame, w: Int = 3): DataFrame = docs
+    .withColumn("_th", TS.tokenHashes(col("text")))
+    .withColumn("feat", array_distinct(TS.shingleHashesFrom(col("_th"), w)))
+    .drop("_th")
+
   def decontaminate(docs: DataFrame, evalModulus: Long = 97L, w: Int = 3,
       tau: Double = 0.8): DataFrame = {
-    val feats = docs
-      .select(col("doc_id"), TS.tokenHashes(col("text")).as("_th"))
-      .select(col("doc_id"),
-        array_distinct(TS.shingleHashesFrom(col("_th"), w)).as("feat"))
+    val feats = withShingleFeature(docs, w)
+      .select("doc_id", "feat")
       .where(size(col("feat")) > 0)
     val evalShingles = feats.where(col("doc_id") % evalModulus === 0)
       .select(col("doc_id").as("eval_id"), explode(col("feat")).as("gh"))
@@ -490,6 +499,34 @@ object DedupOps {
     decontaminate(Tables.load(spark, dir, "documents"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+
+  /** The eval set's shingle-hash sets, collected once at setup time
+    * (driver-side; small by construction) — the cursor [[evalContains]]
+    * closes over for the streaming-safe formulation.
+    */
+  def evalShingleSets(docs: DataFrame, evalModulus: Long = 97L,
+      w: Int = 3): Seq[Seq[Long]] =
+    withShingleFeature(docs.where(col("doc_id") % evalModulus === 0), w)
+      .select("feat").collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq.filter(_.nonEmpty)
+
+  /** Per-row decontamination predicate over a staged `feat` column —
+    * the STREAMING-SAFE formulation of [[decontaminate]]: the small
+    * eval sets become array literals (the broadcast analog), so the
+    * check is a stateless codegen'd filter — no explode, no join, no
+    * state store, no watermark. Batch [[decontaminate]] and this
+    * predicate agree row-for-row (pinned by StreamingSpec), so one
+    * hygiene rule gates both the ingest stream and the backfill.
+    */
+  def evalContains(feat: Column, evalFeats: Seq[Seq[Long]],
+      tau: Double = 0.8): Column =
+    evalFeats.filter(_.nonEmpty).map { e =>
+      // same division shape as the batch threshold (x/n >= tau): a
+      // multiplied form (x >= tau*n) rounds differently at exact-
+      // threshold cases and would let batch and stream disagree
+      size(array_intersect(feat, typedLit(e))).cast("double") /
+        lit(e.size.toDouble) >= lit(tau)
+    }.reduceOption(_ || _).getOrElse(lit(false))
 
   val queries: Map[String, Q] = Map(
     "e_decontaminate" -> decontaminateQ,

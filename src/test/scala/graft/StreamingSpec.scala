@@ -90,4 +90,37 @@ class StreamingSpec extends SparkSpec {
         s"streamed $streamed sessions vs batch $batch")
     } finally q.stop()
   }
+
+  test("streaming hygiene filter agrees with batch decontamination") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    // a synthetic ingest doc embedding eval doc 0's text verbatim —
+    // containment 1.0, must be dropped by both formulations
+    val evalText = docs.where(col("doc_id") === 0L).head().getString(1)
+    val combined = docs.union(
+      Seq((100000L, evalText + " padding tokens after the eval payload"))
+        .toDF("doc_id", "text"))
+    val evalSets = DedupOps.evalShingleSets(combined)
+    assert(evalSets.nonEmpty)
+    val batchKept = DedupOps.decontaminate(combined)
+      .select("doc_id").as[Long].collect().toSet
+
+    // the stream side is the stateless predicate: no join, no state
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = DedupOps.withShingleFeature(mem.toDF.toDF("doc_id", "text"))
+      .where(!DedupOps.evalContains(col("feat"), evalSets))
+      .select("doc_id")
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_hygiene").outputMode("append").start()
+    try {
+      mem.addData(combined.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_hygiene").as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        s"stream/batch disagree: only-stream=${streamKept -- batchKept} " +
+          s"only-batch=${batchKept -- streamKept}")
+      assert(!streamKept.contains(100000L) && !streamKept.contains(0L))
+    } finally q.stop()
+  }
 }
