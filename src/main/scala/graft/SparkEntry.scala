@@ -67,6 +67,7 @@ object SparkEntry {
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
+        |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_join_broadcast', 3, 'n_nationkey:int,n_name:string,r_name:string'),
@@ -91,6 +92,7 @@ object SparkEntry {
         |  ('e_set_union', 1, 'name:string'),
         |  ('e_similarity_topk', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_skew_salted', 3, 'c_nationkey:int,n_orders:bigint,revenue:double'),
+        |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
         |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),

@@ -183,6 +183,46 @@ object RelationalOps {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Time-series gap filling: a per-type hourly spine (sequence from
+    * each type's min to max hour) left-joined to the hourly aggregate,
+    * zero-filling missing hours — dashboards and training-data rate
+    * monitors both need the explicit zeros. Scale shape: the corpus is
+    * touched by two aggregations; the generated spine is tiny
+    * (types × hours), so the join broadcasts.
+    */
+  private val gapFill: Q = (spark, dir) => {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"))
+    val counts = ev.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    val spine = ev.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hr"))
+    spine.join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Second-moment aggregates (stddev/variance/correlation/covariance)
+    * — single-pass mergeable central-moment buffers, the same
+    * partial+final shape as sum/avg. Rounded coarsely enough that the
+    * engines' different merge orders (error ~1e-9 relative) cannot
+    * surface in the hash.
+    */
+  private val statsAgg: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_quantity")), 2).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+      .orderBy("l_returnflag")
+
   /** HLL++ sketch vs exact distinct — the constant-memory cardinality
     * path for 100 TB (exact distinct shuffles every distinct value; the
     * sketch shuffles one ~1.5 KB buffer per group per partition).
@@ -287,6 +327,8 @@ object RelationalOps {
     "e_kmv_distinct_md5" -> kmvDistinctMd5Q,
     "e_agg_cube" -> aggCube,
     "e_pivot" -> pivot,
+    "e_gap_fill" -> gapFill,
+    "e_stats_agg" -> statsAgg,
     "e_join_broadcast" -> joinBroadcast,
     "e_join_outer" -> joinOuter,
     "e_join_semi" -> joinSemi,
@@ -352,6 +394,32 @@ object RelationalOps {
         |COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "e_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events
+        |), counts AS (
+        |  SELECT event_type, hr, count(*) AS cnt,
+        |    round(sum(value), 2) AS sum_value
+        |  FROM ev GROUP BY event_type, hr
+        |), bounds AS (
+        |  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM ev
+        |  GROUP BY event_type
+        |), spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds
+        |)
+        |SELECT s.event_type, s.hr, coalesce(c.cnt, 0) AS cnt,
+        |  coalesce(c.sum_value, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN counts c USING (event_type, hr)
+        |ORDER BY s.event_type, s.hr""".stripMargin,
+    "e_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_samp(l_quantity), 2) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e_pivot" ->
       """SELECT DATE_TRUNC('day', ts) AS day,
         |COUNT(*) FILTER (event_type = 'click') AS click,
