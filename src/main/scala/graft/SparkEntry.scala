@@ -92,6 +92,7 @@ object SparkEntry {
         |  ('e_set_union', 1, 'name:string'),
         |  ('e_similarity_topk', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_skew_salted', 3, 'c_nationkey:int,n_orders:bigint,revenue:double'),
+        |  ('e_sliding_batch', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
         |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),

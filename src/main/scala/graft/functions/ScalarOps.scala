@@ -93,7 +93,24 @@ object ScalarOps {
         col("cnt"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Sliding time windows in batch form: window(ts, 2h, 1h) assigns
+    * each event to the TWO hour-aligned windows covering it (tumbling
+    * and session forms live elsewhere; this completes the family). The
+    * oracle expands each event into both window starts. Same decimal
+    * quantization as [[tumblingBatch]].
+    */
+  private val slidingBatch: Q = (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "e_sliding_batch" -> slidingBatch,
     "e_str_funcs" -> strFuncs,
     "e_date_funcs" -> dateFuncs,
     "e_math_funcs" -> mathFuncs,
@@ -134,5 +151,17 @@ object ScalarOps {
         |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+    "e_sliding_batch" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, DATE_TRUNC('hour', ts) AS h FROM events
+        |), expanded AS (
+        |  SELECT event_type, value,
+        |    unnest([h - INTERVAL 1 HOUR, h]) AS win_start
+        |  FROM ev
+        |)
+        |SELECT win_start, event_type, COUNT(*) AS cnt,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM expanded GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
   )
 }

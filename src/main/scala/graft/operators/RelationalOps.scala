@@ -194,8 +194,12 @@ object RelationalOps {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
         col("value"))
+    // decimal quantization before the sum: partial-aggregation order
+    // must not be able to flip the rounded double (see tumblingBatch)
     val counts = ev.groupBy("event_type", "hr")
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
     val spine = ev.groupBy("event_type")
       .agg(min("hr").as("lo"), max("hr").as("hi"))
       .select(col("event_type"),
@@ -399,7 +403,7 @@ object RelationalOps {
         |  SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events
         |), counts AS (
         |  SELECT event_type, hr, count(*) AS cnt,
-        |    round(sum(value), 2) AS sum_value
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |  FROM ev GROUP BY event_type, hr
         |), bounds AS (
         |  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM ev
