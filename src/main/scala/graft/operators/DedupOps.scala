@@ -478,15 +478,20 @@ object DedupOps {
 
   def decontaminate(docs: DataFrame, evalModulus: Long = 97L, w: Int = 3,
       tau: Double = 0.8): DataFrame = {
-    val feats = withShingleFeature(docs, w)
-      .select("doc_id", "feat")
-      .where(size(col("feat")) > 0)
+    // explode_outer, NOT explode, and no size(feat) > 0 filter: both
+    // would make the optimizer infer/push a predicate on the derived
+    // HOF column into the scan, where element_at over an inlined
+    // transform re-tokenizes the document per shingle position —
+    // O(tokens²) per row (measured 0.6 s → 37 s at sf0.1). The inner
+    // join on gh drops the null rows empty-shingle docs produce, so
+    // semantics are identical.
+    val feats = withShingleFeature(docs, w).select("doc_id", "feat")
     val evalShingles = feats.where(col("doc_id") % evalModulus === 0)
-      .select(col("doc_id").as("eval_id"), explode(col("feat")).as("gh"))
-    val evalSizes = evalShingles.groupBy("eval_id")
-      .agg(count(lit(1)).as("eval_n"))
+      .select(col("doc_id").as("eval_id"), explode_outer(col("feat")).as("gh"))
+    val evalSizes = evalShingles.where(col("gh").isNotNull)
+      .groupBy("eval_id").agg(count(lit(1)).as("eval_n"))
     val overlap = feats
-      .select(col("doc_id"), explode(col("feat")).as("gh"))
+      .select(col("doc_id"), explode_outer(col("feat")).as("gh"))
       .join(broadcast(evalShingles), "gh")
       .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_common"))
     val contaminated = overlap.join(broadcast(evalSizes), "eval_id")
