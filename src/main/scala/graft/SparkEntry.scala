@@ -102,6 +102,7 @@ object SparkEntry {
         |  ('e_topk', 3, 'l_orderkey:bigint,l_linenumber:int,l_extendedprice:double'),
         |  ('e_topk_per_key', 3, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double'),
         |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
+        |  ('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
         |  ('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
         |  ('e_window_rank', 4, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,rn:int'),
         |  ('e_window_running', 3, 'o_custkey:bigint,o_orderkey:bigint,running_total:double'),

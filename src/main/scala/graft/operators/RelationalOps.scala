@@ -183,6 +183,20 @@ object RelationalOps {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Unpivot (melt) — the inverse of [[pivot]]: wide measure columns
+    * become (metric, value) rows. Spark's unpivot is a zero-shuffle
+    * row-expansion (an Expand node, like rollup), so it scales as a
+    * pure map; the oracle states the same reshape as UNION ALL.
+    */
+  private val unpivot: Q = (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   /** Time-series gap filling: a per-type hourly spine (sequence from
     * each type's min to max hour) left-joined to the hourly aggregate,
     * zero-filling missing hours — dashboards and training-data rate
@@ -333,6 +347,7 @@ object RelationalOps {
     "e_pivot" -> pivot,
     "e_gap_fill" -> gapFill,
     "e_stats_agg" -> statsAgg,
+    "e_unpivot" -> unpivot,
     "e_join_broadcast" -> joinBroadcast,
     "e_join_outer" -> joinOuter,
     "e_join_semi" -> joinSemi,
@@ -417,6 +432,17 @@ object RelationalOps {
         |  coalesce(c.sum_value, 0.0) AS sum_value
         |FROM spine s LEFT JOIN counts c USING (event_type, hr)
         |ORDER BY s.event_type, s.hr""".stripMargin,
+    "e_unpivot" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |    l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |    l_extendedprice FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount',
+        |    l_discount FROM lineitem WHERE l_orderkey < 100
+        |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "e_stats_agg" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
