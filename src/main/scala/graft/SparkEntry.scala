@@ -69,6 +69,7 @@ object SparkEntry {
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
         |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
+        |  ('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_join_broadcast', 3, 'n_nationkey:int,n_name:string,r_name:string'),
         |  ('e_join_outer', 3, 'c_custkey:bigint,c_name:string,n_orders:bigint'),

@@ -183,6 +183,18 @@ object RelationalOps {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Equi-width histogram via width_bucket + count — the binning
+    * family. One two-phase aggregation; bucket ids are computed
+    * per-row in codegen (values outside [min,max) land in the SQL-
+    * standard overflow buckets 0 and n+1).
+    */
+  private val histogram: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .select(width_bucket(col("o_totalprice"),
+        lit(0.0), lit(600000.0), lit(12)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
   /** Unpivot (melt) — the inverse of [[pivot]]: wide measure columns
     * become (metric, value) rows. Spark's unpivot is a zero-shuffle
     * row-expansion (an Expand node, like rollup), so it scales as a
@@ -348,6 +360,7 @@ object RelationalOps {
     "e_gap_fill" -> gapFill,
     "e_stats_agg" -> statsAgg,
     "e_unpivot" -> unpivot,
+    "e_histogram" -> histogram,
     "e_join_broadcast" -> joinBroadcast,
     "e_join_outer" -> joinOuter,
     "e_join_semi" -> joinSemi,
@@ -432,6 +445,16 @@ object RelationalOps {
         |  coalesce(c.sum_value, 0.0) AS sum_value
         |FROM spine s LEFT JOIN counts c USING (event_type, hr)
         |ORDER BY s.event_type, s.hr""".stripMargin,
+    // DuckDB has no width_bucket — the oracle spells out the SQL-
+    // standard definition with the same double arithmetic Spark's
+    // WidthBucket expression performs: floor((v - lo) / ((hi - lo)/n)) + 1
+    // with overflow buckets 0 and n+1.
+    "e_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 600000.0 THEN 13
+        |            ELSE CAST(floor((o_totalprice - 0.0)
+        |                 / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1 END AS bucket,
+        |count(*) AS cnt FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "e_unpivot" ->
       """SELECT * FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
