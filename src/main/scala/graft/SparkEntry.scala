@@ -86,6 +86,7 @@ object SparkEntry {
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
+        |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
         |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
         |  ('e_set_except', 1, 'nationkey:int'),

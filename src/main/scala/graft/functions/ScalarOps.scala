@@ -64,6 +64,20 @@ object ScalarOps {
       get_json_object(col("props"), "$.k").cast("long").as("k_num"))
       .orderBy("event_id")
 
+  /** Regex function family: extract / count / replace. Patterns stay
+    * in the char-class + group subset where Java regex (Spark) and RE2
+    * (DuckDB) agree; DuckDB's regexp_replace needs the 'g' flag to
+    * match Spark's replace-all semantics.
+    */
+  private val regexFuncs: Q = (spark, dir) =>
+    Tables.load(spark, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+      regexp_count(col("p_name"), lit("[aeiou]")).cast("bigint").as("n_vowels"),
+      length(regexp_replace(col("p_name"), "[aeiou]", ""))
+        .cast("bigint").as("len_novowels"))
+      .orderBy("p_partkey")
+
   /** Higher-order array functions over ARRAY<FLOAT> embeddings:
     * size + elementwise fold. aggregate() compiles to Catalyst
     * expressions (no UDF). Floats widen exactly to double and fold
@@ -116,6 +130,7 @@ object ScalarOps {
     "e_math_funcs" -> mathFuncs,
     "e_json_funcs" -> jsonFuncs,
     "e_array_funcs" -> arrayFuncs,
+    "e_regex_funcs" -> regexFuncs,
     "e_tumbling_batch" -> tumblingBatch,
   )
 
@@ -146,6 +161,12 @@ object ScalarOps {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 2) AS vec_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "e_regex_funcs" ->
+      """SELECT p_partkey,
+        |regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "e_tumbling_batch" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type, COUNT(*) AS cnt,
         |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value

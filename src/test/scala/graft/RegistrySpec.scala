@@ -108,6 +108,30 @@ class RegistrySpec extends SparkSpec {
     assert(ns.lookupLegacy("nope").isEmpty)
   }
 
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("the catalog oracle VALUES literal matches the analyzed schemas") {
+    // r_catalog's oracle is a hand-regenerated VALUES block; drift
+    // (adding a query without its row, or changing a schema) must fail
+    // HERE, not at driver verify time
+    val sql = SparkEntry.oracleSql("r_catalog")
+    val rowRe = """\('([^']+)', (\d+), '([^']*)'\)""".r
+    val expected = rowRe.findAllMatchIn(sql)
+      .map(m => (m.group(1), m.group(2).toInt, m.group(3))).toSeq.sortBy(_._1)
+    val actual = SparkEntry.queries("r_catalog")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sortBy(_._1)
+    val onlyOracle = expected.map(_._1).toSet -- actual.map(_._1).toSet
+    val onlyActual = actual.map(_._1).toSet -- expected.map(_._1).toSet
+    assert(onlyOracle.isEmpty && onlyActual.isEmpty,
+      s"catalog oracle drift — missing rows for: $onlyActual, stale rows: $onlyOracle")
+    expected.zip(actual).foreach { case (e, a) =>
+      assert(e == a, s"catalog row mismatch for ${e._1}: oracle=$e analyzed=$a")
+    }
+  }
+
   test("router dispatches both route shapes with the reference envelope") {
     import graft.engine.{Namespaces, Router}
     val ns = Namespaces.of("spark", SparkEntry.queries)
