@@ -94,6 +94,20 @@ class PlanSpec extends SparkSpec {
       s"the packed simhash aggregate must carry ≤23 sums, saw $maxSumsPerAgg")
   }
 
+  test("unpivot runs as a zero-shuffle Expand") {
+    val p = plan("e_unpivot")
+    assert(p.contains("Expand"), s"unpivot should lower to Expand:\n$p")
+    // only the final presentation sort may exchange
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unpivot itself must not shuffle, got $exchanges:\n$p")
+  }
+
+  test("statistical aggregates are partial+final like sums") {
+    val p = plan("e_stats_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"second-moment aggs must map-side combine:\n$p")
+  }
+
   test("decontamination broadcasts the eval shingle set") {
     // the corpus-side explode must meet the eval shingles through a
     // broadcast hash join — a sort-merge join here would shuffle the

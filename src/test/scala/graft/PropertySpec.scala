@@ -68,4 +68,29 @@ class PropertySpec extends SparkSpec {
     assert(SqlTemplates.namedVars("select :x from t where a = :y and b = :x")
       == Seq("x", "y"))
   }
+
+  test("keyset pages tile the global sort for any page size") {
+    val full = graft.Tables.load(spark, sf, "customer")
+      .orderBy("c_acctbal", "c_custkey")
+      .select("c_custkey").as[Long].collect().toSeq
+    forAll(Gen.choose(17, 60), n = 3) { pp =>
+      var after: Seq[(String, Any)] =
+        Seq("c_acctbal" -> -1e9, "c_custkey" -> -1L)
+      val walked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var done = false
+      while (!done) {
+        val page = graft.engine.QueryRegistry
+          .recordListAfterKeys(spark, sf, "customer", after, pp)
+        val rows = page.select("c_custkey").as[Long].collect()
+        walked ++= rows
+        graft.engine.QueryRegistry
+          .nextPageCursor(page, Seq("c_acctbal", "c_custkey")) match {
+          case Some(c) if rows.nonEmpty => after = c
+          case _ => done = true
+        }
+      }
+      assert(walked.toSeq == full,
+        s"perpage=$pp keyset walk diverged from the global sort")
+    }
+  }
 }
