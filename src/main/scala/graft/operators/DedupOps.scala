@@ -177,6 +177,9 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedMinLabels did not converge after $rounds rounds " +
           s"($changed labels still changing)")
+    // labels is checkpointed — nothing downstream re-reads edges, so
+    // release its blocks now instead of pinning them for the app's life
+    edges.unpersist(blocking = false)
     labels
   }
 
@@ -218,6 +221,27 @@ object DedupOps {
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Persist-once cache for the staged feature frames, keyed by the
+    * frame's analyzed-plan semantic hash: repeated invocations of the
+    * same dedup pipeline (bench warmup + interleaved passes, the scale
+    * rehearsal) reuse ONE pinned frame instead of stacking a fresh
+    * persisted RDD per call that nothing ever unpersists. Distinct
+    * inputs (different dir, different hash family) produce distinct
+    * plans, hence distinct keys. Same staleness contract as
+    * [[ccCache]]: assumes input data is immutable for the life of the
+    * application. An external `rdd.unpersist` (ScaleRehearsalSpec's
+    * cleanup) only releases blocks — the CacheManager entry stays, so
+    * a later reuse transparently recomputes into the cache.
+    */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def persistOnce(frame: DataFrame): DataFrame = {
+    val key = frame.sparkSession.sparkContext.applicationId + "#" +
+      frame.queryExecution.analyzed.semanticHash()
+    stagedCache.computeIfAbsent(key, _ => frame.persist())
+  }
+
   private val dedupCc: Q = (spark, dir) =>
     ccCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir", _ =>
       connectedMinLabels(ccChainPairs(Tables.load(spark, dir, "documents")))
@@ -244,11 +268,10 @@ object DedupOps {
       bandPairs(sigBands(staged, 16, 7L, 4, 4), "doc_id"), threshold)
   }
 
-  private def minhashStaged(docs: DataFrame): DataFrame = docs
+  private def minhashStaged(docs: DataFrame): DataFrame = persistOnce(docs
     .select(col("doc_id"), TS.tokenHashes(col("text")).as("_th"))
     .select(col("doc_id"),
-      array_distinct(TS.shingleHashesFrom(col("_th"), 3)).as("feat"))
-    .persist()
+      array_distinct(TS.shingleHashesFrom(col("_th"), 3)).as("feat")))
 
   /** Candidate pairs of the production MinHash pipeline — exposed for
     * the scale-rehearsal test: candidate growth must stay ~linear in
@@ -274,11 +297,10 @@ object DedupOps {
     * no string build per shingle); this one is the correctness bridge.
     */
   def minhashMd5Dedup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val staged = docs
+    val staged = persistOnce(docs
       .select(col("doc_id"),
         array_distinct(transform(TS.wordShingles(col("text"), 3),
-          s => TS.md5Hash60(s))).as("feat"))
-      .persist()
+          s => TS.md5Hash60(s))).as("feat")))
     survivors(docs, staged,
       bandPairs(sigBands(staged, 16, 7L, 4, 4, TS.bandKeysMd5), "doc_id"),
       threshold)
@@ -353,7 +375,7 @@ object DedupOps {
       tokenHashes: Column => Column = t => TS.hashed(TS.tokens(t))): DataFrame = {
     // (doc_id, simhash) is 16 bytes/doc — persist so the band explode,
     // both pair sides, and the final anti join share one computation
-    val docs = docsIn.join(simhashAgg(docsIn, tokenHashes).persist(), "doc_id")
+    val docs = docsIn.join(persistOnce(simhashAgg(docsIn, tokenHashes)), "doc_id")
     val withBands = docs.select(col("doc_id"),
       array((0 until 4).map { j =>
         struct(lit(j).as("band"),
@@ -396,10 +418,9 @@ object DedupOps {
     */
   def ngramDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
     // Same staged-and-persisted layout as minhashDedup (see comment there).
-    val staged = docs
+    val staged = persistOnce(docs
       .select(col("doc_id"),
-        array_distinct(TS.hashed(TS.charGrams(col("text"), 5))).as("feat"))
-      .persist()
+        array_distinct(TS.hashed(TS.charGrams(col("text"), 5))).as("feat")))
     survivors(docs, staged,
       bandPairs(sigBands(staged, 16, 11L, 2, 8), "doc_id"), threshold)
   }
@@ -413,11 +434,10 @@ object DedupOps {
     * md5-derived gram hashes (see [[minhashMd5Dedup]] for the pattern).
     */
   def ngramMd5Dedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val staged = docs
+    val staged = persistOnce(docs
       .select(col("doc_id"),
         array_distinct(transform(TS.charGrams(col("text"), 5),
-          g => TS.md5Hash60(g))).as("feat"))
-      .persist()
+          g => TS.md5Hash60(g))).as("feat")))
     survivors(docs, staged,
       bandPairs(sigBands(staged, 16, 11L, 2, 8, TS.bandKeysMd5), "doc_id"),
       threshold)
@@ -563,7 +583,9 @@ object DedupOps {
     }.mkString("\n  UNION ALL\n")
     s"""WITH tok AS (
        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
-       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+       |  FROM (SELECT doc_id,
+       |          unnest(list_slice(regexp_split_to_array(lower(text), '\\s+'),
+       |                            1, 65535)) AS t
        |        FROM documents) u
        |), cnts AS (
        |  SELECT doc_id, count(*) AS n,

@@ -445,15 +445,16 @@ object RelationalOps {
         |  coalesce(c.sum_value, 0.0) AS sum_value
         |FROM spine s LEFT JOIN counts c USING (event_type, hr)
         |ORDER BY s.event_type, s.hr""".stripMargin,
-    // DuckDB has no width_bucket — the oracle spells out the SQL-
-    // standard definition with the same double arithmetic Spark's
-    // WidthBucket expression performs: floor((v - lo) / ((hi - lo)/n)) + 1
-    // with overflow buckets 0 and n+1.
+    // DuckDB has no width_bucket — the oracle spells out Spark 4.1.2's
+    // actual WidthBucket arithmetic, floor(n*(v-lo)/(hi-lo)) + 1 (one
+    // multiply then one divide — NOT the textbook (v-lo)/((hi-lo)/n),
+    // whose different rounding sequence can straddle an integer for
+    // unlucky lo/hi/n), with overflow buckets 0 and n+1.
     "e_histogram" ->
       """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
         |            WHEN o_totalprice >= 600000.0 THEN 13
-        |            ELSE CAST(floor((o_totalprice - 0.0)
-        |                 / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1 END AS bucket,
+        |            ELSE CAST(floor(12 * (o_totalprice - 0.0)
+        |                 / (600000.0 - 0.0)) AS BIGINT) + 1 END AS bucket,
         |count(*) AS cnt FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "e_unpivot" ->
       """SELECT * FROM (

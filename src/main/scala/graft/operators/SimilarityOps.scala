@@ -64,11 +64,15 @@ object SimilarityOps {
       // different cells on different cluster sizes — the index must be
       // REPRODUCIBLE at any parallelism. DECIMAL(28,14) per-element
       // rounding is deterministic and the decimal sum is associative.
+      // The mean is sum(decimal)::double / count — the SAME arithmetic
+      // the DuckDB oracle replays ([[ivfOracle]] meanCte); avg over
+      // decimal would divide at decimal scale 18 first and can differ
+      // from the oracle by ~1 ulp, enough to flip a near-tie argmax.
       val means = emb.withColumn("cell", cellExpr(centroids))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
-        .agg(avg(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
-          .cast("double").as("m"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double") / count(lit(1L))).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
