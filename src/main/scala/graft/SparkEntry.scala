@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, DedupOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, DedupOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -25,7 +25,8 @@ object SparkEntry {
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
-      MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++ AsOfOps.queries
+      MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
+      AsOfOps.queries ++ PrepOps.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -40,7 +41,7 @@ object SparkEntry {
     ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
-      AsOfOps.oracles ++ Map(
+      AsOfOps.oracles ++ PrepOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -55,6 +56,7 @@ object SparkEntry {
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
+        |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
         |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
         |  ('e_decontaminate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_cc', 2, 'id:bigint,label:bigint'),
@@ -83,9 +85,13 @@ object SparkEntry {
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
+        |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
+        |  ('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
+        |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
+        |  ('e_rebalance', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
         |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
         |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
@@ -99,6 +105,7 @@ object SparkEntry {
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
         |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
+        |  ('e_tfidf', 6, 'doc_id:bigint,term:string,tf:bigint,df:bigint,score:double,term_rank:int'),
         |  ('e_token_count', 4, 'doc_id:bigint,ws_tokens:bigint,re_tokens:bigint,chars_per_token:double'),
         |  ('e_top_terms', 4, 'lang:string,term:string,cnt:bigint,term_rank:int'),
         |  ('e_topk', 3, 'l_orderkey:bigint,l_linenumber:int,l_extendedprice:double'),

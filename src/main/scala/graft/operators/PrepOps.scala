@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data preparation operators beyond cleaning/dedup: PII
+  * redaction, context-window chunking, TF-IDF term scoring, sequence
+  * packing, corpus rebalancing, and text normalization. These are the
+  * standard steps between "raw crawl" and "tokenizer input" in an LLM
+  * data pipeline; every one is a per-row codegen'd expression or a
+  * keyed shuffle — no global state, no driver-side loops — so each
+  * scales to a 100 TB corpus exactly like the text-analysis family.
+  *
+  * Oracle discipline (SURVEY §5): every output column is either an
+  * integer count, an md5 fingerprint of a deterministically-built
+  * string, or a single IEEE double division of exact integers — all
+  * bit-reproducible in DuckDB, no rounding rules needed.
+  */
+object PrepOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------
+
+  private val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhonePat = "\\+\\d[\\d-]{5,}\\d"
+
+  /** PII redaction: scrub email addresses and phone numbers from text
+    * and count what was removed. The fixture documents carry no PII by
+    * construction, so the query synthesizes a deterministic PII-bearing
+    * column (doc text prefix + an email + a phone derived from doc_id)
+    * and redacts THAT — the redaction logic is exercised on every row
+    * and the oracle rebuilds the identical input. Pure per-row regex
+    * work: one codegen'd scan, zero shuffle, I/O-bound at any scale.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val synth = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call +1-555-"), col("doc_id").cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(synth, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(synth, lit(EmailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(synth, lit(PhonePat), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(redacted.cast("binary")).as("red_fp"))
+  }
+
+  private val piiRedact: Q = (spark, dir) =>
+    redactPii(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  // ---------------------------------------------------------------
+  // Context-window chunking
+  // ---------------------------------------------------------------
+
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of [[ChunkLen]] tokens advancing by [[ChunkStride]]
+    * (16-token overlap — the sliding-window split used to fit long
+    * documents into a model's context). Chunk starts come from a
+    * `sequence()` explode; each chunk is fingerprinted so the oracle
+    * hash pins the exact token content. Row expansion is local
+    * (generate, no shuffle) and output size is ~n_tokens/stride per
+    * doc — linear in corpus size.
+    */
+  def chunkDocs(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    // explode_outer, not explode: an inferred size>0 filter on the
+    // derived HOF column would be substituted into the scan and
+    // re-evaluate the split per row (the e_decontaminate pushdown
+    // trap); every doc has ≥1 token so the semantics are identical.
+    toked
+      .select(col("doc_id"), col("toks"),
+        explode_outer(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        (((col("start") - 1) / ChunkStride)).cast("int").as("chunk_idx"),
+        size(slice(col("toks"), col("start"), lit(ChunkLen)))
+          .cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("start"), lit(ChunkLen)), " ")
+          .cast("binary")).as("chunk_fp"))
+  }
+
+  private val chunk: Q = (spark, dir) =>
+    chunkDocs(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
+  // ---------------------------------------------------------------
+  // TF-IDF term scoring
+  // ---------------------------------------------------------------
+
+  /** TF-IDF term extraction: top-3 highest-scoring terms per document
+    * (restricted to doc_id < 100 to bound output; df spans the FULL
+    * corpus). The score is the rational form tf/df — identical RANKING
+    * to tf·log(N/df) for any fixed N, but a single IEEE division of
+    * exact integers, so engine and oracle agree bit-for-bit where a
+    * transcendental log differs by platform ulps. (A log-weighted
+    * variant is a one-line `log(lit(n)/col("df"))` swap; the ranking —
+    * the part pipelines consume — is what's pinned here.)
+    *
+    * Shape at 100 TB: one explode + two-phase count per (doc, term),
+    * a vocabulary-sized df aggregate, a shuffle join on term, and a
+    * per-doc window over ≤ vocab terms. No global scalar N needed —
+    * dropping it from the score removes the one all-reduce.
+    */
+  def tfidfTop(docs: DataFrame, perDoc: Int = 3): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = terms.where(col("doc_id") < 100)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfTab, "term")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= perDoc)
+      .select("doc_id", "term", "tf", "df", "score", "term_rank")
+  }
+
+  private val tfidf: Q = (spark, dir) =>
+    tfidfTop(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id", "term_rank")
+
+  // ---------------------------------------------------------------
+  // Sequence packing
+  // ---------------------------------------------------------------
+
+  private val CtxLen = 256
+
+  /** Sequence packing: assign documents (in doc_id order, per
+    * language) to fixed [[CtxLen]]-token context bins by running token
+    * count — the contiguous greedy packing used to batch variable-
+    * length documents into training sequences. The cumulative sum is a
+    * per-language window, so parallelism is per-stratum (exactly how a
+    * production packer shards: pack within a partition, never
+    * globally — a single global ordering would serialize 100 TB).
+    */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val nTok = size(split(lower(col("text")), "\\s+")).cast("long")
+    val wCum = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("lang"), col("doc_id"), nTok.as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wCum), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / lit(CtxLen)).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+  }
+
+  private val pack: Q = (spark, dir) =>
+    packSequences(Tables.load(spark, dir, "documents")).orderBy("lang", "bin")
+
+  // ---------------------------------------------------------------
+  // Corpus rebalancing
+  // ---------------------------------------------------------------
+
+  private val RebalanceCap = 200
+
+  /** Corpus rebalancing: cap each language at [[RebalanceCap]]
+    * documents, keeping the longest (n_chars DESC, doc_id ties) — the
+    * deterministic form of per-stratum downsampling used to reshape a
+    * skewed language distribution. One exchange on lang; the window
+    * ranks within strata only.
+    */
+  def rebalance(docs: DataFrame, cap: Int = RebalanceCap): DataFrame = {
+    val wRank = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("n_total", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= cap)
+      .groupBy("lang")
+      .agg(max(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val rebalanceQ: Q = (spark, dir) =>
+    rebalance(Tables.load(spark, dir, "documents")).orderBy("lang")
+
+  // ---------------------------------------------------------------
+  // Text normalization
+  // ---------------------------------------------------------------
+
+  /** Text normalization: lowercase, strip every character outside
+    * [a-z0-9 whitespace], collapse whitespace runs, trim — the
+    * canonicalization pass that precedes exact dedup and tokenization.
+    * Per-row regex chain in one codegen'd scan; the md5 fingerprint of
+    * the normalized text makes every byte oracle-checked.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      length(norm).cast("long").as("n_chars_norm"),
+      md5(norm.cast("binary")).as("norm_fp"))
+  }
+
+  private val normalize: Q = (spark, dir) =>
+    normalizeText(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "e_pii_redact" -> piiRedact,
+    "e_chunk" -> chunk,
+    "e_tfidf" -> tfidf,
+    "e_pack_sequences" -> pack,
+    "e_rebalance" -> rebalanceQ,
+    "e_normalize" -> normalize,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The synth column is rebuilt identically (substr + || casts);
+    // DuckDB regexp_replace needs the 'g' flag to replace all matches
+    // (Spark's replaces all by default).
+    "e_pii_redact" ->
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' contact user' || doc_id::VARCHAR ||
+         |    '@mail.example.com or call +1-555-' || doc_id::VARCHAR AS s
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(s, '$EmailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(s, '$PhonePat')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(s, '$EmailPat', '<EMAIL>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g')) AS red_fp
+         |FROM synth ORDER BY doc_id""".stripMargin,
+    "e_chunk" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+         |  FROM documents
+         |), starts AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks), 1), $ChunkStride)) AS start
+         |  FROM toked
+         |)
+         |SELECT doc_id,
+         |  CAST((start - 1) / $ChunkStride AS INT) AS chunk_idx,
+         |  CAST(len(list_slice(toks, start, start + ${ChunkLen - 1})) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, start, start + ${ChunkLen - 1}), ' '))
+         |    AS chunk_fp
+         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    "e_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), terms_ok AS (
+        |  SELECT doc_id, term FROM terms WHERE length(term) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms_ok
+        |  WHERE doc_id < 100 GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM terms_ok) GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+        |                                tf.term) AS term_rank
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id, term, tf, df, score, CAST(term_rank AS INT) AS term_rank
+        |FROM scored WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "e_pack_sequences" ->
+      s"""WITH sized AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), binned AS (
+         |  SELECT lang, n_tok,
+         |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / $CtxLen) AS BIGINT) AS bin
+         |  FROM sized
+         |)
+         |SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS sum_tokens
+         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "e_rebalance" ->
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    count(*) OVER (PARTITION BY lang) AS n_total,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents
+         |)
+         |SELECT lang, max(n_total) AS n_total, count(*) AS n_kept,
+         |  sum(n_chars) AS sum_chars
+         |FROM ranked WHERE rn <= $RebalanceCap GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_normalize" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |         '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(length(n) AS BIGINT) AS n_chars_norm,
+        |  md5(n) AS norm_fp
+        |FROM norm ORDER BY doc_id""".stripMargin,
+  )
+}

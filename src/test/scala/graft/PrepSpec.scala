@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PrepOps
+
+/** Unit tests for the training-data preparation family (PrepOps):
+  * semantics on hand-built frames plus the plan shapes the 100 TB
+  * story depends on (per-row ops stay zero-exchange).
+  */
+class PrepSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("redactPii scrubs emails and phones and counts them") {
+    val docs = Seq(
+      (1L, "write alice@example.com now"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    // redactPii appends one synthetic email + phone per row from doc_id
+    val rows = PrepOps.redactPii(docs).orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == 2) // text email + synth email
+    assert(rows(1).getLong(1) == 1) // synth only
+    assert(rows.forall(_.getLong(2) == 1)) // one synth phone each
+    assert(rows(0).getString(3) == md5Of(
+      "write <EMAIL> now contact <EMAIL> or call <PHONE>"))
+    assert(rows(1).getString(3) == md5Of(
+      "no pii here contact <EMAIL> or call <PHONE>"))
+  }
+
+  test("chunkDocs windows tokens with stride and overlap") {
+    val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((7L, text100)).toDF("doc_id", "text")
+    val rows = PrepOps.chunkDocs(docs).orderBy("chunk_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(64L, 52L, 4L))
+    // chunk 1 starts at token 49 — overlapping chunk 0 by 16 tokens
+    val chunk1 = (49 to 100).take(64).map(i => s"t$i").mkString(" ")
+    assert(rows(1).getString(3) == md5Of(chunk1))
+  }
+
+  test("tfidfTop ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common other words here"),
+      (3L, "common more words again")).toDF("doc_id", "text")
+    val rows = PrepOps.tfidfTop(docs, perDoc = 2)
+      .where($"doc_id" === 1L).orderBy("term_rank").collect()
+    // rare1: tf=1, df=1 → 1.0; common: tf=3, df=3 → 1.0; tie broken by
+    // term name — "common" sorts first
+    assert(rows.map(_.getString(1)).toSeq == Seq("common", "rare1"))
+    assert(rows.map(_.getDouble(4)).toSeq == Seq(1.0, 1.0))
+  }
+
+  test("packSequences bins by running token count per language") {
+    val docs = Seq(
+      (1L, "en", (1 to 200).map(_ => "w").mkString(" ")),
+      (2L, "en", (1 to 100).map(_ => "w").mkString(" ")),
+      (3L, "en", (1 to 100).map(_ => "w").mkString(" ")),
+      (4L, "de", (1 to 50).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val rows = PrepOps.packSequences(docs).orderBy("lang", "bin").collect()
+    // de: one doc in bin 0; en: doc1 (cum 0) bin 0, doc2 (cum 200) bin 0,
+    // doc3 (cum 300) bin 1
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("de", 0L, 1L), ("en", 0L, 2L), ("en", 1L, 1L)))
+  }
+
+  test("rebalance caps each stratum keeping the longest docs") {
+    val docs = (1 to 10).map(i => (i.toLong, "en", i * 10L)) :+
+      (99L, "de", 5L)
+    val rows = PrepOps.rebalance(docs.toDF("doc_id", "lang", "n_chars"), cap = 3)
+      .orderBy("lang").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(("de", 1L, 1L, 5L), ("en", 10L, 3L, 270L)))
+  }
+
+  test("normalizeText lowercases, strips punctuation, collapses whitespace") {
+    val docs = Seq((1L, "  Hello,   WORLD!!  it's 42  ")).toDF("doc_id", "text")
+    val r = PrepOps.normalizeText(docs).collect().head
+    assert(r.getString(2) == md5Of("hello world its 42"))
+    assert(r.getLong(1) == "hello world its 42".length.toLong)
+  }
+
+  test("per-row prep queries stay zero-exchange (scan-only plans)") {
+    for (q <- Seq("e_pii_redact", "e_normalize", "e_chunk")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the trailing orderBy is the only exchange (driver-side result
+      // ordering for the oracle); nothing else may shuffle
+      assert("Exchange".r.findAllIn(plan).size <= 1,
+        s"$q must be a single-scan per-row op, got:\n$plan")
+    }
+  }
+
+  test("chunk explode does not re-evaluate the token split in the scan") {
+    // the e_decontaminate regression shape: an inferred filter on a
+    // derived HOF column substituted into the scan. explode_outer emits
+    // no inferred filter — assert the scan carries none.
+    val plan = SparkEntry.queries("e_chunk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [IsNotNull"),
+      s"no filter may reach the documents scan:\n$plan")
+  }
+}
