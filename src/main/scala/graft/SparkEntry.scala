@@ -73,6 +73,7 @@ object SparkEntry {
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
         |  ('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
+        |  ('e_join_bloom', 3, 'l_returnflag:string,n_items:bigint,revenue:double'),
         |  ('e_join_broadcast', 3, 'n_nationkey:int,n_name:string,r_name:string'),
         |  ('e_join_outer', 3, 'c_custkey:bigint,c_name:string,n_orders:bigint'),
         |  ('e_join_semi', 2, 'c_custkey:bigint,c_name:string'),
@@ -90,6 +91,7 @@ object SparkEntry {
         |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
+        |  ('e_quality_gate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
         |  ('e_rebalance', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
         |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),

@@ -47,8 +47,32 @@ object SkewOps {
       .orderBy("c_nationkey")
   }
 
+  /** Fact⋈dim join with a selective dim predicate — the shape whose
+    * 100 TB plan relies on RUNTIME BLOOM-FILTER PRUNING: Spark's
+    * InjectRuntimeFilter builds a bloom filter from the filtered dim
+    * keys and applies might_contain on the fact side BEFORE its
+    * shuffle, so only candidate rows pay exchange + join cost. At
+    * fixture scale the injection thresholds (10 GB application-side
+    * scan) don't trip; PlanSpec drops them and asserts the filter
+    * appears, pinning that the query SHAPE qualifies — equi-join,
+    * selective creation side, shuffle on the fact side.
+    */
+  private val joinBloom: Q = (spark, dir) => {
+    val urgent = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 200000.0)
+    Tables.load(spark, dir, "lineitem")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_skew_salted" -> skewSalted,
+    "e_join_bloom" -> joinBloom,
   )
 
   val oracles: Map[String, String] = Map(
@@ -57,5 +81,11 @@ object SkewOps {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "e_join_bloom" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

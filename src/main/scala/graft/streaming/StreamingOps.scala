@@ -93,8 +93,59 @@ object StreamingOps {
       .start()
   }
 
+  /** Composed ingest hygiene gate, BATCH form: quality heuristics
+    * (length + alpha ratio, the e_pipeline_e2e thresholds) →
+    * decontamination (n-gram containment vs the doc_id%97 eval set) →
+    * exact first-seen dedup. One Catalyst plan: the codegen'd quality
+    * filter runs at the scan, decontamination broadcasts the eval
+    * shingles, dedup is the single hash(text) shuffle. The stage ORDER
+    * is interchangeable — every predicate depends only on text, and
+    * duplicates share text — which is what lets the streaming form
+    * below run the cheap stateless gates before the stateful dedup.
+    */
+  def qualityGateBatch(docs: DataFrame, evalModulus: Long = 97L,
+      tau: Double = 0.8): DataFrame = {
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(col("n_chars").cast("double"), lit(1.0))
+    graft.operators.DedupOps.exactDedup(
+      graft.operators.DedupOps.decontaminate(docs, evalModulus, 3, tau)
+        .where(col("n_chars") >= 100 && alphaRatio >= lit(0.8)))
+  }
+
+  /** The same hygiene rule over a STREAM: stateless gates first
+    * (quality filter, then the literal-array decontamination predicate
+    * [[graft.operators.DedupOps.evalContains]] — no join, no state),
+    * then the stateful first-seen dedup keyed by content fingerprint.
+    * Batch and stream agree row-for-row on the same input (pinned by
+    * StreamingSpec at sf0.001): one hygiene rule for ingest and
+    * backfill is the property a production pipeline needs — the
+    * alternative (two codebases for the same gate) drifts.
+    */
+  def qualityGateStream(events: org.apache.spark.sql.Dataset[DocEvent],
+      evalFeats: Seq[Seq[Long]],
+      tau: Double = 0.8): org.apache.spark.sql.Dataset[DocEvent] = {
+    import events.sparkSession.implicits._
+    val nc = length(col("text"))
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(nc.cast("double"), lit(1.0))
+    val gated = graft.operators.DedupOps
+      .withShingleFeature(
+        events.toDF().where(nc >= 100 && alphaRatio >= lit(0.8)), 3)
+      .where(!graft.operators.DedupOps.evalContains(col("feat"), evalFeats, tau))
+      .select("fingerprint", "doc_id", "text").as[DocEvent]
+    StreamingDedup.firstSeenOnly(gated)
+  }
+
+  private val qualityGate: Q = (spark, dir) =>
+    qualityGateBatch(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "e_stream_session" -> streamSession,
+    "e_quality_gate" -> qualityGate,
   )
 
   /** Session windows in plain SQL: a session break is a gap ≥ 30 min
@@ -102,6 +153,43 @@ object StreamingOps {
     * end is exclusive, so `>=`); session id = running sum of breaks.
     */
   val oracles: Map[String, String] = Map(
+    // Quality (length + alpha-ratio thresholds, same division shape as
+    // the Spark side), decontamination (the e_decontaminate containment
+    // replay on shingle strings), first-seen exact dedup — composed.
+    "e_quality_gate" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS feat
+        |  FROM toked WHERE len(toks) >= 3
+        |), ev AS (
+        |  SELECT doc_id AS eval_id, unnest(feat) AS g FROM feats
+        |  WHERE doc_id % 97 = 0
+        |), evsz AS (
+        |  SELECT eval_id, count(*) AS eval_n FROM ev GROUP BY eval_id
+        |), dg AS (
+        |  SELECT doc_id, unnest(feat) AS g FROM feats
+        |), overlap AS (
+        |  SELECT dg.doc_id, ev.eval_id, count(*) AS n_common
+        |  FROM dg JOIN ev USING (g) GROUP BY dg.doc_id, ev.eval_id
+        |), contaminated AS (
+        |  SELECT DISTINCT o.doc_id FROM overlap o JOIN evsz USING (eval_id)
+        |  WHERE o.n_common::DOUBLE / eval_n >= 0.8
+        |), survivors AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
+        |  FROM documents d
+        |  LEFT JOIN contaminated c USING (doc_id)
+        |  WHERE c.doc_id IS NULL AND d.n_chars >= 100 AND
+        |    CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / GREATEST(CAST(d.n_chars AS DOUBLE), 1.0) >= 0.8
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM survivors) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "e_stream_session" ->
       """SELECT user_id, MIN(ts) AS session_start,
         |COUNT(*) AS n_events,

@@ -118,6 +118,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("selective dim join qualifies for runtime bloom-filter pruning") {
+    // At fixture scale the injection guards (10 GB application-side
+    // scan, broadcastable dim) keep the filter out, so simulate scale:
+    // force a shuffle join and drop the scan-size threshold, then
+    // assert InjectRuntimeFilter rewrites the fact side — proving the
+    // query SHAPE (equi-join, selective creation side) qualifies. On a
+    // real 100 TB fact table the defaults trip the same rewrite.
+    val c = spark.conf
+    val scanKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val savedBroadcast = c.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedScan = c.get(scanKey)
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set(scanKey, "0")
+      val p = SparkEntry.queries("e_join_bloom")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side in:\n$p")
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      c.set(scanKey, savedScan)
+    }
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),

@@ -123,4 +123,63 @@ class StreamingSpec extends SparkSpec {
       assert(!streamKept.contains(100000L) && !streamKept.contains(0L))
     } finally q.stop()
   }
+
+  test("qualityGateStream drops short, contaminated, and duplicate docs") {
+    import graft.operators.DedupOps
+    import graft.streaming.DocEvent
+    // pure-alpha words: digits would fail the ≥0.8 alpha-ratio gate
+    def words(prefix: String) = (0 until 30)
+      .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val evalText = words("eval")
+    val goodText = words("good")
+    val evalDocs = Seq((0L, evalText)).toDF("doc_id", "text")
+    val evalSets = DedupOps.evalShingleSets(evalDocs)
+    assert(evalSets.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingOps.qualityGateStream(mem.toDS(), evalSets)
+      .writeStream.format("memory")
+      .queryName("graft_gate").outputMode("append").start()
+    try {
+      mem.addData(
+        DocEvent(1L, 10L, goodText),
+        DocEvent(1L, 11L, goodText),          // exact duplicate → dropped
+        DocEvent(2L, 12L, "too short"),       // fails length gate
+        DocEvent(3L, 13L, evalText))          // eval containment 1.0
+      q.processAllAvailable()
+      val kept = spark.table("graft_gate")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(10L),
+        s"only the first clean doc may survive, got $kept")
+    } finally q.stop()
+  }
+
+  test("streaming quality gate agrees with batch qualityGateBatch") {
+    import graft.operators.DedupOps
+    import graft.streaming.DocEvent
+    val docs = Tables.load(spark, sf, "documents")
+    val batchKept = StreamingOps.qualityGateBatch(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val evalSets = DedupOps.evalShingleSets(docs)
+    val events = docs
+      .select(xxhash64(col("text")).as("fingerprint"), col("doc_id"), col("text"))
+      .as[DocEvent].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingOps.qualityGateStream(mem.toDS(), evalSets)
+      .writeStream.format("memory")
+      .queryName("graft_gate_full").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("graft_gate_full")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        s"stream/batch gate disagree: only-stream=${streamKept -- batchKept} " +
+          s"only-batch=${batchKept -- streamKept}")
+    } finally q.stop()
+  }
 }
