@@ -79,6 +79,7 @@ object SparkEntry {
         |  ('e_join_semi', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_json_funcs', 4, 'event_id:bigint,event_type:string,k_str:string,k_num:bigint'),
         |  ('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
+        |  ('e_knn_join', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
         |  ('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
         |  ('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),

@@ -38,6 +38,48 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Batch k-NN JOIN: top-k cosine neighbors for EVERY query vector at
+    * once (vs [[similarityTopk]]'s single probe). The query set
+    * broadcasts (it is small by construction — an eval set, a dedup
+    * probe batch); the corpus side streams through a
+    * BroadcastNestedLoopJoin — the honest physical shape of a dense
+    * scoring pass — and the per-query top-k runs through
+    * [[graft.functions.TopKAggregator]], so partial aggregation carries
+    * ≤k rows per query through the one shuffle instead of every
+    * (corpus × query) score. At 100 TB the corpus never moves: score +
+    * heap-fold happen map-side; only k·|queries| rows reach reducers.
+    * Norms are staged per side before the join so each corpus row's
+    * norm is computed once, not once per query.
+    */
+  def knnJoin(emb: org.apache.spark.sql.DataFrame, nQueries: Long = 10L,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopK}
+    val qs = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        VectorOps.l2Norm(col("embedding")).as("q_norm"))
+    val corpus = emb.where(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("a_norm"))
+    // same arithmetic sequence as VectorOps.cosine: dot / (normA*normB)
+    val norm = col("a_norm") * col("q_norm")
+    val cos = when(norm === 0.0, lit(0.0))
+      .otherwise(VectorOps.dot(col("embedding"), col("q_vec")) / norm)
+    corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cos, 6).as("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, sim) => Scored(sim, id) }
+      .agg(TopK.aggregator(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, s.id, s.score, i + 1) } }
+      .toDF("q_id", "vec_id", "cos_sim", "nn_rank")
+  }
+
+  private val knnJoinQ: Q = (spark, dir) =>
+    knnJoin(Tables.load(spark, dir, "embeddings")).orderBy("q_id", "nn_rank")
+
   /** nearest-cell assignment expression for a centroid list. */
   private def cellExpr(centroids: Seq[(Int, Seq[Double])]) =
     array_max(array(centroids.map { case (i, c) =>
@@ -145,6 +187,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
+    "e_knn_join" -> knnJoinQ,
   )
 
   /** Brute-force top-k is oracle-checked via DuckDB's
@@ -162,6 +205,23 @@ object SimilarityOps {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "e_ann_ivf" -> ivfOracle(),
+    "e_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 6)
+        |      AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id >= 10
+        |), ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS nn_rank
+        |  FROM scored
+        |)
+        |SELECT q_id, vec_id, cos_sim, CAST(nn_rank AS INT) AS nn_rank
+        |FROM ranked WHERE nn_rank <= 3 ORDER BY q_id, nn_rank""".stripMargin,
   )
 
   /** DuckDB replay of the full IVF build+probe ([[buildIvfIndex]] +

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@10 $recall below 0.8 for nprobe=4/16")
   }
 
+  test("knnJoin returns k ranked neighbors per query via broadcast") {
+    val df = SimilarityOps.knnJoin(
+      Tables.load(spark, sf, "embeddings"), nQueries = 10L, k = 3)
+    val rows = df.orderBy("q_id", "nn_rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rows.size == 30, "10 queries x 3 neighbors")
+    rows.groupBy(_._1).foreach { case (q, nn) =>
+      assert(nn.map(_._4).sorted == Seq(1, 2, 3), s"ranks 1..3 for query $q")
+      assert(nn.sortBy(_._4).map(_._3).reverse.sorted ==
+        nn.sortBy(_._4).map(_._3).reverse, s"descending cosine for query $q")
+      assert(nn.forall(_._2 >= 10L), "corpus side excludes the query set")
+    }
+    // the query set must broadcast — the corpus side never shuffles in
+    // full; only ≤k rows per query reach the aggregation exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"query side must broadcast in:\n$plan")
+  }
+
   test("IVF index is built once and probes reuse it") {
     val idx1 = SimilarityOps.buildIvfIndex(spark, sf)
     val idx2 = SimilarityOps.buildIvfIndex(spark, sf)
