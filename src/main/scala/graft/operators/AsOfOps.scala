@@ -79,8 +79,55 @@ object AsOfOps {
       .orderBy("event_id")
   }
 
+  /** Bucketed RANGE (interval) join — the scale-safe form of a non-equi
+    * temporal join. Naively, "left rows matched to right rows within a
+    * time window" is a nested-loop/cartesian plan (no equi key for the
+    * shuffle). Bucketing restores one: quantize time into buckets the
+    * size of the window, replicate each right row to its own and the
+    * NEXT bucket (2× one side, bounded), equi-join on (key, bucket),
+    * then refine with the exact range predicate. Every lookback window
+    * of a left row in bucket b lies inside buckets {b-1, b}, so the
+    * replication is lossless; each right row matches via exactly one
+    * replica, so no dedup is needed. This is the standard interval-join
+    * decomposition (Flink's interval join and Databricks' range-join
+    * optimization use the same bucketing), expressed with built-ins.
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSec: Long): DataFrame = {
+    val winUs = windowSec * 1000000L
+    val l = left.withColumn("_lus", unix_micros(col(leftTs)))
+      .withColumn("_bkt", floor(col("_lus") / winUs))
+    val r = right.withColumn("_rus", unix_micros(col(rightTs)))
+      .withColumn("_bkt",
+        explode(array(floor(col("_rus") / winUs), floor(col("_rus") / winUs) + 1)))
+      .drop(rightTs)
+    l.join(r,
+        l(key) === r(key) && l("_bkt") === r("_bkt") &&
+          col("_rus") >= col("_lus") - winUs && col("_rus") < col("_lus"),
+        "left_outer")
+      .drop(r(key))
+  }
+
+  /** Per-error count of same-user clicks in the preceding 5 minutes —
+    * the bucketed range join, aggregated. One shuffle on (user,
+    * bucket); the oracle states the same semantics as a correlated
+    * non-equi LEFT JOIN, which DuckDB can afford at fixture scale.
+    */
+  private val rangeJoinQuery: Q = (spark, dir) => {
+    val events = Tables.load(spark, dir, "events")
+    val errors = events.where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    rangeJoinBucketed(errors, clicks, "user_id", "ts", "c_ts", 300L)
+      .groupBy("event_id")
+      .agg(count(col("_rus")).as("n_recent_clicks"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_asof_join" -> asofQuery,
+    "e_range_join" -> rangeJoinQuery,
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +138,14 @@ object AsOfOps {
         |                FROM events WHERE event_type = 'view') r
         |ON l.user_id = r.ru AND l.ts >= r.vts
         |ORDER BY l.event_id""".stripMargin,
+    "e_range_join" ->
+      """SELECT e.event_id, count(c.c_us) AS n_recent_clicks
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS e_us FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id AS cu, epoch_us(ts) AS c_us FROM events
+        |           WHERE event_type = 'click') c
+        |ON c.cu = e.user_id
+        |  AND c.c_us >= e.e_us - 300000000 AND c.c_us < e.e_us
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
   )
 }
