@@ -60,6 +60,7 @@ object SparkEntry {
         |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
         |  ('e_decontaminate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_cc', 2, 'id:bigint,label:bigint'),
+        |  ('e_dedup_cluster_stats', 3, 'cluster_size:bigint,n_clusters:bigint,n_docs:bigint'),
         |  ('e_dedup_embedding', 2, 'vec_id:bigint,label:int'),
         |  ('e_dedup_exact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_minhash', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
@@ -117,6 +118,7 @@ object SparkEntry {
         |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
         |  ('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
+        |  ('e_zorder', 2, 'o_orderkey:bigint,zval:bigint'),
         |  ('e_window_rank', 4, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,rn:int'),
         |  ('e_window_running', 3, 'o_custkey:bigint,o_orderkey:bigint,running_total:double'),
         |  ('r_desc_table', 3, 'col_name:string,data_type:string,nullable:boolean'),

@@ -247,6 +247,21 @@ object DedupOps {
       connectedMinLabels(ccChainPairs(Tables.load(spark, dir, "documents")))
         .orderBy("id"))
 
+  /** Duplicate-cluster size distribution over the CC closure — the
+    * dedup AUDIT view (how much of the corpus sits in how-large
+    * clusters) every production dedup run reports. Rides the cached
+    * label table, so it adds two tiny aggregations to work already
+    * done; at 100 TB the histogram is bounded by the distinct cluster
+    * sizes, not the corpus.
+    */
+  private val dedupClusterStats: Q = (spark, dir) =>
+    dedupCc(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+
   /** MinHash+LSH near-dup removal on 3-word shingles.
     * k=16 hashes, 4 bands × 4 rows → collision prob ≈ 1-(1-s⁴)⁴,
     * catching Jaccard ≳ 0.6 reliably; exact-verify at 0.8.
@@ -561,10 +576,35 @@ object DedupOps {
     "e_dedup_ngram" -> dedupNgram,
     "e_dedup_embedding" -> dedupEmbedding,
     "e_dedup_cc" -> dedupCc,
+    "e_dedup_cluster_stats" -> dedupClusterStats,
     "e_dedup_minhash_md5" -> dedupMinhashMd5,
     "e_dedup_simhash_md5" -> dedupSimhashMd5,
     "e_dedup_ngram_md5" -> dedupNgramMd5,
   )
+
+  /** Shared CC-closure oracle base: the chain-pair graph and the
+    * min-reachable-label fixpoint as a `WITH RECURSIVE` walk. Both the
+    * label query and the cluster-stats query select over it.
+    */
+  private val ccWalkCtes =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT doc_id AS id_a,
+      |    LEAD(doc_id) OVER (PARTITION BY lang, n_chars // 100
+      |      ORDER BY doc_id) AS id_b FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    LEAD(doc_id) OVER (PARTITION BY source, n_chars // 100
+      |      ORDER BY doc_id) FROM documents
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE id_b IS NOT NULL
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs WHERE id_b IS NOT NULL
+      |), walk(id, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.label FROM edges e
+      |  JOIN walk w ON w.id = e.src WHERE w.label < e.dst
+      |)""".stripMargin
 
   /** DuckDB replay of [[dedupSimhashMd5]]: 60-bit md5-derived token
     * hashes, per-bit majority vote, 4×16-bit banding, bucket cap,
@@ -711,26 +751,19 @@ object DedupOps {
     // CC closure: min-reachable-label fixpoint via WITH RECURSIVE —
     // propagate any smaller label along edges, then take the minimum.
     "e_dedup_cc" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT doc_id AS id_a,
-        |    LEAD(doc_id) OVER (PARTITION BY lang, n_chars // 100
-        |      ORDER BY doc_id) AS id_b FROM documents
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    LEAD(doc_id) OVER (PARTITION BY source, n_chars // 100
-        |      ORDER BY doc_id) FROM documents
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE id_b IS NOT NULL
-        |  UNION ALL
-        |  SELECT id_b, id_a FROM pairs WHERE id_b IS NOT NULL
-        |), walk(id, label) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.label FROM edges e
-        |  JOIN walk w ON w.id = e.src WHERE w.label < e.dst
-        |)
-        |SELECT id, MIN(label) AS label FROM walk
-        |GROUP BY id ORDER BY id""".stripMargin,
+      s"""$ccWalkCtes
+         |SELECT id, MIN(label) AS label FROM walk
+         |GROUP BY id ORDER BY id""".stripMargin,
+    "e_dedup_cluster_stats" ->
+      s"""$ccWalkCtes,
+         |labels AS (
+         |  SELECT id, MIN(label) AS label FROM walk GROUP BY id
+         |), sized AS (
+         |  SELECT label, count(*) AS cluster_size FROM labels GROUP BY label
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  sum(cluster_size) AS n_docs
+         |FROM sized GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // Containment is exact set intersection — the oracle replays it on
     // the shingle STRINGS (the engine intersects xxhash64 values of the
     // same shingles; bijective up to a 64-bit collision). Tokenization

@@ -195,6 +195,23 @@ object RelationalOps {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  /** Z-order clustering key over (customer, price-bucket) — the
+    * multi-dim layout sort ([[graft.sources.ZOrder]]): writing 100 TB
+    * of orders sorted by this key lets file min/max stats prune scans
+    * filtered on EITHER dimension. The query materializes the key and
+    * the fused top-100 (TakeOrderedAndProject — the key computation is
+    * one codegen'd projection, the sort never globalizes).
+    */
+  private val zorder: Q = (spark, dir) => {
+    val a = col("o_custkey").bitwiseAND(lit(0xffffL))
+    val b = floor(col("o_totalprice") / 10.0).cast("long")
+      .bitwiseAND(lit(0xffffL))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), graft.sources.ZOrder.interleave(a, b).as("zval"))
+      .orderBy("zval", "o_orderkey")
+      .limit(100)
+  }
+
   /** Unpivot (melt) — the inverse of [[pivot]]: wide measure columns
     * become (metric, value) rows. Spark's unpivot is a zero-shuffle
     * row-expansion (an Expand node, like rollup), so it scales as a
@@ -361,6 +378,7 @@ object RelationalOps {
     "e_stats_agg" -> statsAgg,
     "e_unpivot" -> unpivot,
     "e_histogram" -> histogram,
+    "e_zorder" -> zorder,
     "e_join_broadcast" -> joinBroadcast,
     "e_join_outer" -> joinOuter,
     "e_join_semi" -> joinSemi,
@@ -456,6 +474,15 @@ object RelationalOps {
         |            ELSE CAST(floor(12 * (o_totalprice - 0.0)
         |                 / (600000.0 - 0.0)) AS BIGINT) + 1 END AS bucket,
         |count(*) AS cnt FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the interleave SQL is generated from the same bit layout the
+    // engine uses (ZOrder.interleaveSql) — shared-by-construction
+    "e_zorder" -> {
+      val z = graft.sources.ZOrder.interleaveSql("(o_custkey & 65535)",
+        "(CAST(floor(o_totalprice / 10.0) AS BIGINT) & 65535)")
+      s"""SELECT o_orderkey,
+         |$z AS zval
+         |FROM orders ORDER BY zval, o_orderkey LIMIT 100""".stripMargin
+    },
     "e_unpivot" ->
       """SELECT * FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

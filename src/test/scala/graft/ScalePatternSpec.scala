@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.SkewOps
-import graft.sources.Bucketing
+import graft.sources.{Bucketing, ZOrder}
 import graft.streaming.{DocEvent, StreamingDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -93,5 +93,31 @@ class ScalePatternSpec extends SparkSpec {
       // the within-TTL duplicate (doc 3) must never have been emitted
       assert(outPairs == Seq(100L -> 1L, 100L -> 5L, 200L -> 4L))
     } finally q.stop()
+  }
+
+  test("z-order interleave places a-bits at odd and b-bits at even positions") {
+    val out = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), bits = 3).as("z"))
+      .as[Long].head()
+    assert(out == 39L) // a=101 -> positions 5,3,1 = 32+0+2; b=011 -> 4+1
+    // locality: incrementing either dimension by 1 moves the key less
+    // than a big jump in both — spot-check monotone containment per quadrant
+    val z00 = 0L
+    val quad = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)).toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(quad == Seq(z00, 3L, 12L, 15L),
+      "diagonal points fill quadrants in Morton order")
+  }
+
+  test("e_zorder fuses to TakeOrderedAndProject and stays in codegen") {
+    val p = SparkEntry.queries("e_zorder")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"z-order top-k must not global-sort:\n$p")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact
+    // plan rendering; the interleave projection must carry one
+    assert(p.contains("*(1) Project"),
+      s"the interleave fold must stay inside codegen:\n$p")
   }
 }
