@@ -37,4 +37,21 @@ object ZOrder {
         s"((($a >> $i) & 1) << ${2 * i + 1})",
         s"((($b >> $i) & 1) << ${2 * i})")
     }.mkString("(", " |\n   ", ")")
+
+  /** Write with the layout a 100 TB reader wants: hash-repartition on
+    * the partition column (one writer task per output partition set —
+    * avoids the many-small-files explosion of a plain partitionBy over
+    * arbitrary task layout), sort rows inside each task by the
+    * clustering key (file min/max stats become selective — pass a
+    * [[interleave]] column to cluster on two dimensions), then
+    * directory-partition. Readers filtering on `partCol` prune whole
+    * directories; readers filtering on the sort key prune row groups.
+    */
+  def writePartitionedSorted(df: org.apache.spark.sql.DataFrame,
+      path: String, partCol: String, sortKey: Column): Unit =
+    df.repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), sortKey)
+      .write.mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
 }

@@ -93,4 +93,43 @@ class PropertySpec extends SparkSpec {
         s"perpage=$pp keyset walk diverged from the global sort")
     }
   }
+
+  test("z-order interleave is a bijection on (a, b) pairs") {
+    // distinct (a,b) must map to distinct z — the layout key loses no
+    // information, so sorting by it is a total multi-dim clustering
+    import org.apache.spark.sql.functions.col
+    forAll(Gen.listOfN(24, Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L))),
+        n = 10) { pairs =>
+      val distinctPairs = pairs.distinct
+      val zs = distinctPairs.toDF("a", "b")
+        .select(graft.sources.ZOrder.interleave(col("a"), col("b"), 8).as("z"))
+        .as[Long].collect().toSeq
+      assert(zs.distinct.size == distinctPairs.size,
+        s"collision: ${distinctPairs.size} pairs -> ${zs.distinct.size} keys")
+      assert(zs.forall(z => z >= 0L && z < (1L << 16)))
+    }
+  }
+
+  test("chunking covers every token: stride tiles, overlap bounded") {
+    import org.apache.spark.sql.functions.col
+    // chunk lengths per doc must sum to n + overlap*(chunks-1) for
+    // stride 48 / window 64 (each boundary re-covers exactly 16 tokens,
+    // except a final chunk shorter than the overlap)
+    forAll(Gen.choose(1, 300), n = 8) { nTok =>
+      val text = (1 to nTok).map(i => s"w$i").mkString(" ")
+      val rows = graft.operators.PrepOps.chunkDocs(
+          Seq((1L, text)).toDF("doc_id", "text"))
+        .orderBy("chunk_idx")
+        .select(col("n_chunk_tokens")).as[Long].collect().toSeq
+      assert(rows.size == ((nTok - 1) / 48) + 1,
+        s"nTok=$nTok expected ${((nTok - 1) / 48) + 1} chunks, got ${rows.size}")
+      val covered = rows.zipWithIndex.map { case (len, i) => (48 * i, 48 * i + len) }
+      assert(covered.head._1 == 0 && covered.last._2 == nTok,
+        s"chunks must span [0,$nTok): $covered")
+      covered.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 <= e1, "no coverage gap")
+        case _ =>
+      }
+    }
+  }
 }
