@@ -69,6 +69,7 @@ object SparkEntry {
         |  ('e_dedup_ngram_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
+        |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
         |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),

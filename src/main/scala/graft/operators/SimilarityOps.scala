@@ -80,6 +80,27 @@ object SimilarityOps {
   private val knnJoinQ: Q = (spark, dir) =>
     knnJoin(Tables.load(spark, dir, "embeddings")).orderBy("q_id", "nn_rank")
 
+  /** Per-label embedding centroid audit — the embedding-space health
+    * check (are label clusters coherent? did a pipeline change move
+    * them?). Distributed per-group decimal-quantized means — the same
+    * deterministic arithmetic as the IVF quantizer ([[kmeansCentroids]]),
+    * but as a registered aggregate: two shuffles ((label,dim) then
+    * label), state bounded by |labels|×dim, corpus never collected.
+    */
+  private val embeddingCentroids: Q = (spark, dir) => {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 14)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1L))).as("m"),
+        count(lit(1L)).as("n"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        round(sqrt(sum((col("m") * col("m")).cast(dec)).cast("double")), 6)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
   /** nearest-cell assignment expression for a centroid list. */
   private def cellExpr(centroids: Seq[(Int, Seq[Double])]) =
     array_max(array(centroids.map { case (i, c) =>
@@ -188,6 +209,7 @@ object SimilarityOps {
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
     "e_knn_join" -> knnJoinQ,
+    "e_embedding_centroids" -> embeddingCentroids,
   )
 
   /** Brute-force top-k is oracle-checked via DuckDB's
@@ -222,6 +244,21 @@ object SimilarityOps {
         |)
         |SELECT q_id, vec_id, cos_sim, CAST(nn_rank AS INT) AS nn_rank
         |FROM ranked WHERE nn_rank <= 3 ORDER BY q_id, nn_rank""".stripMargin,
+    // same decimal-quantized mean replay as the IVF oracle; gs.i is
+    // 1-based vs Spark's 0-based pos — both are internal group keys
+    "e_embedding_centroids" ->
+      """WITH expl AS (
+        |  SELECT label, gs.i AS pos, embedding[gs.i] AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i)
+        |), means AS (
+        |  SELECT label, pos,
+        |    (sum((v)::DECIMAL(28,14)))::DOUBLE / count(*) AS m,
+        |    count(*) AS n
+        |  FROM expl GROUP BY label, pos
+        |)
+        |SELECT label, max(n) AS n_vecs,
+        |  round(sqrt((sum((m*m)::DECIMAL(28,14)))::DOUBLE), 6) AS centroid_norm
+        |FROM means GROUP BY label ORDER BY label""".stripMargin,
   )
 
   /** DuckDB replay of the full IVF build+probe ([[buildIvfIndex]] +
