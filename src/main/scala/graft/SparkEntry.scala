@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, DedupOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, DedupOps, EventAnalytics, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -26,7 +26,7 @@ object SparkEntry {
     ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
-      AsOfOps.queries ++ PrepOps.queries
+      AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -41,7 +41,7 @@ object SparkEntry {
     ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
-      AsOfOps.oracles ++ PrepOps.oracles ++ Map(
+      AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -55,7 +55,9 @@ object SparkEntry {
         |  ('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
+        |  ('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
+        |  ('e_cohort_retention', 3, 'cohort_week:timestamp,week_offset:bigint,n_active:bigint'),
         |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
         |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
         |  ('e_decontaminate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
@@ -71,8 +73,10 @@ object SparkEntry {
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
+        |  ('e_funnel', 3, 'stage:int,step:string,n_users:bigint'),
         |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
+        |  ('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_join_bloom', 3, 'l_returnflag:string,n_items:bigint,revenue:double'),
@@ -101,9 +105,12 @@ object SparkEntry {
         |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
         |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
+        |  ('e_scd2', 5, 'user_id:bigint,event_type:string,valid_from:timestamp,valid_to:timestamp,n_in_run:bigint'),
+        |  ('e_sessionize', 4, 'user_id:bigint,event_id:bigint,ts:timestamp,session_seq:bigint'),
         |  ('e_set_except', 1, 'nationkey:int'),
         |  ('e_set_intersect', 1, 'nationkey:int'),
         |  ('e_set_union', 1, 'name:string'),
+        |  ('e_shuffle_shard', 4, 'shard:bigint,n_docs:bigint,sum_chars:bigint,fp:bigint'),
         |  ('e_similarity_topk', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_skew_salted', 3, 'c_nationkey:int,n_orders:bigint,revenue:double'),
         |  ('e_sliding_batch', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.Tables
+import graft.functions.TextShingles
+
+/** Behavioral / event-stream analytics over the `events` fixture — the
+  * operator family a product-analytics user of the reference would run
+  * (the reference ships raw SQL to pg/mysql, `/root/reference/index.js:
+  * 230-252`; these are the classic event-SQL patterns expressed as
+  * Catalyst plans).
+  *
+  * Scale notes (100 TB): every query here is one shuffle on `user_id`
+  * (sessionize, funnel, SCD2, cohort) or one on a low-cardinality group
+  * key; window functions reuse the single user_id exchange for all
+  * chained frames; the funnel's per-step joins share the user_id
+  * partitioning so AQE plans them without extra exchanges; the z-score
+  * join broadcasts a 5-row stats dim. No O(n²), no driver loops.
+  */
+object EventAnalytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** Deterministic event order within a user: ts then event_id. */
+  private val byUser =
+    Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  // ---------------------------------------------------------------- //
+  // e_sessionize: per-EVENT session assignment (gaps >= 30 min start a
+  // new session). e_stream_session aggregates per session; this keeps
+  // event grain — the form you need to attribute individual events to
+  // sessions before a downstream join. One exchange: both windows
+  // (lag + running sum) share the user_id partitioning.
+  // ---------------------------------------------------------------- //
+  private val sessionize: Q = (spark, dir) => {
+    val brk = when(
+      col("ts") >= lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"),
+      1L).otherwise(0L)
+    events(spark, dir)
+      .withColumn("brk", brk)
+      .withColumn("session_seq",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  // ---------------------------------------------------------------- //
+  // e_funnel: strict-order funnel view -> click -> purchase. Step n
+  // counts users whose first step-n event happens strictly after their
+  // qualifying step-(n-1) time. Implemented as chained per-user min
+  // aggregations; all three aggregates and both joins hash on user_id,
+  // so the whole funnel is one exchange per step input with no
+  // repartitioning between steps.
+  // ---------------------------------------------------------------- //
+  private val funnel: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(name).as("step"), col("n_users"))
+    stage(1, "view", v).unionAll(stage(2, "click", c))
+      .unionAll(stage(3, "purchase", p))
+      .orderBy("stage")
+  }
+
+  // ---------------------------------------------------------------- //
+  // e_cohort_retention: users cohorted by the week of their first
+  // event; n_active = distinct users of cohort w active in week w+k.
+  // Two shuffles total (user_id for first-seen, then the tiny
+  // (cohort, offset) group); the cohort dim joins back broadcast.
+  // ---------------------------------------------------------------- //
+  private val cohortRetention: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    ev.join(broadcast(firstSeen), "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        floor(datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week").cast("date")) / 7).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // ---------------------------------------------------------------- //
+  // e_anomaly_zscore: per-type z-score outliers. Mean/variance are
+  // computed from DECIMAL sums (exact under any partitioning — the
+  // same determinism discipline as e_embedding_centroids), then the
+  // z arithmetic is a fixed double expression shape both engines
+  // evaluate identically. The 5-row stats dim broadcasts back.
+  // ---------------------------------------------------------------- //
+  private val anomalyZscore: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(28, 10))).as("s1"),
+      sum((col("value") * col("value")).cast(DecimalType(38, 12))).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val varS = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double")) /
+      (col("n").cast("double") - lit(1.0))
+    val z = (col("value") - col("mean")) / sqrt(col("var_s"))
+    ev.join(broadcast(stats.select(col("event_type"),
+        mean.as("mean"), varS.as("var_s"))), "event_type")
+      .withColumn("z", round(z, 3))
+      .where(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- //
+  // e_grouping_sets: non-hierarchical grouping sets ((rf), (ls)) —
+  // the one multi-group shape rollup/cube cannot express. Same
+  // Expand-based single-pass plan as rollup: one scan, one shuffle.
+  // ---------------------------------------------------------------- //
+  private val groupingSets: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
+  // ---------------------------------------------------------------- //
+  // e_scd2: gaps-and-islands — collapse each user's consecutive runs
+  // of the same event_type into SCD2-style validity rows (valid_to =
+  // next run's start, NULL while current). All three windows share
+  // the user_id exchange; the run groupBy re-uses it too.
+  // ---------------------------------------------------------------- //
+  private val scd2: Q = (spark, dir) => {
+    val chg = when(lag(col("event_type"), 1).over(byUser).isNull ||
+      lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+      .otherwise(0L)
+    val runs = events(spark, dir)
+      .withColumn("run_id", sum(chg).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(min("ts").as("valid_from"), count(lit(1)).as("n_in_run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("run_id"))))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_in_run"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  // ---------------------------------------------------------------- //
+  // e_shuffle_shard: deterministic global shuffle into 64 training
+  // shards — shard = md5-60bit(doc_id) % 64, the cross-engine hash the
+  // md5 dedup twins already replay. Audit output: per-shard doc count,
+  // char mass, and an order-free checksum (sum of hashes mod p).
+  // Content-hash sharding is how a 100 TB corpus is split into
+  // training files with no coordinator state.
+  // ---------------------------------------------------------------- //
+  private val shuffleShard: Q = (spark, dir) => {
+    val p = 1000000007L
+    val h = TextShingles.md5Hash60(col("doc_id").cast("string"))
+    Tables.load(spark, dir, "documents")
+      .select(pmod(h, lit(64L)).as("shard"), col("n_chars"),
+        pmod(h, lit(p)).as("hp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        pmod(sum(col("hp")), lit(p)).as("fp"))
+      .orderBy("shard")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e_sessionize" -> sessionize,
+    "e_funnel" -> funnel,
+    "e_cohort_retention" -> cohortRetention,
+    "e_anomaly_zscore" -> anomalyZscore,
+    "e_grouping_sets" -> groupingSets,
+    "e_scd2" -> scd2,
+    "e_shuffle_shard" -> shuffleShard,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_sessionize" ->
+      """SELECT user_id, event_id, ts,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events) g
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "e_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS step, count(*)::BIGINT AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*)::BIGINT FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*)::BIGINT FROM p
+        |) ORDER BY stage""".stripMargin,
+    "e_cohort_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT f.cohort_week, CAST(floor(
+        |    date_diff('day', f.cohort_week::DATE,
+        |      date_trunc('week', e.ts)::DATE) / 7) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_active
+        |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // Decimal sums make mean/var exact and partition-order-free; the z
+    // expression then matches Spark's double arithmetic shape exactly:
+    // (s2 - s1*s1/n)/(n-1), z = (v-mean)/sqrt(var), round 3.
+    "e_anomaly_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*)::DOUBLE AS n,
+        |    sum(CAST(value AS DECIMAL(28,10)))::DOUBLE AS s1,
+        |    sum(CAST(value * value AS DECIMAL(38,12)))::DOUBLE AS s2
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 3) AS z
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE abs(round((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 3)) >= 2.5
+        |ORDER BY e.event_id""".stripMargin,
+    "e_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*)::BIGINT AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
+    "e_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |      OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT user_id, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+        |    ts
+        |  FROM marked
+        |), grouped AS (
+        |  SELECT user_id, run_id, event_type,
+        |    min(ts) AS valid_from, count(*)::BIGINT AS n_in_run
+        |  FROM runs GROUP BY user_id, run_id, event_type
+        |)
+        |SELECT user_id, event_type, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+        |  n_in_run
+        |FROM grouped ORDER BY user_id, valid_from""".stripMargin,
+    "e_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv,
+        |    n_chars
+        |  FROM documents
+        |)
+        |SELECT hv % 64 AS shard, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  (sum(hv % 1000000007) % 1000000007)::BIGINT AS fp
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
+  )
+}
