@@ -5,7 +5,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
@@ -65,10 +66,38 @@ class RestTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
 
 class RestScanBuilder(pages: Int, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RestLikeSource.schema
   private var limit: Option[Int] = None
+  private var aggs: Option[Seq[AggregateFunc]] = None
+
+  private def isId(e: Expression): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+
+  /** Global COUNT(*) / MIN(id) / MAX(id) answer from page arithmetic —
+    * the REST analog of an endpoint's `?count=true` metadata call: no
+    * page is fetched at all. Anything else (grouping, other columns)
+    * stays in Spark.
+    */
+  private def translatable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translatable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (translatable(agg)) { aggs = Some(agg.aggregateExpressions.toSeq); true }
+    else false
 
   /** LIMIT n prunes trailing pages the same way the id filters prune
     * non-matching ones — the reference's `perpage` clamp
@@ -97,8 +126,67 @@ class RestScanBuilder(pages: Int, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new RestScan(pages, pageSize, pushed, required, limit)
+  override def build(): Scan = aggs match {
+    case Some(a) => new RestAggScan(pages, pageSize, pushed, a)
+    case None => new RestScan(pages, pageSize, pushed, required, limit)
+  }
+}
+
+/** Completely-pushed global aggregate over the REST source: the answer
+  * is computed from the dense-id interval arithmetic the filter pruning
+  * already uses, so ZERO pages are fetched — one partition, one row.
+  * At 100 TB-of-remote-data scale this is the difference between a
+  * metadata call and paging the whole endpoint through the cluster.
+  */
+class RestAggScan(pages: Int, pageSize: Int, pushed: Array[Filter],
+    aggs: Seq[AggregateFunc]) extends Scan with Batch {
+
+  /** Surviving id interval after the pushed filters (ids are dense). */
+  private def interval: (Long, Long) = {
+    var a = 0L
+    var b = pages.toLong * pageSize - 1
+    pushed.foreach {
+      case EqualTo("id", v: Long) => a = math.max(a, v); b = math.min(b, v)
+      case GreaterThan("id", v: Long) => a = math.max(a, v + 1)
+      case LessThan("id", v: Long) => b = math.min(b, v - 1)
+      case _ =>
+    }
+    (a, b)
+  }
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"rest_like_agg_pushdown(${aggs.mkString(", ")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RestPage(0, 0))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (a, b) = interval
+    val empty = b < a
+    val values: Seq[Any] = aggs.map {
+      case _: CountStar => math.max(0L, b - a + 1)
+      case _: Min => if (empty) null else a
+      case _: Max => if (empty) null else b
+      case f => throw new IllegalStateException(s"unpushable agg $f")
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+class SingleRowReaderFactory(values: Seq[Any]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = if (served) false else { served = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
 }
 
 class RestScan(pages: Int, pageSize: Int, pushed: Array[Filter],

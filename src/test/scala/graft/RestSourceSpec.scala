@@ -51,6 +51,39 @@ class RestSourceSpec extends SparkSpec {
     assert(names == Seq("item_0", "item_1", "item_2"))
   }
 
+  test("global count/min/max push down completely — no page fetched") {
+    val agg = rest.agg(count(lit(1)).as("n"),
+      min("id").as("lo"), max("id").as("hi"))
+    val p = agg.queryExecution.executedPlan
+    assert(!p.toString.contains("HashAggregate"),
+      s"completely-pushed aggregate must not re-aggregate in Spark:\n$p")
+    assert(scanPartitions(agg) == 1, "aggregate answer is one metadata row")
+    val r = agg.head()
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 0L && r.getLong(2) == 999L)
+  }
+
+  test("pushed filters constrain the pushed aggregate") {
+    val r = rest.where(col("id") > 750L)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi")).head()
+    assert(r.getLong(0) == 249L && r.getLong(1) == 751L && r.getLong(2) == 999L)
+    // empty interval: count 0, null min/max
+    val e = rest.where(col("id") > 5000L)
+      .agg(count(lit(1)).as("n"), min("id").as("lo")).head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+  }
+
+  test("grouped or non-id aggregates stay in Spark") {
+    val g = rest.groupBy(col("id") % 2).agg(count(lit(1)))
+    assert(g.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "grouped aggregate must not be claimed by the source")
+    assert(g.count() == 2)
+    val s = rest.agg(sum("score"))
+    assert(s.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "SUM(score) is not translatable and must aggregate in Spark")
+    assert(math.abs(s.head().getDouble(0) - rest.select("score").as[Double]
+      .collect().sum) < 1e-9)
+  }
+
   test("remote relation joins with local tables") {
     val local = Tables.load(spark, sf, "customer")
       .select(col("c_custkey").as("id"), col("c_name"))
