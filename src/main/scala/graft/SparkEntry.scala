@@ -92,6 +92,7 @@ object SparkEntry {
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
+        |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
         |  ('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),

@@ -213,7 +213,46 @@ object PrepOps {
   private val normalize: Q = (spark, dir) =>
     normalizeText(Tables.load(spark, dir, "documents")).orderBy("doc_id")
 
+  // ---------------------------------------------------------------
+  // Mixture sampling
+  // ---------------------------------------------------------------
+
+  /** Target per-language document quotas (the "data mixture"): the
+    * weights an LLM corpus recipe assigns its strata, expressed as
+    * absolute doc budgets (en 40% of a 200-doc budget, etc.).
+    */
+  private val MixtureQuotas: Seq[(String, Int)] =
+    Seq("en" -> 80, "zh" -> 40, "de" -> 30, "es" -> 30, "fr" -> 20)
+
+  /** Mixture sampling: draw each language's quota deterministically by
+    * ranking docs on a content hash (md5-60bit of doc_id) — the
+    * recipe-weighted resampling step that turns a raw crawl into a
+    * training mixture. Undersized strata keep everything (quota caps,
+    * never upsamples). One exchange on lang; ranking is per-stratum.
+    * At 100 TB the per-stratum window sort would become a bounded
+    * top-quota aggregate (graft.functions.TopK) — same semantics, no
+    * full sort; the window form is kept here because quota ≪ stratum
+    * size makes the sort the cheaper plan at fixture scale.
+    */
+  def mixtureSample(docs: DataFrame,
+      quotas: Seq[(String, Int)] = MixtureQuotas): DataFrame = {
+    val quota = quotas.foldLeft(lit(0)) { case (acc, (l, q)) =>
+      when(col("lang") === l, lit(q)).otherwise(acc)
+    }
+    val h = graft.functions.TextShingles.md5Hash60(col("doc_id").cast("string"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("mix_rank", row_number().over(w))
+      .where(col("mix_rank") <= quota)
+      .select("doc_id", "lang", "mix_rank")
+  }
+
+  private val mixture: Q = (spark, dir) =>
+    mixtureSample(Tables.load(spark, dir, "documents"))
+      .orderBy("lang", "mix_rank")
+
   val queries: Map[String, Q] = Map(
+    "e_mixture_sample" -> mixture,
     "e_pii_redact" -> piiRedact,
     "e_chunk" -> chunk,
     "e_tfidf" -> tfidf,
@@ -223,6 +262,21 @@ object PrepOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same md5-60bit ranking hash the dedup twins replay; quotas as a
+    // CASE over lang (unlisted langs -> 0 -> dropped).
+    "e_mixture_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+         |               doc_id) AS mix_rank
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, CAST(mix_rank AS INT) AS mix_rank
+         |FROM ranked
+         |WHERE mix_rank <= CASE lang ${MixtureQuotas.map { case (l, q) =>
+            s"WHEN '$l' THEN $q" }.mkString(" ")} ELSE 0 END
+         |ORDER BY lang, mix_rank""".stripMargin,
     // The synth column is rebuilt identically (substr + || casts);
     // DuckDB regexp_replace needs the 'g' flag to replace all matches
     // (Spark's replaces all by default).

@@ -95,6 +95,29 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("mixture sample fills each stratum to min(quota, stratum size)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val langCounts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = Map("en" -> 80L, "zh" -> 40L, "de" -> 30L,
+      "es" -> 30L, "fr" -> 20L)
+    val got = SparkEntry.queries("e_mixture_sample")(spark, sf)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, n) <- langCounts)
+      assert(got.getOrElse(l, 0L) == math.min(quotas.getOrElse(l, 0L), n),
+        s"stratum $l: got ${got.get(l)}, want min(${quotas.get(l)}, $n)")
+  }
+
+  test("mixture sample is deterministic under repartitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = graft.operators.PrepOps.mixtureSample(docs)
+      .orderBy("lang", "mix_rank").collect().toSeq
+    val b = graft.operators.PrepOps.mixtureSample(docs.repartition(13))
+      .orderBy("lang", "mix_rank").collect().toSeq
+    assert(a == b, "content-hash ranking must not depend on layout")
+  }
+
   test("chunk explode does not re-evaluate the token split in the scan") {
     // the e_decontaminate regression shape: an inferred filter on a
     // derived HOF column substituted into the scan. explode_outer emits
