@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Pmod, Substring}
+import org.apache.spark.sql.types.LongType
+import graft.functions.RollingHash
+
+/** Session-extension entry point: injects the library's custom SQL
+  * functions into the analyzer's registry so a pure-SQL user (the
+  * reference's audience — every query it serves is SQL text,
+  * /root/reference/config.json:19-24) gets them without touching the
+  * Scala API:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * SELECT rolling_hash(text), md5_hash60(text), graft_shard(text, 64) ...
+  * }}}
+  *
+  *  - `rolling_hash(s)` — the codegen'd polynomial fingerprint
+  *    ([[graft.functions.RollingHash]]).
+  *  - `md5_hash60(s)` — the cross-engine 60-bit md5 hash every
+  *    oracle-replayable pipeline keys on
+  *    ([[graft.functions.TextShingles.md5Hash60]]), built here from
+  *    native Catalyst nodes (Conv∘Substring∘Md5) so it stays inside
+  *    whole-stage codegen.
+  *  - `graft_shard(s, k)` — deterministic content-hash shard id
+  *    (the e_shuffle_shard assignment) as a scalar function.
+  *
+  * All three are Expression-level injections (no UDF encoders, no
+  * codegen breaks) — the function registry is the integration seam,
+  * not a wrapper layer.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** The injected function set — one source of truth for both the
+    * extensions path (new sessions) and [[install]] (live sessions).
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    (FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Conv].getName, "md5_hash60"),
+      (exprs: Seq[Expression]) => md5Hash60Expr(exprs.head)),
+    (FunctionIdentifier("graft_shard"),
+      new ExpressionInfo(classOf[Pmod].getName, "graft_shard"),
+      (exprs: Seq[Expression]) => Pmod(md5Hash60Expr(exprs.head), exprs(1))))
+
+  /** Register the same functions into an already-running session (the
+    * notebook case, where `spark.sql.extensions` can no longer apply).
+    * Idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+
+  /** Catalyst tree of [[graft.functions.TextShingles.md5Hash60]]:
+    * ('0x' || substr(md5(s),1,15))::BIGINT in DuckDB terms. Md5's
+    * implicit cast accepts STRING input directly.
+    */
+  def md5Hash60Expr(e: Expression): Expression =
+    Cast(Conv(Substring(Md5(e), Literal(1), Literal(15)),
+      Literal(16), Literal(10)), LongType)
+}
