@@ -59,7 +59,9 @@ object SparkEntry {
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_cohort_retention', 3, 'cohort_week:timestamp,week_offset:bigint,n_active:bigint'),
         |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
+        |  ('e_char_diversity', 3, 'doc_id:bigint,n_letters:bigint,gini:double'),
         |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
+        |  ('e_dau_churn', 4, 'day:timestamp,n_new:bigint,n_retained:bigint,n_churned:bigint'),
         |  ('e_decontaminate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_cc', 2, 'id:bigint,label:bigint'),
         |  ('e_dedup_cluster_stats', 3, 'cluster_size:bigint,n_clusters:bigint,n_docs:bigint'),
@@ -77,6 +79,7 @@ object SparkEntry {
         |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
         |  ('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
+        |  ('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
         |  ('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_join_bloom', 3, 'l_returnflag:string,n_items:bigint,revenue:double'),
@@ -89,6 +92,7 @@ object SparkEntry {
         |  ('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
         |  ('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),
+        |  ('e_lm_score', 3, 'doc_id:bigint,n_bigrams:bigint,lm_score:double'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),

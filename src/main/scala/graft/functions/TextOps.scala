@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -218,7 +219,110 @@ object TextOps {
       .orderBy("lang", "term_rank")
   }
 
+  private val CmsDepth = 4
+  private val CmsWidth = 512L
+
+  /** The CMS bucket for hash row `d`: md5-60bit("d:term") mod width —
+    * the cross-engine hash family, so the whole sketch replays in the
+    * oracle.
+    */
+  private def cmsBucket(d: Int, term: Column): Column =
+    pmod(TextShingles.md5Hash60(concat(lit(s"$d:"), term)), lit(CmsWidth))
+
+  /** Heavy hitters via a count-min sketch, relationally: the sketch
+    * build IS a groupBy over (hash_row, bucket) — depth×width counters
+    * (4×512 here) regardless of corpus size, reached through map-side
+    * combine, so the shuffle carries at most d·w rows per partition.
+    * The top-25 exact terms are then probed against the sketch
+    * (broadcast: the counter table is 2 KB) and estimated as the
+    * row-wise MIN of their d counters — the CMS guarantee est ≥ exact
+    * holds by construction and is pinned in tests. At 100 TB you keep
+    * the sketch and drop the exact side; it's computed here so the
+    * oracle can audit the estimate against truth.
+    */
+  private val heavyHitters: Q = (spark, dir) => {
+    val terms = Tables.load(spark, dir, "documents")
+      .select(explode(TextShingles.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val counters = terms
+      .select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsBucket(d, col("term")).as("bucket"))): _*))
+        .as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exactTop = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(25)
+    exactTop
+      .select(col("term"), col("exact_cnt"),
+        explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d).as("d"), cmsBucket(d, col("term")).as("bucket"))): _*))
+          .as("db"))
+      .select(col("term"), col("exact_cnt"),
+        col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy("term", "exact_cnt")
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
+  /** Corpus-bigram language-model scoring: each document's mean
+    * conditional bigram probability p(w₂|w₁) = C(w₁w₂)/C(w₁·) under
+    * the corpus's own counts — the statistical-LM stand-in for the
+    * model-perplexity quality filter (low score ≈ improbable word
+    * sequences ≈ junk). No logarithm: the mean of exact rationals
+    * ranks documents the same way mean log-prob does for filtering
+    * purposes and, summed through a DECIMAL cast, is bit-reproducible
+    * in the oracle where transcendental log ulps are not.
+    *
+    * Shape at 100 TB: explode to bigrams, two vocabulary-bounded count
+    * dims, two shuffle joins keyed on the bigram/prefix, one per-doc
+    * aggregation. The count dims are Zipf-small relative to the corpus
+    * and broadcast below AQE's threshold.
+    */
+  private val lmScore: Q = (spark, dir) => {
+    import graft.functions.{TextShingles => TS}
+    val docs = Tables.load(spark, dir, "documents")
+    val bigrams = docs.select(col("doc_id"),
+        explode(TS.wordShingles(col("text"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val bigramCnt = bigrams.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val prefixCnt = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(bigramCnt, "bigram").join(prefixCnt, "w1")
+      .withColumn("p", col("c12").cast("double") / col("c1").cast("double"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p").cast(DecimalType(18, 12))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-diversity (Gini impurity) over the letters a–z:
+    * 1 − Σ (cnt_c/total)². A repetitive/degenerate document scores
+    * near 0 (dominated by few letters); natural text sits near 0.95.
+    * Entirely rational arithmetic — the entropy formulation needs a
+    * transcendental log; Gini ranks the same pathologies and replays
+    * bit-identically. Zero shuffle: 26 codegen'd replace/length pairs
+    * per row, written as one left-to-right sum so engine and oracle
+    * add in the same IEEE order.
+    */
+  private val charDiversity: Q = (spark, dir) => {
+    val t = lower(col("text"))
+    val counts = ('a' to 'z').map(c =>
+      (length(t) - length(regexp_replace(t, c.toString, ""))).cast("double"))
+    val total = counts.reduceLeft(_ + _)
+    val sumSq = counts.map(c => (c / total) * (c / total)).reduceLeft(_ + _)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), total.cast("long").as("n_letters"),
+        when(total > 0, round(lit(1.0) - sumSq, 6)).otherwise(null)
+          .as("gini"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_lm_score" -> lmScore,
+    "e_char_diversity" -> charDiversity,
+    "e_heavy_hitters" -> heavyHitters,
     "e_length_quantiles" -> lengthQuantiles,
     "e_top_terms" -> topTerms,
     "e_sample_stratified" -> sampleStratified,
@@ -235,7 +339,81 @@ object TextOps {
   private def sqlStops(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString(", ")
 
+  /** Generated a–z count/total/sum-of-squares SQL mirroring the exact
+    * left-to-right IEEE addition order of the Spark expression chain.
+    */
+  private def charDiversitySql: String = {
+    val cnts = ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      s"(length(t) - length(replace(t, '$c', '')))::DOUBLE AS c$i"
+    }.mkString(",\n    ")
+    val total = (0 until 26).map(i => s"c$i").mkString(" + ")
+    val sumSq = (0 until 26).map(i => s"(c$i / total) * (c$i / total)")
+      .mkString(" + ")
+    s"""WITH lowered AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |), cnts AS (
+       |  SELECT doc_id,
+       |    $cnts
+       |  FROM lowered
+       |), tot AS (
+       |  SELECT *, $total AS total FROM cnts
+       |)
+       |SELECT doc_id, total::BIGINT AS n_letters,
+       |  CASE WHEN total > 0 THEN round(1.0 - ($sumSq), 6) END AS gini
+       |FROM tot ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // Same bigram construction as the e_quality_gate shingle replay
+    // (w=2), conditional-probability denominator = bigram instances
+    // per prefix token, mean through a DECIMAL(18,12) sum.
+    "e_lm_score" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), bigrams AS (
+        |  SELECT doc_id,
+        |    toks[i] || ' ' || toks[i+1] AS bigram, toks[i] AS w1
+        |  FROM toked, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2
+        |), c12 AS (
+        |  SELECT bigram, count(*) AS c12 FROM bigrams GROUP BY bigram
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+        |)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(sum(CAST(c12.c12::DOUBLE / c1.c1::DOUBLE AS DECIMAL(18,12)))::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS lm_score
+        |FROM bigrams b JOIN c12 USING (bigram) JOIN c1 USING (w1)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "e_char_diversity" -> charDiversitySql,
+    // Full CMS replay: same md5-60bit("d:term") % width bucket family,
+    // same 4x512 counter build, same min-of-rows estimate.
+    "e_heavy_hitters" ->
+      s"""WITH terms AS (
+         |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents
+         |), ok AS (
+         |  SELECT term FROM terms WHERE length(term) > 0
+         |), rows_d AS (
+         |  SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS d
+         |), counters AS (
+         |  SELECT d, ('0x' || substr(md5(d::VARCHAR || ':' || term), 1, 15))::BIGINT
+         |      % $CmsWidth AS bucket, count(*) AS c
+         |  FROM ok, rows_d GROUP BY 1, 2
+         |), top AS (
+         |  SELECT term, count(*) AS exact_cnt FROM ok GROUP BY term
+         |  ORDER BY exact_cnt DESC, term LIMIT 25
+         |), probe AS (
+         |  SELECT term, exact_cnt, d,
+         |    ('0x' || substr(md5(d::VARCHAR || ':' || term), 1, 15))::BIGINT
+         |      % $CmsWidth AS bucket
+         |  FROM top, rows_d
+         |)
+         |SELECT term, exact_cnt, min(c) AS cms_est
+         |FROM probe JOIN counters USING (d, bucket)
+         |GROUP BY term, exact_cnt
+         |ORDER BY exact_cnt DESC, term""".stripMargin,
     "e_length_quantiles" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars,

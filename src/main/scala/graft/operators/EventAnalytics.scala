@@ -180,7 +180,41 @@ object EventAnalytics {
       .orderBy("shard")
   }
 
+  // ---------------------------------------------------------------- //
+  // e_dau_churn: day-over-day active-user accounting. Per (user, day)
+  // grain with lag/lead over one user_id exchange; new = no activity
+  // the previous day, retained = active both days, churned(d) = active
+  // d-1 but not d (attributed to d, counted only for days that exist
+  // in the data — the day dim is tiny and joins broadcast).
+  // ---------------------------------------------------------------- //
+  private val dauChurn: Q = (spark, dir) => {
+    val daily = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flags = daily
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val oneDay = expr("INTERVAL 1 DAY")
+    val act = flags.groupBy("day").agg(
+      sum(when(col("prev_day").isNull ||
+        col("prev_day") =!= col("day") - oneDay, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_day") === col("day") - oneDay, 1L).otherwise(0L))
+        .as("n_retained"))
+    val dayDim = daily.select("day").distinct()
+    val churn = flags
+      .where(col("next_day").isNull || col("next_day") =!= col("day") + oneDay)
+      .select((col("day") + oneDay).as("day"))
+      .join(broadcast(dayDim), "day")
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_retained"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_dau_churn" -> dauChurn,
     "e_sessionize" -> sessionize,
     "e_funnel" -> funnel,
     "e_cohort_retention" -> cohortRetention,
@@ -191,6 +225,31 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_dau_churn" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, day,
+        |    LAG(day) OVER w AS prev_day, LEAD(day) OVER w AS next_day
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |), act AS (
+        |  SELECT day,
+        |    sum(CASE WHEN prev_day IS NULL OR prev_day <> day - INTERVAL 1 DAY
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |    sum(CASE WHEN prev_day = day - INTERVAL 1 DAY
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_retained
+        |  FROM f GROUP BY day
+        |), churn AS (
+        |  SELECT c.day, count(*)::BIGINT AS n_churned FROM (
+        |    SELECT f.day + INTERVAL 1 DAY AS day FROM f
+        |    WHERE next_day IS NULL OR next_day <> f.day + INTERVAL 1 DAY
+        |  ) c JOIN (SELECT DISTINCT day FROM daily) dd USING (day)
+        |  GROUP BY c.day
+        |)
+        |SELECT a.day, a.n_new, a.n_retained,
+        |  coalesce(c.n_churned, 0)::BIGINT AS n_churned
+        |FROM act a LEFT JOIN churn c USING (day)
+        |ORDER BY a.day""".stripMargin,
     "e_sessionize" ->
       """SELECT user_id, event_id, ts,
         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id

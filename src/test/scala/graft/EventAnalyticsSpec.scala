@@ -102,6 +102,25 @@ class EventAnalyticsSpec extends SparkSpec {
       s"one shard holds $maxShard docs — hash sharding is broken")
   }
 
+  test("dau accounting conserves users across days") {
+    val daily = Tables.load(spark, sf, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val dau = daily.groupBy("day").count()
+    val r = q("e_dau_churn")
+    // new + retained == that day's distinct actives
+    val mismatch = r.join(dau, "day")
+      .where(col("n_new") + col("n_retained") =!= col("count"))
+    assert(mismatch.count() == 0, "n_new + n_retained must equal DAU")
+    // conservation between consecutive days: churn(d) = DAU(d-1) - retained(d)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val chk = r.join(dau, "day")
+      .withColumn("prev_dau", lag(col("count"), 1).over(w))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .where(col("prev_day") === col("day") - expr("INTERVAL 1 DAY"))
+      .where(col("n_churned") =!= col("prev_dau") - col("n_retained"))
+    assert(chk.count() == 0, "churn(d) must equal DAU(d-1) - retained(d)")
+  }
+
   // ------------------------- plan shapes ------------------------- //
 
   private def plan(name: String): String =

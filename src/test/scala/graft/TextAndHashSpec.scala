@@ -22,6 +22,35 @@ class TextAndHashSpec extends SparkSpec {
     assert(r.getLong(1) == RollingHash.reference("abc"))
   }
 
+  test("count-min sketch never underestimates and is near-exact at 4x512") {
+    val rows = SparkEntry.queries("e_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS must overestimate: ${r.getString(0)} $est < $exact")
+      // 4x512 counters over a sf0.001 vocabulary: collisions add at
+      // most a small additive error (eps ~ e/512 of total mass)
+      assert(est - exact <= 50, s"CMS error too large for ${r.getString(0)}")
+    }
+  }
+
+  test("lm score is a probability mean; diversity is a proper Gini") {
+    val docs = Tables.load(spark, sf, "documents")
+    val lm = SparkEntry.queries("e_lm_score")(spark, sf)
+    val nMulti = docs
+      .where(size(split(lower(col("text")), "\\s+")) >= 2).count()
+    assert(lm.count() == nMulti, "one row per doc with >= 2 tokens")
+    assert(lm.where(col("lm_score") <= 0 || col("lm_score") > 1).count() == 0,
+      "mean conditional probability must lie in (0, 1]")
+    val gini = SparkEntry.queries("e_char_diversity")(spark, sf)
+    assert(gini.count() == docs.count())
+    assert(gini.where(col("gini") < 0 || col("gini") >= 1).count() == 0,
+      "Gini impurity over 26 classes lies in [0, 25/26]")
+    // natural-language fixture text is letter-diverse
+    assert(gini.where(col("gini") > 0.5).count() > 0)
+  }
+
   test("language id picks the list with most stopword hits") {
     val d = Seq(
       (1L, "der hund und die katze ist nicht da"),
