@@ -109,6 +109,7 @@ object SparkEntry {
         |  ('e_range_join', 2, 'event_id:bigint,n_recent_clicks:bigint'),
         |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
+        |  ('e_rolling_7d', 4, 'event_type:string,day:timestamp,n_7d:bigint,v_7d:double'),
         |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
         |  ('e_scd2', 5, 'user_id:bigint,event_type:string,valid_from:timestamp,valid_to:timestamp,n_in_run:bigint'),
         |  ('e_sessionize', 4, 'user_id:bigint,event_id:bigint,ts:timestamp,session_seq:bigint'),

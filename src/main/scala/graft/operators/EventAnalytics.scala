@@ -213,8 +213,32 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- //
+  // e_rolling_7d: per-type daily series with a trailing 7-day rolling
+  // count and value sum. Daily pre-aggregation first (map-side combine
+  // collapses the event grain), then the rolling frame runs over the
+  // tiny (type, day) series — partitioned by event_type, so no global
+  // ordering exists anywhere. Fixture days are contiguous per type,
+  // which makes ROWS BETWEEN 6 PRECEDING the exact trailing week (the
+  // gap-fill operator is the general-calendar companion).
+  // ---------------------------------------------------------------- //
+  private val rolling7d: Q = (spark, dir) => {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_day"),
+        sum(col("value").cast(DecimalType(18, 6))).as("v_day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .select(col("event_type"), col("day"),
+        sum(col("n_day")).over(w).as("n_7d"),
+        round(sum(col("v_day")).over(w), 2).cast("double").as("v_7d"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_dau_churn" -> dauChurn,
+    "e_rolling_7d" -> rolling7d,
     "e_sessionize" -> sessionize,
     "e_funnel" -> funnel,
     "e_cohort_retention" -> cohortRetention,
@@ -225,6 +249,20 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*) AS n_day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS v_day
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day,
+        |  (sum(n_day) OVER w)::BIGINT AS n_7d,
+        |  CAST(round(sum(v_day) OVER w, 2) AS DOUBLE) AS v_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "e_dau_churn" ->
       """WITH daily AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events

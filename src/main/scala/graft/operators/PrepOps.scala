@@ -251,6 +251,31 @@ object PrepOps {
     mixtureSample(Tables.load(spark, dir, "documents"))
       .orderBy("lang", "mix_rank")
 
+  // ---------------------------------------------------------------
+  // JSONL shard export
+  // ---------------------------------------------------------------
+
+  /** Export the corpus as JSONL training shards: content-hash shard
+    * membership (the e_shuffle_shard assignment — stable under any
+    * relayout of the input), one `shard=N` directory per shard via
+    * partitionBy, doc_id-sorted within partitions for reproducible
+    * shard files. JSONL-per-shard is the hand-off format training
+    * loaders stream; at 100 TB this writer is the terminal stage after
+    * dedup/quality/mixture, and its one repartition exchange is keyed
+    * by the shard id so each task writes whole shards.
+    * Returns the exported row count.
+    */
+  def writeJsonlShards(docs: DataFrame, outDir: String, shards: Int): Long = {
+    val h = graft.functions.TextShingles.md5Hash60(col("doc_id").cast("string"))
+    val sharded = docs.withColumn("shard",
+      pmod(h, lit(shards.toLong)).cast("int"))
+    sharded
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+    sharded.count()
+  }
+
   val queries: Map[String, Q] = Map(
     "e_mixture_sample" -> mixture,
     "e_pii_redact" -> piiRedact,

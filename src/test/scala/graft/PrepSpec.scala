@@ -118,6 +118,21 @@ class PrepSpec extends SparkSpec {
     assert(a == b, "content-hash ranking must not depend on layout")
   }
 
+  test("jsonl shard export is total and membership-stable on re-read") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val n = graft.operators.PrepOps.writeJsonlShards(docs, out, 8)
+    assert(n == docs.count())
+    val back = spark.read.json(out)
+    assert(back.count() == n, "every document survives the round trip")
+    // shard membership on re-read must equal the content-hash rule
+    val rule = pmod(graft.functions.TextShingles
+      .md5Hash60(col("doc_id").cast("string")), lit(8L))
+    assert(back.where(col("shard") =!= rule).count() == 0,
+      "shard dirs must encode the md5-60bit assignment")
+    assert(back.select("shard").distinct().count() == 8)
+  }
+
   test("chunk explode does not re-evaluate the token split in the scan") {
     // the e_decontaminate regression shape: an inferred filter on a
     // derived HOF column substituted into the scan. explode_outer emits
