@@ -280,11 +280,22 @@ object TextOps {
     * and broadcast below AQE's threshold.
     */
   private val lmScore: Q = (spark, dir) => {
-    import graft.functions.{TextShingles => TS}
     val docs = Tables.load(spark, dir, "documents")
-    val bigrams = docs.select(col("doc_id"),
-        explode(TS.wordShingles(col("text"), 2)).as("bigram"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    // posexplode_outer + lead, NOT explode(wordShingles(_, 2)): the
+    // shingle HOF is interpreted and explode's inferred size>0 filter
+    // re-evaluates it inside the scan (the e_decontaminate trap —
+    // measured 5.4 s vs 1.3 s for this query at sf0.1). The window
+    // pairs neighbors codegen'd, one doc_id exchange.
+    val toks = docs.select(col("doc_id"),
+      posexplode_outer(split(lower(col("text")), "\\s+"))
+        .as(Seq("pos", "w1")))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks
+      .withColumn("w2", lead(col("w1"), 1).over(wN))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"),
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"))
     val bigramCnt = bigrams.groupBy("bigram").agg(count(lit(1)).as("c12"))
     val prefixCnt = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
     bigrams
@@ -307,14 +318,22 @@ object TextOps {
     * add in the same IEEE order.
     */
   private val charDiversity: Q = (spark, dir) => {
-    val t = lower(col("text"))
-    val counts = ('a' to 'z').map(c =>
-      (length(t) - length(regexp_replace(t, c.toString, ""))).cast("double"))
-    val total = counts.reduceLeft(_ + _)
-    val sumSq = counts.map(c => (c / total) * (c / total)).reduceLeft(_ + _)
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), total.cast("long").as("n_letters"),
-        when(total > 0, round(lit(1.0) - sumSq, 6)).otherwise(null)
+    // One codegen'd byte scan produces all 26 counts ([[LetterCounts]]);
+    // the expression-only form (26 translate passes, or worse, inline
+    // regexp_replace re-evaluated per reference) costs 2.3-4.1 s at
+    // sf0.1 against ~0.5 s here. The staged array column keeps
+    // CollapseProject from inlining the scan per element_at.
+    val staged = Tables.load(spark, dir, "documents")
+      .withColumn("lc", LetterCounts.letterCounts(spark, col("text")))
+      .select(col("doc_id") +: (0 until 26).map(i =>
+        element_at(col("lc"), i + 1).cast("double").as(s"c$i")): _*)
+    val counts = (0 until 26).map(i => col(s"c$i"))
+    val withTotal = staged.withColumn("total", counts.reduceLeft(_ + _))
+    val sumSq = counts.map(c => (c / col("total")) * (c / col("total")))
+      .reduceLeft(_ + _)
+    withTotal
+      .select(col("doc_id"), col("total").cast("long").as("n_letters"),
+        when(col("total") > 0, round(lit(1.0) - sumSq, 6)).otherwise(null)
           .as("gini"))
       .orderBy("doc_id")
   }

@@ -26,6 +26,8 @@ import graft.functions.RollingHash
   *    whole-stage codegen.
   *  - `graft_shard(s, k)` — deterministic content-hash shard id
   *    (the e_shuffle_shard assignment) as a scalar function.
+  *  - `letter_counts(s)` — single-pass a–z occurrence array
+  *    ([[graft.functions.LetterCounts]], codegen'd).
   *
   * All three are Expression-level injections (no UDF encoders, no
   * codegen breaks) — the function registry is the integration seam,
@@ -50,7 +52,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => md5Hash60Expr(exprs.head)),
     (FunctionIdentifier("graft_shard"),
       new ExpressionInfo(classOf[Pmod].getName, "graft_shard"),
-      (exprs: Seq[Expression]) => Pmod(md5Hash60Expr(exprs.head), exprs(1))))
+      (exprs: Seq[Expression]) => Pmod(md5Hash60Expr(exprs.head), exprs(1))),
+    (FunctionIdentifier("letter_counts"),
+      new ExpressionInfo(classOf[graft.functions.LetterCounts].getName,
+        "letter_counts"),
+      (exprs: Seq[Expression]) => graft.functions.LetterCounts(exprs.head)))
 
   /** Register the same functions into an already-running session (the
     * notebook case, where `spark.sql.extensions` can no longer apply).

@@ -35,6 +35,23 @@ class TextAndHashSpec extends SparkSpec {
     }
   }
 
+  test("letter_counts matches the reference byte scan, unicode-safe") {
+    import graft.functions.LetterCounts
+    val samples = Seq("", "Hello World", "naïve — ünïcode ✓ ABC abc",
+      "zzzZZZ", "1234 !@#$")
+    val got = samples.toDF("s")
+      .select(LetterCounts.letterCounts(spark, col("s")))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == samples.map(LetterCounts.reference))
+    // ï and ü are multi-byte: none of their bytes may count as a-z;
+    // 'n','a','v','e' etc. still do
+    val naive = LetterCounts.reference("naïve")
+    assert(naive.sum == 4 && naive('n' - 'a') == 1 && naive('v' - 'a') == 1)
+    LetterCounts.register(spark)
+    assert(spark.sql("SELECT letter_counts(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+  }
+
   test("lm score is a probability mean; diversity is a proper Gini") {
     val docs = Tables.load(spark, sf, "documents")
     val lm = SparkEntry.queries("e_lm_score")(spark, sf)
