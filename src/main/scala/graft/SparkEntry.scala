@@ -104,6 +104,7 @@ object SparkEntry {
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
         |  ('e_quality_gate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
         |  ('e_rebalance', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
         |  ('e_range_join', 2, 'event_id:bigint,n_recent_clicks:bigint'),

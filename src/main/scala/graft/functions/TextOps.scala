@@ -201,6 +201,39 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Interpolated (type-7 / numpy-default) quantiles per language:
+    * value = lo + frac·(hi − lo) at virtual index p·(n−1), where lo/hi
+    * are the neighboring order statistics picked by rank — the exact
+    * distributed form of the interpolation `percentile_cont` performs,
+    * without buffering a group's values in one aggregator. Same
+    * one-exchange window shape as e_length_quantiles; the closing
+    * arithmetic is a fixed double expression both engines evaluate
+    * identically (frac is exact: p·(n−1) with p ∈ {.5,.9} and integer
+    * n).
+    */
+  private val quantilesInterp: Q = (spark, dir) => {
+    val byLen = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars", "doc_id")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    def at(idx: Column) = max(when(col("rn") === idx + 1, col("n_chars")))
+    def interp(p: Double): Column = {
+      val virt = lit(p) * (col("n") - 1).cast("double")
+      val loIdx = floor(virt).cast("long")
+      val frac = virt - loIdx.cast("double")
+      val lo = at(loIdx).cast("double")
+      val hi = at(least(loIdx + 1, col("n") - 1)).cast("double")
+      round(lo + frac * (hi - lo), 4)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(byLen).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy("lang", "n")
+      .agg(interp(0.5).as("p50_interp"), interp(0.9).as("p90_interp"))
+      .select(col("lang"), col("p50_interp"), col("p90_interp"))
+      .orderBy("lang")
+  }
+
   /** Top-5 terms per language: explode → two-phase count on
     * (lang, term) — map-side combine collapses each partition to its
     * distinct vocabulary before the shuffle — then a per-lang window
@@ -339,6 +372,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "e_quantiles_interp" -> quantilesInterp,
     "e_lm_score" -> lmScore,
     "e_char_diversity" -> charDiversity,
     "e_heavy_hitters" -> heavyHitters,
@@ -383,6 +417,34 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the engine's exact double shapes: virt = p*(n-1),
+    // lo_idx = floor(virt), frac = virt - lo_idx, lo + frac*(hi-lo).
+    "e_quantiles_interp" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |), agg AS (
+        |  SELECT lang, n,
+        |    max(CASE WHEN rn = CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+        |        THEN n_chars END) AS lo50,
+        |    max(CASE WHEN rn = least(CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1,
+        |        n - 1) + 1 THEN n_chars END) AS hi50,
+        |    max(CASE WHEN rn = CAST(floor(0.9 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+        |        THEN n_chars END) AS lo90,
+        |    max(CASE WHEN rn = least(CAST(floor(0.9 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1,
+        |        n - 1) + 1 THEN n_chars END) AS hi90
+        |  FROM ranked GROUP BY lang, n
+        |)
+        |SELECT lang,
+        |  round(CAST(lo50 AS DOUBLE) +
+        |    (0.5 * CAST(n - 1 AS DOUBLE) - CAST(CAST(floor(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS DOUBLE))
+        |    * (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE)), 4) AS p50_interp,
+        |  round(CAST(lo90 AS DOUBLE) +
+        |    (0.9 * CAST(n - 1 AS DOUBLE) - CAST(CAST(floor(0.9 * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS DOUBLE))
+        |    * (CAST(hi90 AS DOUBLE) - CAST(lo90 AS DOUBLE)), 4) AS p90_interp
+        |FROM agg ORDER BY lang""".stripMargin,
     // Same bigram construction as the e_quality_gate shingle replay
     // (w=2), conditional-probability denominator = bigram instances
     // per prefix token, mean through a DECIMAL(18,12) sum.

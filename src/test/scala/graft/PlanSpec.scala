@@ -143,6 +143,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("char diversity is one codegen'd scan — no shuffle, one byte pass") {
+    val p = plan("e_char_diversity")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row score must not shuffle:\n$p")
+    assert(p.toLowerCase.contains("lettercounts"),
+      s"expected the LetterCounts expression (not 26 translate passes) in:\n$p")
+    assert(!p.contains("translate("),
+      "the 26-pass translate formulation must not come back")
+  }
+
+  test("lm score scan carries no inferred HOF filter (the explode trap)") {
+    val p = plan("e_lm_score")
+    assert(!p.contains("PushedFilters: [IsNotNull"),
+      s"no inferred filter may reach the documents scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),
