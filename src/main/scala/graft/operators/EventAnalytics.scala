@@ -101,23 +101,38 @@ object EventAnalytics {
   // z arithmetic is a fixed double expression shape both engines
   // evaluate identically. The 5-row stats dim broadcasts back.
   // ---------------------------------------------------------------- //
-  private val anomalyZscore: Q = (spark, dir) => {
-    val ev = events(spark, dir)
-    val stats = ev.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      sum(col("value").cast(DecimalType(28, 10))).as("s1"),
-      sum((col("value") * col("value")).cast(DecimalType(38, 12))).as("s2"))
+  /** Per-type mean/variance from DECIMAL-exact sums — the stats
+    * snapshot both the batch query and the streaming gate score
+    * against.
+    */
+  def typeStats(ev: DataFrame): DataFrame = {
     val mean = col("s1").cast("double") / col("n").cast("double")
     val varS = (col("s2").cast("double") -
       col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double")) /
       (col("n").cast("double") - lit(1.0))
-    val z = (col("value") - col("mean")) / sqrt(col("var_s"))
-    ev.join(broadcast(stats.select(col("event_type"),
-        mean.as("mean"), varS.as("var_s"))), "event_type")
-      .withColumn("z", round(z, 3))
-      .where(abs(col("z")) >= 2.5)
+    ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 10))).as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 12))).as("s2"))
+      .select(col("event_type"), mean.as("mean"), varS.as("var_s"))
+  }
+
+  /** Score rows against a stats snapshot and keep |z| ≥ tau. The stats
+    * side is static and broadcast, so the SAME transform runs over a
+    * batch frame and a stream (stream–static join, stateless) — the
+    * deploy pattern for anomaly detection: stats from the batch job,
+    * scoring on the live stream.
+    */
+  def scoreZ(ev: DataFrame, stats: DataFrame, tau: Double = 2.5): DataFrame =
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        round((col("value") - col("mean")) / sqrt(col("var_s")), 3))
+      .where(abs(col("z")) >= tau)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
-      .orderBy("event_id")
+
+  private val anomalyZscore: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    scoreZ(ev, typeStats(ev)).orderBy("event_id")
   }
 
   // ---------------------------------------------------------------- //

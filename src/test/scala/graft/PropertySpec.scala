@@ -132,4 +132,22 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("letter_counts interpreted eval equals the reference on arbitrary text") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(
+      (5, Gen.alphaChar), (2, Gen.choose(' ', '~')),
+      (1, Gen.choose(0x80.toChar, 0x2fff.toChar)))
+    forAll(Gen.listOf(charGen).map(_.mkString), n = 60) { s =>
+      val got = graft.functions.LetterCounts(
+          Literal(UTF8String.fromString(s), StringType))
+        .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+      assert(got == graft.functions.LetterCounts.reference(s),
+        s"mismatch for ${s.take(40)}")
+      assert(got.sum <= s.length)
+    }
+  }
 }

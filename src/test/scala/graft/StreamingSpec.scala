@@ -28,6 +28,29 @@ class StreamingSpec extends SparkSpec {
       (2L, t(5), 1L, 8.0)))
   }
 
+  test("stream z-score gate matches batch scoring on the same stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    val stats = graft.operators.EventAnalytics.typeStats(
+      Tables.load(spark, "/root/testdata/sf0.001", "events"))
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData(ev.as[(Long, String, Double)].collect().toSeq: _*)
+    val q = graft.operators.EventAnalytics
+      .scoreZ(mem.toDF().toDF("event_id", "event_type", "value"), stats)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zgate_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("zgate_test")
+        .select("event_id").as[Long].collect().toSet
+      val want = graft.operators.EventAnalytics.scoreZ(ev, stats)
+        .select("event_id").as[Long].collect().toSet
+      assert(got.nonEmpty && got == want,
+        "stateless stream gate must flag exactly the batch outliers")
+    } finally q.stop()
+  }
+
   test("streaming sessionize over MemoryStream with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
