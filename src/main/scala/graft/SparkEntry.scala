@@ -93,6 +93,7 @@ object SparkEntry {
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
         |  ('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),
         |  ('e_lm_score', 3, 'doc_id:bigint,n_bigrams:bigint,lm_score:double'),
+        |  ('e_mad', 4, 'event_type:string,n:bigint,median:double,mad:double'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
@@ -134,6 +135,7 @@ object SparkEntry {
         |  ('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
         |  ('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
         |  ('e_zorder', 2, 'o_orderkey:bigint,zval:bigint'),
+        |  ('e_window_pct', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,pct_rank:double,cume:double'),
         |  ('e_window_rank', 4, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,rn:int'),
         |  ('e_window_running', 3, 'o_custkey:bigint,o_orderkey:bigint,running_total:double'),
         |  ('r_desc_table', 3, 'col_name:string,data_type:string,nullable:boolean'),

@@ -251,8 +251,42 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
+  // ---------------------------------------------------------------- //
+  // e_mad: robust outlier stats — per-type lower median and median
+  // absolute deviation by rank-pick (two window passes over the same
+  // event_type exchange; the 5-row median dim broadcasts back for the
+  // deviation pass). Both statistics are actual data values, so the
+  // output is exact with no rounding rule at all — more robust than
+  // the z-score pair when the value distribution is heavy-tailed.
+  // ---------------------------------------------------------------- //
+  private val mad: Q = (spark, dir) => {
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val byV = Window.partitionBy("event_type")
+        .orderBy(col(valueCol), col("event_id"))
+      val whole = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(byV).cast("long"))
+        .withColumn("n", count(lit(1)).over(whole))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") ===
+            floor((col("n") - 1) / lit(2.0)).cast("long") + 1,
+          col(valueCol))).as(out), max("n").as(s"${out}_n"))
+    }
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val med = lowerMedian(ev, "value", "median")
+    val dev = ev.join(broadcast(med.select("event_type", "median")), "event_type")
+      .select(col("event_type"), col("event_id"),
+        abs(col("value") - col("median")).as("adev"))
+    lowerMedian(dev, "adev", "mad")
+      .join(med, "event_type")
+      .select(col("event_type"), col("median_n").as("n"),
+        col("median"), col("mad"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_dau_churn" -> dauChurn,
+    "e_mad" -> mad,
     "e_rolling_7d" -> rolling7d,
     "e_sessionize" -> sessionize,
     "e_funnel" -> funnel,
@@ -264,6 +298,34 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_mad" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, max(n)::BIGINT AS n,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) / 2.0) AS BIGINT) + 1
+        |        THEN value END) AS median
+        |  FROM ranked GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, e.event_id, abs(e.value - m.median) AS adev
+        |  FROM events e JOIN med m USING (event_type)
+        |), ranked2 AS (
+        |  SELECT event_type, adev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |), madt AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) / 2.0) AS BIGINT) + 1
+        |        THEN adev END) AS mad
+        |  FROM ranked2 GROUP BY event_type
+        |)
+        |SELECT m.event_type, m.n, m.median, d.mad
+        |FROM med m JOIN madt d USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
     "e_rolling_7d" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

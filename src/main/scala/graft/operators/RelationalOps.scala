@@ -147,6 +147,22 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Relative-position window functions: percent_rank = (rank−1)/(n−1)
+    * and cume_dist = rows≤current / n — exact rationals over a
+    * tie-free ordering (o_orderkey breaks ties), so both round
+    * bit-identically in the oracle. Single-row partitions (two exist
+    * in the fixture) pin the 0/0 → 0.0 and 1.0 edge both engines
+    * define the same way. Shares the one o_custkey exchange.
+    */
+  private val windowPct: Q = (spark, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global top-k: sort+limit fuses into TakeOrderedAndProject —
     * per-partition heaps + driver merge, no global sort. This is the
     * plan shape that survives 100 TB.
@@ -386,6 +402,7 @@ object RelationalOps {
     "e_window_rank" -> windowRank,
     "e_window_running" -> windowRunning,
     "e_window_lag" -> windowLag,
+    "e_window_pct" -> windowPct,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -543,6 +560,13 @@ object RelationalOps {
         |CAST(NTILE(4) OVER w AS INT) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_window_pct" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
