@@ -95,6 +95,7 @@ object SparkEntry {
         |  ('e_lm_score', 3, 'doc_id:bigint,n_bigrams:bigint,lm_score:double'),
         |  ('e_mad', 4, 'event_type:string,n:bigint,median:double,mad:double'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
+        |  ('e_median_hist', 3, 'event_type:string,n:bigint,median_hist:double'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),

@@ -258,6 +258,11 @@ object EventAnalytics {
   // deviation pass). Both statistics are actual data values, so the
   // output is exact with no rounding rule at all — more robust than
   // the z-score pair when the value distribution is heavy-tailed.
+  // Scale caveat (same as e_length_quantiles): rank-pick windows over a
+  // LOW-cardinality stratum serialize each stratum into one task; at
+  // 100 TB per stratum the exact path is a value-histogram + binary
+  // search (two full scans, no per-stratum sort) or a t-digest sketch —
+  // the window form is right when strata are many or bounded.
   // ---------------------------------------------------------------- //
   private val mad: Q = (spark, dir) => {
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
@@ -284,9 +289,45 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- //
+  // e_median_hist: the 100 TB exact-median path the e_mad caveat
+  // names — histogram + in-bucket refinement, fully declarative:
+  // (1) bucket every value (codegen'd floor, 1024 bins), (2) per-type
+  // cumulative histogram over ≤1024 tiny rows picks the bucket holding
+  // the median rank, (3) rank-pick WITHIN that one bucket (~n/1024
+  // rows per stratum — no per-stratum full sort anywhere). Bucketing
+  // is monotone in value, so bucket-local rank + cumulative-before
+  // equals global rank exactly; the result is the same lower median
+  // e_mad computes, asserted equal in EventAnalyticsSpec.
+  // ---------------------------------------------------------------- //
+  private val medianHist: Q = (spark, dir) => {
+    val nb = 1024
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val binned = ev.withColumn("bucket",
+      least(floor(col("value") * lit(nb.toDouble) / lit(1000.0)),
+        lit((nb - 1).toLong)).cast("long"))
+    val wb = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = binned.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum(col("c")).over(
+        wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    val k = floor((col("n") - 1) / lit(2.0)).cast("long") + 1
+    val target = cum.where(col("cb") < k && k <= col("cb") + col("c"))
+      .select(col("event_type"), col("bucket"), col("cb"), k.as("k"), col("n"))
+    binned.join(target, Seq("event_type", "bucket"))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy("value", "event_id")))
+      .where(col("rn") === col("k") - col("cb"))
+      .select(col("event_type"), col("n"), col("value").as("median_hist"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_dau_churn" -> dauChurn,
     "e_mad" -> mad,
+    "e_median_hist" -> medianHist,
     "e_rolling_7d" -> rolling7d,
     "e_sessionize" -> sessionize,
     "e_funnel" -> funnel,
@@ -298,6 +339,34 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_median_hist" ->
+      """WITH binned AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(least(floor(value * 1024.0 / 1000.0), 1023) AS BIGINT) AS bucket
+        |  FROM events
+        |), cum AS (
+        |  SELECT event_type, bucket, c,
+        |    coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM (SELECT event_type, bucket, count(*) AS c
+        |        FROM binned GROUP BY 1, 2)
+        |), target AS (
+        |  SELECT event_type, bucket, cb,
+        |    CAST(floor((n - 1) / 2.0) AS BIGINT) + 1 AS k, n
+        |  FROM cum
+        |  WHERE cb < CAST(floor((n - 1) / 2.0) AS BIGINT) + 1
+        |    AND CAST(floor((n - 1) / 2.0) AS BIGINT) + 1 <= cb + c
+        |), ranked AS (
+        |  SELECT b.event_type, b.value, t.cb, t.k, t.n,
+        |    row_number() OVER (PARTITION BY b.event_type
+        |      ORDER BY b.value, b.event_id) AS rn
+        |  FROM binned b JOIN target t
+        |    ON b.event_type = t.event_type AND b.bucket = t.bucket
+        |)
+        |SELECT event_type, n::BIGINT AS n, value AS median_hist
+        |FROM ranked WHERE rn = k - cb
+        |ORDER BY event_type""".stripMargin,
     "e_mad" ->
       """WITH ranked AS (
         |  SELECT event_type, event_id, value,

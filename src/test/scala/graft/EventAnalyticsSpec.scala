@@ -121,6 +121,18 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(chk.count() == 0, "churn(d) must equal DAU(d-1) - retained(d)")
   }
 
+  test("histogram median equals the rank-pick median exactly") {
+    // two independent exact-median algorithms (full per-stratum sort
+    // vs histogram + in-bucket refinement) must agree to the bit
+    val viaMad = q("e_mad").select("event_type", "median")
+    val viaHist = q("e_median_hist")
+      .select(col("event_type"), col("median_hist"))
+    val joined = viaMad.join(viaHist, "event_type")
+    assert(joined.count() == 5)
+    assert(joined.where(col("median") =!= col("median_hist")).count() == 0,
+      "histogram refinement must reproduce the sort-based median")
+  }
+
   // ------------------------- plan shapes ------------------------- //
 
   private def plan(name: String): String =
