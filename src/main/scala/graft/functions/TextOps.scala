@@ -252,15 +252,32 @@ object TextOps {
       .orderBy("lang", "term_rank")
   }
 
-  private val CmsDepth = 4
-  private val CmsWidth = 512L
+  val CmsDepth = 4
+  val CmsWidth = 512L
 
   /** The CMS bucket for hash row `d`: md5-60bit("d:term") mod width —
     * the cross-engine hash family, so the whole sketch replays in the
     * oracle.
     */
-  private def cmsBucket(d: Int, term: Column): Column =
+  def cmsBucket(d: Int, term: Column): Column =
     pmod(TextShingles.md5Hash60(concat(lit(s"$d:"), term)), lit(CmsWidth))
+
+  /** The CMS counter build as a reusable transform over any frame with
+    * a `text` column — batch AND stream: as a streaming aggregation
+    * (complete/update mode) its state is bounded at depth×width rows
+    * (2048 here) no matter how long the stream runs, which is the
+    * whole point of sketching a heavy-hitter count — pinned by a
+    * MemoryStream test that compares the final counters to the batch
+    * build.
+    */
+  def cmsCounters(docs: DataFrame): DataFrame =
+    docs.select(explode(TextShingles.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsBucket(d, col("term")).as("bucket"))): _*))
+        .as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
 
   /** Heavy hitters via a count-min sketch, relationally: the sketch
     * build IS a groupBy over (hash_row, bucket) — depth×width counters
@@ -274,15 +291,11 @@ object TextOps {
     * oracle can audit the estimate against truth.
     */
   private val heavyHitters: Q = (spark, dir) => {
-    val terms = Tables.load(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs
       .select(explode(TextShingles.tokens(col("text"))).as("term"))
       .where(length(col("term")) > 0)
-    val counters = terms
-      .select(explode(array((0 until CmsDepth).map(d =>
-        struct(lit(d).as("d"), cmsBucket(d, col("term")).as("bucket"))): _*))
-        .as("db"))
-      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val counters = cmsCounters(docs)
     val exactTop = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("term")).limit(25)
     exactTop

@@ -51,6 +51,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS counter build: bounded state, equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val half = docs.as[(Long, String)].collect().toSeq.splitAt(100)
+    mem.addData(half._1: _*)
+    val q = graft.functions.TextOps.cmsCounters(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_test").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(half._2: _*)   // counters keep accumulating
+      q.processAllAvailable()
+      val got = spark.table("cms_test")
+        .as[(Int, Long, Long)].collect().toSet
+      val want = graft.functions.TextOps.cmsCounters(docs)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(got == want, "stream counters must equal the batch sketch")
+      // the scale property: state is d*w rows, not vocabulary-sized
+      assert(got.size <= graft.functions.TextOps.CmsDepth *
+        graft.functions.TextOps.CmsWidth)
+    } finally q.stop()
+  }
+
   test("streaming sessionize over MemoryStream with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
