@@ -104,6 +104,7 @@ object SparkEntry {
         |  ('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
+        |  ('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
         |  ('e_quality_gate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
