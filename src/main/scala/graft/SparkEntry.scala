@@ -74,6 +74,7 @@ object SparkEntry {
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
+        |  ('e_embedding_quantize', 4, 'vec_id:bigint,scale_r:double,q_checksum:bigint,q_max:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
         |  ('e_funnel', 3, 'stage:int,step:string,n_users:bigint'),
         |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),

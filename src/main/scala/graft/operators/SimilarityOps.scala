@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
@@ -205,11 +205,42 @@ object SimilarityOps {
     probeIvf(buildIvfIndex(spark, dir), vectorOf(spark, dir, 0L),
       nprobe = 4, k = 10, excludeId = 0L)
 
+  /** Symmetric int8 quantization of each embedding — the compression
+    * step an ANN store applies before indexing (4× smaller than
+    * float32). scale = max|x|/127; q_i = floor(x_i/scale + 0.5), an
+    * explicit round-half-up both engines spell identically (no
+    * banker's-rounding ambiguity). The audit output is exact-integer:
+    * a position-weighted checksum pinning every quantized value (all
+    * sums < 2⁵³, so IEEE addition order cannot matter) and max|q| ≤
+    * 127 proving range fit. Per-row lambda work over 64-element
+    * arrays, zero shuffle.
+    */
+  private val embQuantize: Q = (spark, dir) => {
+    val staged = Tables.load(spark, dir, "embeddings")
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) /
+          lit(127.0))
+    val q = (x: Column) =>
+      floor(x.cast("double") / col("scale") + lit(0.5))
+    // Spark lambda index is 0-based, DuckDB's is 1-based: weight (i+1)
+    // here equals weight i there.
+    val checksum = aggregate(
+      transform(col("embedding"), (x, i) => q(x) * (i + 1).cast("double")),
+      lit(0.0), (a, b) => a + b).cast("long")
+    val qmax = array_max(transform(col("embedding"), x => abs(q(x))))
+      .cast("long")
+    staged.select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+      when(col("scale") === 0.0, 0L).otherwise(checksum).as("q_checksum"),
+      when(col("scale") === 0.0, 0L).otherwise(qmax).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
+    "e_embedding_quantize" -> embQuantize,
   )
 
   /** Brute-force top-k is oracle-checked via DuckDB's
@@ -220,6 +251,23 @@ object SimilarityOps {
     * deterministic quantizer in DuckDB — see [[ivfOracle]].
     */
   val oracles: Map[String, String] = Map(
+    "e_embedding_quantize" ->
+      """WITH staged AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      / 127.0 AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  CASE WHEN scale = 0 THEN 0 ELSE
+        |    CAST(list_sum(list_transform(embedding, (x, i) ->
+        |      floor(CAST(x AS DOUBLE) / scale + 0.5) * CAST(i AS DOUBLE)))
+        |    AS BIGINT) END AS q_checksum,
+        |  CASE WHEN scale = 0 THEN 0 ELSE
+        |    CAST(list_max(list_transform(embedding, x ->
+        |      abs(floor(CAST(x AS DOUBLE) / scale + 0.5)))) AS BIGINT)
+        |  END AS q_max
+        |FROM staged ORDER BY vec_id""".stripMargin,
     "e_similarity_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
