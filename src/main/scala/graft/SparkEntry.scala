@@ -54,7 +54,9 @@ object SparkEntry {
         |  ('e_agg_group', 7, 'l_returnflag:string,l_linestatus:string,sum_qty:double,sum_base_price:double,sum_disc_price:double,avg_qty:double,cnt:bigint'),
         |  ('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
+        |  ('e_argmax', 3, 'c_nationkey:int,best_acctbal:double,best_custkey:bigint'),
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
+        |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
         |  ('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_cohort_retention', 3, 'cohort_week:timestamp,week_offset:bigint,n_active:bigint'),
@@ -79,6 +81,7 @@ object SparkEntry {
         |  ('e_funnel', 3, 'stage:int,step:string,n_users:bigint'),
         |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
+        |  ('e_group_concat', 3, 'lang:string,sources:string,n_sources:bigint'),
         |  ('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
         |  ('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
@@ -95,6 +98,7 @@ object SparkEntry {
         |  ('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),
         |  ('e_lm_score', 3, 'doc_id:bigint,n_bigrams:bigint,lm_score:double'),
         |  ('e_mad', 4, 'event_type:string,n:bigint,median:double,mad:double'),
+        |  ('e_markov', 4, 'from_type:string,to_type:string,cnt:bigint,p:double'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_median_hist', 3, 'event_type:string,n:bigint,median_hist:double'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),

@@ -324,9 +324,30 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- //
+  // e_markov: event-type transition counts + conditional probabilities
+  // — the first-order behavior model (what follows a click?). lead()
+  // reuses the per-user exchange; the (from, to) matrix is
+  // |types|² ≈ 25 rows, and the per-from normalization windows over
+  // that tiny frame, not the event stream.
+  // ---------------------------------------------------------------- //
+  private val markov: Q = (spark, dir) => {
+    val pairs = events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val wFrom = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p", round(col("cnt").cast("double") /
+        sum(col("cnt")).over(wFrom).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_dau_churn" -> dauChurn,
     "e_mad" -> mad,
+    "e_markov" -> markov,
     "e_median_hist" -> medianHist,
     "e_rolling_7d" -> rolling7d,
     "e_sessionize" -> sessionize,
@@ -339,6 +360,20 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_markov" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events
+        |), cnts AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, cnt,
+        |  round(CAST(cnt AS DOUBLE) /
+        |    CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM cnts ORDER BY from_type, to_type""".stripMargin,
     "e_median_hist" ->
       """WITH binned AS (
         |  SELECT event_type, event_id, value,

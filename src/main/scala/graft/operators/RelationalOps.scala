@@ -163,6 +163,47 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Ordered string aggregation, deterministically: sort_array over
+    * the collected distinct set before joining — collect_set order is
+    * partition-dependent, the sort is not (listagg without WITHIN
+    * GROUP has the same trap). Distinct set is bounded by the source
+    * vocabulary, not the row count.
+    */
+  private val groupConcat: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(array_join(sort_array(collect_set(col("source"))), ",")
+          .as("sources"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Bitmask aggregation: one BIGINT of membership bits per group via
+    * bit_or — the poor-man's bitmap index (presence of doc_id residue
+    * classes per language). Constant-size aggregation state; popcount
+    * audits slot coverage.
+    */
+  private val bitmask: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT)))")
+        .as("mask"))
+      .select(col("lang"), col("mask"),
+        bit_count(col("mask")).cast("int").as("n_slots"))
+      .orderBy("lang")
+
+  /** Deterministic arg-max via struct ordering: max(struct(ord, id))
+    * is lexicographic, so ties on the ordering value resolve to the
+    * larger id — unlike bare max_by, whose tie choice is
+    * partition-order-dependent. One two-phase aggregate, no window.
+    */
+  private val argmax: Q = (spark, dir) =>
+    Tables.load(spark, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+      .select(col("c_nationkey"), col("m.c_acctbal").as("best_acctbal"),
+        col("m.c_custkey").as("best_custkey"))
+      .orderBy("c_nationkey")
+
   /** Global top-k: sort+limit fuses into TakeOrderedAndProject —
     * per-partition heaps + driver merge, no global sort. This is the
     * plan shape that survives 100 TB.
@@ -403,6 +444,9 @@ object RelationalOps {
     "e_window_running" -> windowRunning,
     "e_window_lag" -> windowLag,
     "e_window_pct" -> windowPct,
+    "e_group_concat" -> groupConcat,
+    "e_bitmask" -> bitmask,
+    "e_argmax" -> argmax,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -561,6 +605,24 @@ object RelationalOps {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_group_concat" ->
+      """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |count(DISTINCT source)::BIGINT AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_bitmask" ->
+      """SELECT lang,
+        |bit_or(1::BIGINT << CAST(doc_id % 60 AS INT)) AS mask,
+        |CAST(bit_count(bit_or(1::BIGINT << CAST(doc_id % 60 AS INT))) AS INT)
+        |  AS n_slots
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_argmax" ->
+      """SELECT c_nationkey, c_acctbal AS best_acctbal,
+        |c_custkey AS best_custkey FROM (
+        |  SELECT c_nationkey, c_acctbal, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM customer) t
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
     "e_window_pct" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |round(percent_rank() OVER w, 6) AS pct_rank,
