@@ -69,6 +69,7 @@ object SparkEntry {
         |  ('e_dedup_cluster_stats', 3, 'cluster_size:bigint,n_clusters:bigint,n_docs:bigint'),
         |  ('e_dedup_embedding', 2, 'vec_id:bigint,label:int'),
         |  ('e_dedup_exact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_keep_longest', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_minhash', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_minhash_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
@@ -120,6 +121,7 @@ object SparkEntry {
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
         |  ('e_rolling_7d', 4, 'event_type:string,day:timestamp,n_7d:bigint,v_7d:double'),
         |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
+        |  ('e_sample_weighted', 3, 'lang:string,n_kept:bigint,sum_chars:bigint'),
         |  ('e_scd2', 5, 'user_id:bigint,event_type:string,valid_from:timestamp,valid_to:timestamp,n_in_run:bigint'),
         |  ('e_sessionize', 4, 'user_id:bigint,event_id:bigint,ts:timestamp,session_seq:bigint'),
         |  ('e_set_except', 1, 'nationkey:int'),

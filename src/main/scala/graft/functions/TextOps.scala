@@ -177,6 +177,21 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Length-weighted deterministic sampling: keep a document iff
+    * md5-60bit(doc_id) mod 2000 < n_chars, i.e. P(keep) ≈
+    * n_chars/2000, clamped at 1 — importance sampling by length with
+    * zero RNG state. The comparison is exact integer arithmetic, so
+    * membership is identical under any partitioning and in the
+    * oracle; one codegen'd scan plus the tiny per-lang aggregate.
+    */
+  private val sampleWeighted: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .where(pmod(TextShingles.md5Hash60(col("doc_id").cast("string")),
+        lit(2000L)) < col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
   /** Exact corpus length quantiles per language via rank-pick: the
     * value at row_number floor(p·(n−1))+1 of the per-stratum sort. One
     * exchange on lang + one window sort — the distributed-exact path
@@ -392,6 +407,7 @@ object TextOps {
     "e_length_quantiles" -> lengthQuantiles,
     "e_top_terms" -> topTerms,
     "e_sample_stratified" -> sampleStratified,
+    "e_sample_weighted" -> sampleWeighted,
     "e_pipeline_e2e" -> pipelineE2e,
     "e_token_count" -> tokenCount,
     "e_quality_score" -> qualityScore,
@@ -430,6 +446,13 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "e_sample_weighted" ->
+      """SELECT lang, count(*)::BIGINT AS n_kept,
+        |sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2000
+        |  < n_chars
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Mirrors the engine's exact double shapes: virt = p*(n-1),
     // lo_idx = floor(virt), frac = virt - lo_idx, lo + frac*(hi-lo).
     "e_quantiles_interp" ->

@@ -36,6 +36,25 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Exact dedup with the keep-BEST policy (longest text, then lowest
+    * doc_id) instead of first-seen — the survivor rule a production
+    * pipeline actually wants when duplicates differ in truncation.
+    * Same single hash(text) shuffle; only the within-group ordering
+    * changes.
+    */
+  def exactDedupKeepLongest(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  private val dedupKeepLongest: Q = (spark, dir) =>
+    exactDedupKeepLongest(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** MinHash band keys via explode + hash-aggregate: k codegen'd MIN
     * columns over the exploded shingle hashes, instead of k interpreted
     * array folds per row (HOFs don't participate in whole-stage
@@ -571,6 +590,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "e_decontaminate" -> decontaminateQ,
     "e_dedup_exact" -> dedupExact,
+    "e_dedup_keep_longest" -> dedupKeepLongest,
     "e_dedup_minhash" -> dedupMinhash,
     "e_dedup_simhash" -> dedupSimhash,
     "e_dedup_ngram" -> dedupNgram,
@@ -747,6 +767,12 @@ object DedupOps {
       """SELECT doc_id, lang, source, n_chars FROM (
         |SELECT doc_id, lang, source, n_chars,
         |ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "e_dedup_keep_longest" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |SELECT doc_id, lang, source, n_chars,
+        |ROW_NUMBER() OVER (PARTITION BY text
+        |  ORDER BY n_chars DESC, doc_id) AS rn
         |FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // CC closure: min-reachable-label fixpoint via WITH RECURSIVE —
     // propagate any smaller label along edges, then take the minimum.
