@@ -95,6 +95,42 @@ class ScalePatternSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // One hot key holds 90% of the left side; with broadcast disabled
+    // and tiny skew thresholds, AQE's OptimizeSkewedJoin must split
+    // the hot partition (isSkewJoin on the SMJ node) — the runtime
+    // half of the skew story whose static half is the salted join.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> scala.util.Try(c.get(k)).toOption)
+    try {
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions._
+      val left = spark.range(200000).select(
+        when(col("id") < 180000, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS dataset's plan so AQE finalizes it, then inspect
+      assert(j.collect().length == 180000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkewJoin=true") ||
+        plan.toLowerCase.contains("skew=true"),
+        s"expected AQE skew split in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("z-order interleave places a-bits at odd and b-bits at even positions") {
     val out = Seq((5L, 3L)).toDF("a", "b")
       .select(ZOrder.interleave(col("a"), col("b"), bits = 3).as("z"))
