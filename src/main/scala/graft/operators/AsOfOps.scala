@@ -56,7 +56,7 @@ object AsOfOps {
       case None => matchedRaw
     }
 
-    lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
       .withColumn("_m", matched)
       .where(col("_is_left") === 1)
       .select((col(key) +: lPay.map(col)) ++

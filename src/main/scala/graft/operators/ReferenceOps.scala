@@ -61,7 +61,7 @@ object ReferenceOps {
     val l = Tables.load(spark, dir, "lineitem").as("l")
     o.join(l, col("o.o_orderkey") === col("l.l_orderkey"), "inner")
       .where(col("o.o_orderkey") === lit(7L))
-      .select(col("o.o_orderkey") +: l.columns.map(c => col(s"l.$c")): _*)
+      .select(col("o.o_orderkey") +: l.columns.toIndexedSeq.map(c => col(s"l.$c")): _*)
       .orderBy("l_linenumber")
   }
 

@@ -21,12 +21,12 @@ object ExternalJson {
     */
   def fromJson(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
-    spark.read.json(Seq(json).toDS)
+    spark.read.json(Seq(json).toDS())
   }
 
   /** Materialize one JSON document per element. */
   def fromJsonLines(spark: SparkSession, lines: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.json(lines.toDS)
+    spark.read.json(lines.toDS())
   }
 }
