@@ -163,6 +163,62 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Discounted revenue in the decimal-exact pattern every money sum
+    * here uses: per-row double product (bit-identical in any engine),
+    * DECIMAL(18,6) sum (associative → partial aggregation stays on),
+    * final double cast.
+    */
+  private def discRevenue =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 6))).cast("double").as("revenue")
+
+  /** TPC-H Q3 shape (shipping-priority): segment-filtered customers ⋈
+    * orders ⋈ lineitem with complementary date filters, per-order
+    * revenue, global top 10. Catalyst pushes all three filters into
+    * the scans, the two joins shuffle on their keys under AQE, and
+    * the final sort+limit fuses to TakeOrderedAndProject.
+    */
+  private val tpchQ3: Q = (spark, dir) => {
+    val cut = lit("1998-01-01").cast("timestamp_ntz")
+    val c = Tables.load(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders").where(col("o_orderdate") < cut)
+    val l = Tables.load(spark, dir, "lineitem").where(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(discRevenue)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): the six-way join — fact
+    * tables shuffle on their keys, the three dims (supplier, nation,
+    * region) broadcast — with the local-supplier constraint
+    * c_nationkey = s_nationkey and a one-year order window, revenue
+    * per nation.
+    */
+  private val tpchQ5: Q = (spark, dir) => {
+    val o = Tables.load(spark, dir, "orders").where(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val l = Tables.load(spark, dir, "lineitem")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region").where(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(discRevenue)
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Ordered string aggregation, deterministically: sort_array over
     * the collected distinct set before joining — collect_set order is
     * partition-dependent, the sort is not (listagg without WITHIN
@@ -447,6 +503,8 @@ object RelationalOps {
     "e_group_concat" -> groupConcat,
     "e_bitmask" -> bitmask,
     "e_argmax" -> argmax,
+    "e_tpch_q3" -> tpchQ3,
+    "e_tpch_q5" -> tpchQ5,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -605,6 +663,29 @@ object RelationalOps {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_tpch_q3" ->
+      """SELECT l_orderkey,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS revenue, o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "e_tpch_q5" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "e_group_concat" ->
       """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
         |count(DISTINCT source)::BIGINT AS n_sources

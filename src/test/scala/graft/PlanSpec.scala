@@ -160,6 +160,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q3: filters reach all three scans, top-10 fuses, no cartesian") {
+    val p = plan("e_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must push into the customer scan:\n$p")
+    assert("LessThan\\(o_orderdate".r.findAllIn(p).nonEmpty &&
+      "GreaterThan\\(l_shipdate".r.findAllIn(p).nonEmpty,
+      "date filters must push into the orders/lineitem scans")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q5: the three dims broadcast, facts hash-join") {
+    val p = plan("e_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"supplier/nation/region must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),
