@@ -219,6 +219,24 @@ object RelationalOps {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q13 shape (customer distribution): order count per customer
+    * through a filtered LEFT join (customers with no orders count as
+    * 0), then the distribution of those counts — a two-level
+    * aggregation, both keyed, all-integer output.
+    */
+  private val tpchQ13: Q = (spark, dir) => {
+    val c = Tables.load(spark, dir, "customer").select("c_custkey")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Ordered string aggregation, deterministically: sort_array over
     * the collected distinct set before joining — collect_set order is
     * partition-dependent, the sort is not (listagg without WITHIN
@@ -505,6 +523,7 @@ object RelationalOps {
     "e_argmax" -> argmax,
     "e_tpch_q3" -> tpchQ3,
     "e_tpch_q5" -> tpchQ5,
+    "e_tpch_q13" -> tpchQ13,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -686,6 +705,13 @@ object RelationalOps {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "e_tpch_q13" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "e_group_concat" ->
       """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
         |count(DISTINCT source)::BIGINT AS n_sources
