@@ -296,9 +296,18 @@ object PrepOps {
       .select(col("doc_id"), col("lang"), col("text"))
     val shard = pmod(graft.functions.TextShingles
       .md5Hash60(col("doc_id").cast("string")), lit(8L))
-    chunkDocs(picked)
-      .join(picked.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("lang"), shard.as("shard"), col("n_chunk_tokens"))
+    // chunking inlined with lang carried through — joining chunkDocs'
+    // output back to recover lang costs two more exchanges (measured 8
+    // vs 5 in the plan); the explode is local either way
+    picked
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode_outer(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(ChunkStride))).as("start"))
+      .select(col("lang"), shard.as("shard"),
+        size(slice(col("toks"), col("start"), lit(ChunkLen)))
+          .cast("long").as("n_chunk_tokens"))
       .groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("n_chunk_tokens")).as("sum_tokens"))

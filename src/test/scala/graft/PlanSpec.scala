@@ -179,6 +179,23 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("fused pipelines stay within their exchange budgets") {
+    // the "one Catalyst plan" claims, pinned as shuffle-count ceilings:
+    // a refactor that materializes a stage or loses co-partitioning
+    // shows up here as an extra Exchange
+    def exchanges(q: String): Int =
+      "Exchange".r.findAllIn(plan(q)).size
+    assert(exchanges("e_pipeline_e2e") <= 4,
+      "dedup shuffle + lang agg + final sort only")
+    assert(exchanges("e_pipeline_mix_pack") <= 6,
+      "mixture window + join + (lang,shard) agg + final sort only")
+    // decontamination legitimately re-keys: shingle join, overlap agg,
+    // eval-size agg, contaminated-distinct, anti join, dedup window,
+    // final sort — 8 exchanges, each on a different key
+    assert(exchanges("e_quality_gate") <= 8,
+      "a 9th exchange means a stage stopped fusing")
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),
