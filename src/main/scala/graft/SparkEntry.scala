@@ -125,6 +125,7 @@ object SparkEntry {
         |  ('e_scd2', 5, 'user_id:bigint,event_type:string,valid_from:timestamp,valid_to:timestamp,n_in_run:bigint'),
         |  ('e_sessionize', 4, 'user_id:bigint,event_id:bigint,ts:timestamp,session_seq:bigint'),
         |  ('e_set_except', 1, 'nationkey:int'),
+        |  ('e_share_of_total', 3, 'c_nationkey:int,revenue:double,share:double'),
         |  ('e_set_intersect', 1, 'nationkey:int'),
         |  ('e_set_union', 1, 'name:string'),
         |  ('e_shuffle_shard', 4, 'shard:bigint,n_docs:bigint,sum_chars:bigint,fp:bigint'),
@@ -141,6 +142,7 @@ object SparkEntry {
         |  ('e_topk', 3, 'l_orderkey:bigint,l_linenumber:int,l_extendedprice:double'),
         |  ('e_topk_per_key', 3, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double'),
         |  ('e_tpch_q13', 2, 'c_count:bigint,custdist:bigint'),
+        |  ('e_tpch_q18', 4, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,total_qty:double'),
         |  ('e_tpch_q3', 3, 'l_orderkey:bigint,revenue:double,o_orderdate:timestamp_ntz'),
         |  ('e_tpch_q5', 2, 'n_name:string,revenue:double'),
         |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),

@@ -237,6 +237,44 @@ object RelationalOps {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate
+    * keys semi-joined back to the fact — the aggregate-then-filter-
+    * then-rejoin pattern (Spark plans the HAVING as a post-aggregate
+    * filter and the IN-subquery as a LeftSemi hash join). Quantities
+    * are integer-valued doubles, so the sums are exact.
+    */
+  private val tpchQ18: Q = (spark, dir) => {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 300.0)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Ratio-to-report: each nation's share of total order revenue — the
+    * percent-of-total window pattern. The denominator is a window over
+    * the 25-row aggregate, not the fact table, so the "global total"
+    * costs one single-partition exchange of 25 rows.
+    */
+  private val shareOfTotal: Q = (spark, dir) => {
+    val per = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    per.select(col("c_nationkey"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          sum(col("rev")).over(Window.partitionBy())
+            .cast("double"), 6).as("share"))
+      .orderBy("c_nationkey")
+  }
+
   /** Ordered string aggregation, deterministically: sort_array over
     * the collected distinct set before joining — collect_set order is
     * partition-dependent, the sort is not (listagg without WITHIN
@@ -524,6 +562,8 @@ object RelationalOps {
     "e_tpch_q3" -> tpchQ3,
     "e_tpch_q5" -> tpchQ5,
     "e_tpch_q13" -> tpchQ13,
+    "e_tpch_q18" -> tpchQ18,
+    "e_share_of_total" -> shareOfTotal,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -705,6 +745,23 @@ object RelationalOps {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "e_tpch_q18" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM orders
+        |JOIN (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0
+        |) big ON o_orderkey = big.l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "e_share_of_total" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey
+        |)
+        |SELECT c_nationkey, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+        |    AS share
+        |FROM per ORDER BY c_nationkey""".stripMargin,
     "e_tpch_q13" ->
       """SELECT c_count, count(*)::BIGINT AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
