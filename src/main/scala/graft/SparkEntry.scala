@@ -111,7 +111,9 @@ object SparkEntry {
         |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |  ('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),
+        |  ('e_minmax_norm', 3, 'event_id:bigint,event_type:string,v_norm:double'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
+        |  ('e_profile', 5, 'column_name:string,n_nulls:bigint,n_distinct:bigint,min_len:bigint,max_len:bigint'),
         |  ('e_quality_gate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),

@@ -275,6 +275,50 @@ object RelationalOps {
       .orderBy("c_nationkey")
   }
 
+  /** Column profiling — the data-quality audit a wrangler runs before
+    * anything else: per column, null count, distinct count, and the
+    * value-length range. One pass over the table computing all the
+    * aggregates at once (no per-column scans), then a literal unpivot
+    * of the 4-metric struct per column.
+    */
+  private val profile: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+    val aggs = cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(length(s)).cast("long").as(s"${c}_minlen"),
+        max(length(s)).cast("long").as(s"${c}_maxlen"))
+    }
+    val wide = docs.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("column_name"),
+      col(s"${c}_nulls").as("n_nulls"),
+      col(s"${c}_distinct").as("n_distinct"),
+      col(s"${c}_minlen").as("min_len"),
+      col(s"${c}_maxlen").as("max_len")))
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select("p.column_name", "p.n_nulls", "p.n_distinct",
+        "p.min_len", "p.max_len")
+      .orderBy("column_name")
+  }
+
+  /** Min-max feature normalization per event_type: (v − min)/(max −
+    * min), the scaling step feature pipelines apply before training.
+    * The 5-row stats dim broadcasts back; the ratio is a fixed double
+    * expression shape.
+    */
+  private val minmaxNorm: Q = (spark, dir) => {
+    val ev = Tables.load(spark, dir, "events")
+    val stats = ev.groupBy("event_type")
+      .agg(min("value").as("v_min"), max("value").as("v_max"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("v_min")) / (col("v_max") - col("v_min")), 6)
+          .as("v_norm"))
+      .orderBy("event_id")
+  }
+
   /** Ordered string aggregation, deterministically: sort_array over
     * the collected distinct set before joining — collect_set order is
     * partition-dependent, the sort is not (listagg without WITHIN
@@ -564,6 +608,8 @@ object RelationalOps {
     "e_tpch_q13" -> tpchQ13,
     "e_tpch_q18" -> tpchQ18,
     "e_share_of_total" -> shareOfTotal,
+    "e_profile" -> profile,
+    "e_minmax_norm" -> minmaxNorm,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -745,6 +791,52 @@ object RelationalOps {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "e_profile" ->
+      """WITH w AS (
+        |  SELECT
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS doc_id_nulls,
+        |    count(DISTINCT doc_id)::BIGINT AS doc_id_distinct,
+        |    min(length(doc_id::VARCHAR))::BIGINT AS doc_id_minlen,
+        |    max(length(doc_id::VARCHAR))::BIGINT AS doc_id_maxlen,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_nulls,
+        |    count(DISTINCT lang)::BIGINT AS lang_distinct,
+        |    min(length(lang))::BIGINT AS lang_minlen,
+        |    max(length(lang))::BIGINT AS lang_maxlen,
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS source_nulls,
+        |    count(DISTINCT source)::BIGINT AS source_distinct,
+        |    min(length(source))::BIGINT AS source_minlen,
+        |    max(length(source))::BIGINT AS source_maxlen,
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_chars_nulls,
+        |    count(DISTINCT n_chars)::BIGINT AS n_chars_distinct,
+        |    min(length(n_chars::VARCHAR))::BIGINT AS n_chars_minlen,
+        |    max(length(n_chars::VARCHAR))::BIGINT AS n_chars_maxlen,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS text_nulls,
+        |    count(DISTINCT text)::BIGINT AS text_distinct,
+        |    min(length(text))::BIGINT AS text_minlen,
+        |    max(length(text))::BIGINT AS text_maxlen
+        |  FROM documents
+        |)
+        |SELECT 'doc_id' AS column_name, doc_id_nulls AS n_nulls,
+        |  doc_id_distinct AS n_distinct, doc_id_minlen AS min_len,
+        |  doc_id_maxlen AS max_len FROM w
+        |UNION ALL SELECT 'lang', lang_nulls, lang_distinct,
+        |  lang_minlen, lang_maxlen FROM w
+        |UNION ALL SELECT 'n_chars', n_chars_nulls, n_chars_distinct,
+        |  n_chars_minlen, n_chars_maxlen FROM w
+        |UNION ALL SELECT 'source', source_nulls, source_distinct,
+        |  source_minlen, source_maxlen FROM w
+        |UNION ALL SELECT 'text', text_nulls, text_distinct,
+        |  text_minlen, text_maxlen FROM w
+        |ORDER BY column_name""".stripMargin,
+    "e_minmax_norm" ->
+      """WITH stats AS (
+        |  SELECT event_type, min(value) AS v_min, max(value) AS v_max
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type,
+        |  round((value - v_min) / (v_max - v_min), 6) AS v_norm
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |ORDER BY event_id""".stripMargin,
     "e_tpch_q18" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM orders
         |JOIN (
