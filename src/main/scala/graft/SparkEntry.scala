@@ -152,6 +152,7 @@ object SparkEntry {
         |  ('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
         |  ('e_zorder', 2, 'o_orderkey:bigint,zval:bigint'),
         |  ('e_window_pct', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,pct_rank:double,cume:double'),
+        |  ('e_window_range', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,n_nearby:bigint,cheapest_key:bigint'),
         |  ('e_window_rank', 4, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,rn:int'),
         |  ('e_window_running', 3, 'o_custkey:bigint,o_orderkey:bigint,running_total:double'),
         |  ('r_desc_table', 3, 'col_name:string,data_type:string,nullable:boolean'),

@@ -319,6 +319,29 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Value-based (RANGE) window frame: how many of the same customer's
+    * orders fall within ±5000 of this order's price — a frame bounded
+    * by VALUE distance, not row count (the one window frame kind the
+    * registry lacked). Prices are quantized to integer cents on both
+    * sides so the range arithmetic is exact; first_value over the
+    * ordered partition tags each row with the customer's cheapest
+    * order. Both windows share the one o_custkey exchange.
+    */
+  private val windowRange: Q = (spark, dir) => {
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy("price_cents")
+      .rangeBetween(-500000L, 500000L)
+    val byOrder = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("price_cents", cents)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(byPrice).as("n_nearby"),
+        first_value(col("o_orderkey")).over(byOrder).as("cheapest_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Ordered string aggregation, deterministically: sort_array over
     * the collected distinct set before joining — collect_set order is
     * partition-dependent, the sort is not (listagg without WITHIN
@@ -610,6 +633,7 @@ object RelationalOps {
     "e_share_of_total" -> shareOfTotal,
     "e_profile" -> profile,
     "e_minmax_norm" -> minmaxNorm,
+    "e_window_range" -> windowRange,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -791,6 +815,16 @@ object RelationalOps {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "e_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |count(*) OVER (PARTITION BY o_custkey ORDER BY price_cents
+        |  RANGE BETWEEN 500000 PRECEDING AND 500000 FOLLOWING)::BIGINT
+        |  AS n_nearby,
+        |first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey) AS cheapest_key
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      AS price_cents FROM orders) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e_profile" ->
       """WITH w AS (
         |  SELECT
