@@ -89,6 +89,7 @@ object SparkEntry {
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_join_bloom', 3, 'l_returnflag:string,n_items:bigint,revenue:double'),
         |  ('e_join_broadcast', 3, 'n_nationkey:int,n_name:string,r_name:string'),
+        |  ('e_join_full', 3, 'custkey:bigint,has_cust:int,n_orders:bigint'),
         |  ('e_join_outer', 3, 'c_custkey:bigint,c_name:string,n_orders:bigint'),
         |  ('e_join_semi', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_json_funcs', 4, 'event_id:bigint,event_type:string,k_str:string,k_num:bigint'),
@@ -129,6 +130,7 @@ object SparkEntry {
         |  ('e_set_except', 1, 'nationkey:int'),
         |  ('e_share_of_total', 3, 'c_nationkey:int,revenue:double,share:double'),
         |  ('e_set_intersect', 1, 'nationkey:int'),
+        |  ('e_set_ops_all', 3, 'op:string,l_linenumber:int,n:bigint'),
         |  ('e_set_union', 1, 'name:string'),
         |  ('e_shuffle_shard', 4, 'shard:bigint,n_docs:bigint,sum_chars:bigint,fp:bigint'),
         |  ('e_similarity_topk', 2, 'vec_id:bigint,cos_sim:double'),

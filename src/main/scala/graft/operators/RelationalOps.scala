@@ -342,6 +342,44 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** FULL OUTER join — both-side-preserving semantics (the one join
+    * type the registry lacked): even-keyed customers against the
+    * order counts of every-third order, so both sides contribute
+    * unmatched rows and the coalesced key + presence flags make the
+    * null patterns hash-checkable.
+    */
+  private val joinFull: Q = (spark, dir) => {
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderkey") % 3 === 0)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val c = Tables.load(spark, dir, "customer")
+      .where(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_name")
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNull, 0).otherwise(1).as("has_cust"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** Multiset (ALL) set operations — EXCEPT ALL keeps multiplicity
+    * differences, INTERSECT ALL keeps the minimum multiplicity, unlike
+    * the distinct forms already registered. Aggregated afterwards so
+    * the result is compact while the plan still carries the
+    * ExceptAll/IntersectAll operators.
+    */
+  private val setOpsAll: Q = (spark, dir) => {
+    val l = Tables.load(spark, dir, "lineitem")
+    val a = l.where(col("l_quantity") < 3.0).select("l_linenumber")
+    val b = l.where(col("l_quantity") > 48.0).select("l_linenumber")
+    val ex = a.exceptAll(b).groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionAll(in).select("op", "l_linenumber", "n")
+      .orderBy("op", "l_linenumber")
+  }
+
   /** Ordered string aggregation, deterministically: sort_array over
     * the collected distinct set before joining — collect_set order is
     * partition-dependent, the sort is not (listagg without WITHIN
@@ -634,6 +672,8 @@ object RelationalOps {
     "e_profile" -> profile,
     "e_minmax_norm" -> minmaxNorm,
     "e_window_range" -> windowRange,
+    "e_join_full" -> joinFull,
+    "e_set_ops_all" -> setOpsAll,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -815,6 +855,31 @@ object RelationalOps {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "e_join_full" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_cust,
+        |coalesce(n_orders, 0)::BIGINT AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer
+        |      WHERE c_custkey % 2 = 0) c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |           WHERE o_orderkey % 3 = 0 GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "e_set_ops_all" ->
+      """SELECT 'except_all' AS op, l_linenumber, count(*)::BIGINT AS n
+        |FROM (
+        |  SELECT l_linenumber FROM lineitem WHERE l_quantity < 3.0
+        |  EXCEPT ALL
+        |  SELECT l_linenumber FROM lineitem WHERE l_quantity > 48.0
+        |) GROUP BY l_linenumber
+        |UNION ALL
+        |SELECT 'intersect_all', l_linenumber, count(*)::BIGINT
+        |FROM (
+        |  SELECT l_linenumber FROM lineitem WHERE l_quantity < 3.0
+        |  INTERSECT ALL
+        |  SELECT l_linenumber FROM lineitem WHERE l_quantity > 48.0
+        |) GROUP BY l_linenumber
+        |ORDER BY op, l_linenumber""".stripMargin,
     "e_window_range" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |count(*) OVER (PARTITION BY o_custkey ORDER BY price_cents
