@@ -63,6 +63,7 @@ object SparkEntry {
         |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
         |  ('e_char_diversity', 3, 'doc_id:bigint,n_letters:bigint,gini:double'),
         |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
+        |  ('e_corr_matrix', 3, 'x:string,y:string,r:double'),
         |  ('e_dau_churn', 4, 'day:timestamp,n_new:bigint,n_retained:bigint,n_churned:bigint'),
         |  ('e_decontaminate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_cc', 2, 'id:bigint,label:bigint'),
@@ -108,6 +109,7 @@ object SparkEntry {
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
+        |  ('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),
         |  ('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),

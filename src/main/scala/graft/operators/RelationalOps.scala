@@ -380,6 +380,42 @@ object RelationalOps {
       .orderBy("op", "l_linenumber")
   }
 
+  /** Explicit null ordering — a real cross-engine trap: Spark's ASC
+    * default is NULLS FIRST, DuckDB's is NULLS LAST, so any nullable
+    * sort key silently diverges unless the placement is spelled out.
+    * The nullable key (priority NULLIF'd) is sorted NULLS FIRST on
+    * both engines, tie-broken by the primary key.
+    */
+  private val nullOrdering: Q = (spark, dir) =>
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_opt"))
+      .orderBy(col("prio_opt").asc_nulls_first, col("o_orderkey"))
+      .limit(100)
+
+  /** Pairwise correlation matrix of the lineitem measures — the
+    * feature-screening step before modeling. All six pairs compute in
+    * ONE aggregation pass (no per-pair scans), then unpivot to rows;
+    * rounding to 4 decimals absorbs engine-order ulps exactly as
+    * e_stats_agg's moments do.
+    */
+  private val corrMatrix: Q = (spark, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+    }
+    val wide = Tables.load(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("x"), lit(b).as("y"), col(s"${a}__$b").as("r"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select("p.x", "p.y", "p.r")
+      .orderBy("x", "y")
+  }
+
   /** Ordered string aggregation, deterministically: sort_array over
     * the collected distinct set before joining — collect_set order is
     * partition-dependent, the sort is not (listagg without WITHIN
@@ -674,6 +710,8 @@ object RelationalOps {
     "e_window_range" -> windowRange,
     "e_join_full" -> joinFull,
     "e_set_ops_all" -> setOpsAll,
+    "e_null_ordering" -> nullOrdering,
+    "e_corr_matrix" -> corrMatrix,
     "e_topk" -> topk,
     "e_topk_per_key" -> topkPerKey,
     "e_set_union" -> setUnion,
@@ -855,6 +893,27 @@ object RelationalOps {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "e_null_ordering" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio_opt
+        |FROM orders
+        |ORDER BY prio_opt ASC NULLS FIRST, o_orderkey LIMIT 100""".stripMargin,
+    "e_corr_matrix" ->
+      """WITH w AS (
+        |  SELECT round(corr(l_quantity, l_extendedprice), 4) AS q_ep,
+        |    round(corr(l_quantity, l_discount), 4) AS q_d,
+        |    round(corr(l_quantity, l_tax), 4) AS q_t,
+        |    round(corr(l_extendedprice, l_discount), 4) AS ep_d,
+        |    round(corr(l_extendedprice, l_tax), 4) AS ep_t,
+        |    round(corr(l_discount, l_tax), 4) AS d_t
+        |  FROM lineitem
+        |)
+        |SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, q_ep AS r FROM w
+        |UNION ALL SELECT 'l_quantity', 'l_discount', q_d FROM w
+        |UNION ALL SELECT 'l_quantity', 'l_tax', q_t FROM w
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', ep_d FROM w
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', ep_t FROM w
+        |UNION ALL SELECT 'l_discount', 'l_tax', d_t FROM w
+        |ORDER BY x, y""".stripMargin,
     "e_join_full" ->
       """SELECT coalesce(c_custkey, o_custkey) AS custkey,
         |CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_cust,
