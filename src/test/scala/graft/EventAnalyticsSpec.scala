@@ -133,6 +133,38 @@ class EventAnalyticsSpec extends SparkSpec {
       "histogram refinement must reproduce the sort-based median")
   }
 
+  test("markov transitions account for every consecutive event pair") {
+    val ev = Tables.load(spark, sf, "events")
+    val totalPairs = q("e_markov").agg(sum("cnt")).first().getLong(0)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user contributes (n_i - 1) pairs; summed = N - U
+    assert(totalPairs == nEvents - nUsers,
+      s"pairs $totalPairs != events $nEvents - users $nUsers")
+    // conditional probabilities sum to ~1 per from-state
+    val badP = q("e_markov").groupBy("from_type")
+      .agg(sum("p").as("sp")).where(abs(col("sp") - 1.0) > 0.001)
+    assert(badP.count() == 0, "P(.|from) must sum to 1")
+  }
+
+  test("newest relational queries hold their range invariants") {
+    val norm = SparkEntry.queries("e_minmax_norm")(spark, sf)
+    assert(norm.where(col("v_norm") < 0 || col("v_norm") > 1).count() == 0,
+      "min-max normalization must land in [0,1]")
+    val prof = SparkEntry.queries("e_profile")(spark, sf)
+    assert(prof.where(col("n_nulls") =!= 0).count() == 0,
+      "fixture documents have no nulls")
+    val docIdRow = prof.where(col("column_name") === "doc_id").first()
+    assert(docIdRow.getAs[Long]("n_distinct") ==
+      Tables.load(spark, sf, "documents").count(), "doc_id must be unique")
+    val wr = SparkEntry.queries("e_window_range")(spark, sf)
+    assert(wr.where(col("n_nearby") < 1).count() == 0,
+      "every row is within range of itself")
+    val share = SparkEntry.queries("e_share_of_total")(spark, sf)
+      .agg(sum("share")).first().getDouble(0)
+    assert(math.abs(share - 1.0) < 0.001, s"shares must sum to ~1, got $share")
+  }
+
   // ------------------------- plan shapes ------------------------- //
 
   private def plan(name: String): String =
