@@ -788,7 +788,7 @@ object DedupOps {
          |  SELECT label, count(*) AS cluster_size FROM labels GROUP BY label
          |)
          |SELECT cluster_size, count(*) AS n_clusters,
-         |  sum(cluster_size) AS n_docs
+         |  sum(cluster_size)::BIGINT AS n_docs
          |FROM sized GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // Containment is exact set intersection — the oracle replays it on
     // the shingle STRINGS (the engine intersects xxhash64 values of the

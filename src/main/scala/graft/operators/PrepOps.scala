@@ -440,7 +440,7 @@ object PrepOps {
          |      / $CtxLen) AS BIGINT) AS bin
          |  FROM sized
          |)
-         |SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS sum_tokens
+         |SELECT lang, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
          |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "e_rebalance" ->
       s"""WITH ranked AS (
@@ -451,7 +451,7 @@ object PrepOps {
          |  FROM documents
          |)
          |SELECT lang, max(n_total) AS n_total, count(*) AS n_kept,
-         |  sum(n_chars) AS sum_chars
+         |  sum(n_chars)::BIGINT AS sum_chars
          |FROM ranked WHERE rn <= $RebalanceCap GROUP BY lang ORDER BY lang""".stripMargin,
     "e_normalize" ->
       """WITH norm AS (
