@@ -121,6 +121,7 @@ object SparkEntry {
         |  ('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
         |  ('e_rebalance', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
+        |  ('e_rebalance_topk', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
         |  ('e_range_join', 2, 'event_id:bigint,n_recent_clicks:bigint'),
         |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),

@@ -191,6 +191,33 @@ object PrepOps {
   private val rebalanceQ: Q = (spark, dir) =>
     rebalance(Tables.load(spark, dir, "documents")).orderBy("lang")
 
+  /** Corpus rebalancing, bounded-aggregate form: semantically identical
+    * to [[rebalance]] (it shares that query's oracle verbatim) but
+    * carries at most `cap` rows per stratum through PARTIAL aggregation
+    * ([[graft.functions.TopKAggregator]]) instead of fully sorting each
+    * stratum under a window — at 100 TB the shuffle moves cap·|strata|
+    * rows, not the corpus. n_chars < 2^53 fits a Double exactly, so
+    * Scored's (score DESC, id ASC) ordering reproduces the window's
+    * (n_chars DESC, doc_id) tie-break bit-for-bit.
+    */
+  def rebalanceTopK(docs: DataFrame, cap: Int = RebalanceCap): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopK}
+    docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, n) => Scored(n.toDouble, id) }
+      .agg(TopK.aggregator(cap).toColumn.name("top"),
+        count(lit(1)).as("n_total").as[Long])
+      .map { case (lang, top, nTotal) =>
+        (lang, nTotal, top.size.toLong, top.map(_.score.toLong).sum) }
+      .toDF("lang", "n_total", "n_kept", "sum_chars")
+  }
+
+  private val rebalanceTopKQ: Q = (spark, dir) =>
+    rebalanceTopK(Tables.load(spark, dir, "documents")).orderBy("lang")
+
   // ---------------------------------------------------------------
   // Text normalization
   // ---------------------------------------------------------------
@@ -322,8 +349,25 @@ object PrepOps {
     "e_tfidf" -> tfidf,
     "e_pack_sequences" -> pack,
     "e_rebalance" -> rebalanceQ,
+    "e_rebalance_topk" -> rebalanceTopKQ,
     "e_normalize" -> normalize,
   )
+
+  /** Shared by e_rebalance and e_rebalance_topk — the two engine forms
+    * (window rank vs bounded TopK aggregate) must agree with the same
+    * SQL, which is the point of registering the pair.
+    */
+  private val rebalanceOracle: String =
+    s"""WITH ranked AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    count(*) OVER (PARTITION BY lang) AS n_total,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents
+       |)
+       |SELECT lang, max(n_total) AS n_total, count(*) AS n_kept,
+       |  sum(n_chars)::BIGINT AS sum_chars
+       |FROM ranked WHERE rn <= $RebalanceCap GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Mixture ranked-CTE + chunk starts + shard hash composed exactly
@@ -442,17 +486,8 @@ object PrepOps {
          |)
          |SELECT lang, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
          |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
-    "e_rebalance" ->
-      s"""WITH ranked AS (
-         |  SELECT lang, doc_id, n_chars,
-         |    count(*) OVER (PARTITION BY lang) AS n_total,
-         |    row_number() OVER (PARTITION BY lang
-         |                       ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM documents
-         |)
-         |SELECT lang, max(n_total) AS n_total, count(*) AS n_kept,
-         |  sum(n_chars)::BIGINT AS sum_chars
-         |FROM ranked WHERE rn <= $RebalanceCap GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_rebalance" -> rebalanceOracle,
+    "e_rebalance_topk" -> rebalanceOracle,
     "e_normalize" ->
       """WITH norm AS (
         |  SELECT doc_id,

@@ -196,6 +196,29 @@ class PlanSpec extends SparkSpec {
       "a 9th exchange means a stage stopped fusing")
   }
 
+  test("rebalance_topk keeps <=cap rows per stratum through partial aggregation") {
+    // the 100 TB form of per-stratum selection: a typed TopK Aggregator
+    // on the object-hash-agg path, partial on the map side — the
+    // shuffle carries cap·|strata| rows. A regression to the window
+    // formulation would sort whole strata and show WindowExec.
+    val p = plan("e_rebalance_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the typed-Aggregator object-hash path in:\n$p")
+    assert(p.contains("partial_topkaggregator"),
+      "TopK must combine map-side (partial aggregation)")
+    assert(!p.contains("Window"),
+      s"bounded selection must not window-sort strata:\n$p")
+  }
+
+  test("tfidf per-doc top-3 plans as WindowGroupLimit, not a full sort") {
+    // rank<=k over a window is rewritten to WindowGroupLimit: each
+    // partition keeps k rows per doc before the window sort — without
+    // it every (doc,term) group is fully sorted just to take 3
+    val p = plan("e_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit for the rank<=3 filter in:\n$p")
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),

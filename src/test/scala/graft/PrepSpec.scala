@@ -77,6 +77,21 @@ class PrepSpec extends SparkSpec {
       .toSeq == Seq(("de", 1L, 1L, 5L), ("en", 10L, 3L, 270L)))
   }
 
+  test("rebalanceTopK agrees with the window-rank form on fixture data") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = PrepOps.rebalance(docs).orderBy("lang").collect().toSeq
+    val b = PrepOps.rebalanceTopK(docs).orderBy("lang").collect().toSeq
+    assert(a == b, "bounded-aggregate and window forms must be identical")
+    // and on a synthetic frame with ties on n_chars (id tie-break)
+    import spark.implicits._
+    val tied = Seq((5L, "en", 10L), (1L, "en", 10L), (3L, "en", 10L),
+      (2L, "en", 7L)).toDF("doc_id", "lang", "n_chars")
+    val t1 = PrepOps.rebalance(tied, cap = 2).collect().toSeq
+    val t2 = PrepOps.rebalanceTopK(tied, cap = 2).collect().toSeq
+    assert(t1 == t2 && t1.head.getLong(3) == 20L,
+      s"tie-break must pick doc_ids 1,3: window=$t1 topk=$t2")
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses whitespace") {
     val docs = Seq((1L, "  Hello,   WORLD!!  it's 42  ")).toDF("doc_id", "text")
     val r = PrepOps.normalizeText(docs).collect().head
