@@ -67,7 +67,8 @@ object StreamingOps {
     * sessionize transform, memory-sink'd. Demonstrates the readStream →
     * transform → writeStream path; used by tests, not the batch driver.
     */
-  def runSessionStream(spark: SparkSession, dir: String): StreamingQuery = {
+  def runSessionStream(spark: SparkSession, dir: String,
+      queryName: String = "graft_sessions"): StreamingQuery = {
     // FileStreamSource needs a directory; stage the single-file fixture
     // into a replay dir (in production the source IS a directory that
     // keeps receiving files).
@@ -89,8 +90,26 @@ object StreamingOps {
       .writeStream
       .outputMode("complete")
       .format("memory")
-      .queryName("graft_sessions")
+      .queryName(queryName)
       .start()
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** e_stream_session_replay: the session query EXECUTED AS A STREAM —
+    * file source → session_window aggregation → memory sink, run to
+    * completion — then returned as the sink table. Shares
+    * e_stream_session's oracle, so the driver's hash check covers the
+    * actual readStream→writeStream path, not just the batch twin of the
+    * transform. The single staged file arrives in one micro-batch, so
+    * the 10-minute watermark drops nothing and complete-mode output
+    * equals the batch aggregation exactly.
+    */
+  def replaySessionStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_sessions_replay_${replaySeq.incrementAndGet()}"
+    val q = runSessionStream(spark, dir, name)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "session_start")
   }
 
   /** Composed ingest hygiene gate, BATCH form: quality heuristics
@@ -145,8 +164,30 @@ object StreamingOps {
 
   val queries: Map[String, Q] = Map(
     "e_stream_session" -> streamSession,
+    "e_stream_session_replay" -> (replaySessionStream(_, _)),
     "e_quality_gate" -> qualityGate,
   )
+
+  /** Shared by e_stream_session (batch form) and
+    * e_stream_session_replay (actual streaming execution) — both must
+    * match the same SQL.
+    */
+  private val sessionOracle: String =
+      """SELECT user_id, MIN(ts) AS session_start,
+        |COUNT(*) AS n_events,
+        |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM (
+        |    SELECT user_id, ts, value,
+        |      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |    FROM events) g
+        |) s
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin
 
   /** Session windows in plain SQL: a session break is a gap ≥ 30 min
     * from the previous event of the same user (Spark's session_window
@@ -190,21 +231,8 @@ object StreamingOps {
         |  SELECT doc_id, lang, source, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM survivors) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "e_stream_session" ->
-      """SELECT user_id, MIN(ts) AS session_start,
-        |COUNT(*) AS n_events,
-        |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
-        |FROM (
-        |  SELECT user_id, ts, value,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-        |  FROM (
-        |    SELECT user_id, ts, value,
-        |      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |    FROM events) g
-        |) s
-        |GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin,
+    "e_stream_session_replay" -> sessionOracle,
+    "e_stream_session" -> sessionOracle,
   )
+
 }
