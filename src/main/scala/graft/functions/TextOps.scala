@@ -377,6 +377,14 @@ object TextOps {
     * bit-identically. Zero shuffle: 26 codegen'd replace/length pairs
     * per row, written as one left-to-right sum so engine and oracle
     * add in the same IEEE order.
+    *
+    * ASCII-only contract: [[LetterCounts]] counts raw a–z/A–Z bytes,
+    * while the oracle's `lower()` is full Unicode — a character whose
+    * Unicode lowercase maps into a–z (U+212A KELVIN SIGN → 'k',
+    * 'İ' → 'i'+combining dot) would be counted by the oracle only. The
+    * fixture corpus is ASCII-safe for these mappings; a production
+    * caller feeding arbitrary Unicode should normalize first (the
+    * e_normalize pass strips non-ASCII on both sides).
     */
   private val charDiversity: Q = (spark, dir) => {
     // One codegen'd byte scan produces all 26 counts ([[LetterCounts]]);

@@ -36,18 +36,25 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
-  /** Exact dedup with the keep-BEST policy (longest text, then lowest
-    * doc_id) instead of first-seen — the survivor rule a production
-    * pipeline actually wants when duplicates differ in truncation.
-    * Same single hash(text) shuffle; only the within-group ordering
-    * changes.
+  /** Dedup with the keep-BEST policy (longest text, then lowest
+    * doc_id) — the survivor rule a production pipeline wants when
+    * duplicates differ in truncation. Unlike [[exactDedup]] the group
+    * key must be TRUNCATION-INSENSITIVE, or every group trivially has
+    * one length and the policy never fires: key = the first
+    * `prefixLen` chars of the canonicalized text (lowercase,
+    * alnum+space only, collapsed whitespace — the e_normalize pass),
+    * so a truncated copy and its full original share a group and the
+    * longer one survives. Same single shuffle on the key.
     */
-  def exactDedupKeepLongest(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("text")
+  def exactDedupKeepLongest(docs: DataFrame, prefixLen: Int = 100): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val w = Window.partitionBy("dedup_key")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    docs.withColumn("rn", row_number().over(w))
+    docs.withColumn("dedup_key", substring(norm, 1, prefixLen))
+      .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "dedup_key")
   }
 
   private val dedupKeepLongest: Q = (spark, dir) =>
@@ -768,10 +775,15 @@ object DedupOps {
         |SELECT doc_id, lang, source, n_chars,
         |ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // The group key replays the engine's truncation-insensitive
+    // normalized-prefix (e_normalize canonicalization, first 100 chars)
+    // so docs differing only by truncation share a group.
     "e_dedup_keep_longest" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |SELECT doc_id, lang, source, n_chars,
-        |ROW_NUMBER() OVER (PARTITION BY text
+        |ROW_NUMBER() OVER (PARTITION BY substr(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g')), 1, 100)
         |  ORDER BY n_chars DESC, doc_id) AS rn
         |FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // CC closure: min-reachable-label fixpoint via WITH RECURSIVE —

@@ -322,13 +322,17 @@ object RelationalOps {
   /** Value-based (RANGE) window frame: how many of the same customer's
     * orders fall within ±5000 of this order's price — a frame bounded
     * by VALUE distance, not row count (the one window frame kind the
-    * registry lacked). Prices are quantized to integer cents on both
-    * sides so the range arithmetic is exact; first_value over the
+    * registry lacked). Prices are quantized to integer cents through
+    * DECIMAL(18,2) on both sides — exact by construction (floor(x*100)
+    * in double was exact only because both engines made the identical
+    * IEEE rounding error; a price whose double*100 lands below the
+    * integer would silently shift a bucket). first_value over the
     * ordered partition tags each row with the customer's cheapest
     * order. Both windows share the one o_custkey exchange.
     */
   private val windowRange: Q = (spark, dir) => {
-    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
     val byPrice = Window.partitionBy("o_custkey")
       .orderBy("price_cents")
       .rangeBetween(-500000L, 500000L)
@@ -946,7 +950,7 @@ object RelationalOps {
         |  AS n_nearby,
         |first_value(o_orderkey) OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice, o_orderkey) AS cheapest_key
-        |FROM (SELECT *, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |FROM (SELECT *, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |      AS price_cents FROM orders) t
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e_profile" ->

@@ -29,7 +29,7 @@ import graft.functions.RollingHash
   *  - `letter_counts(s)` — single-pass a–z occurrence array
   *    ([[graft.functions.LetterCounts]], codegen'd).
   *
-  * All three are Expression-level injections (no UDF encoders, no
+  * All four are Expression-level injections (no UDF encoders, no
   * codegen breaks) — the function registry is the integration seam,
   * not a wrapper layer.
   */
@@ -47,11 +47,20 @@ object GraftExtensions {
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    // The composed functions carry a graft usage string so DESCRIBE
+    // FUNCTION explains THIS function, not the outermost Catalyst node
+    // of its expansion.
     (FunctionIdentifier("md5_hash60"),
-      new ExpressionInfo(classOf[Conv].getName, "md5_hash60"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "", "md5_hash60",
+        "md5_hash60(str) - deterministic 60-bit content hash: first 15 hex" +
+          " chars of md5(str) as BIGINT (expands to Conv∘Substring∘Md5).",
+        "", "", "", "", "", "", "built-in"),
       (exprs: Seq[Expression]) => md5Hash60Expr(exprs.head)),
     (FunctionIdentifier("graft_shard"),
-      new ExpressionInfo(classOf[Pmod].getName, "graft_shard"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "", "graft_shard",
+        "graft_shard(str, k) - content-hash shard id in [0, k):" +
+          " pmod(md5_hash60(str), k); stable under input relayout.",
+        "", "", "", "", "", "", "built-in"),
       (exprs: Seq[Expression]) => Pmod(md5Hash60Expr(exprs.head), exprs(1))),
     (FunctionIdentifier("letter_counts"),
       new ExpressionInfo(classOf[graft.functions.LetterCounts].getName,

@@ -110,11 +110,17 @@ class RestScanBuilder(pages: Int, pageSize: Int)
   override def isPartiallyPushed(): Boolean = true
 
   /** Accept id-range filters (what a REST query string could express);
-    * everything else stays in Spark as a post-filter.
+    * everything else stays in Spark as a post-filter. Only Long-valued
+    * comparisons are accepted: the appliers (interval/matching) pattern
+    * match on `v: Long`, so accepting any other value type here would
+    * report a filter as pushed yet silently not apply it — the accepted
+    * and applied sets must be the same by construction.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case EqualTo("id", _) | GreaterThan("id", _) | LessThan("id", _) |
+      case EqualTo("id", _: java.lang.Long) |
+           GreaterThan("id", _: java.lang.Long) |
+           LessThan("id", _: java.lang.Long) |
            IsNotNull("id") => true
       case _ => false
     }

@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     assert(once.count() == twice.count())
   }
 
+  test("keep-longest dedup groups truncation variants, keeps the longest") {
+    val full = ("lorem ipsum dolor sit amet consectetur " * 8).trim
+    val d = Seq(
+      (1L, full.take(150)),                  // truncated copy (same 100-prefix)
+      (2L, full),                            // full original — must survive
+      (3L, "completely different text here") // unrelated — must survive
+    ).map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val kept = DedupOps.exactDedupKeepLongest(d)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L),
+      "the truncated copy must be dropped in favor of the longer original")
+  }
+
   private val base =
     "the quick brown fox jumps over the lazy dog and runs far away today"
 
