@@ -107,6 +107,7 @@ object SparkEntry {
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
+        |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
         |  ('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),

@@ -41,3 +41,47 @@ class TopKAggregator(k: Int)
 object TopK {
   def aggregator(k: Int): TopKAggregator = new TopKAggregator(k)
 }
+
+/** Hash-ranked row for per-stratum quota selection: ordered by
+  * (h ASC, id ASC). The 60-bit hash doesn't fit a Double mantissa, so
+  * this is a Long-scored sibling of [[Scored]]; `quota` rides along
+  * because the cap varies per stratum (every row of a group carries the
+  * same quota, derived from its key).
+  */
+final case class Hashed(h: Long, id: Long, quota: Int)
+
+/** Per-group MIN-k with a group-supplied cap: keeps the `quota`
+  * smallest (h, id) rows through partial aggregation — the bounded
+  * form of "rank ascending, keep rank <= quota" where quota differs
+  * per group (the mixture-sampling shape). The shuffle carries at most
+  * quota rows per stratum instead of the stratum.
+  */
+class QuotaMinKAggregator
+    extends Aggregator[Hashed, Seq[Hashed], Seq[Hashed]] {
+
+  private def better(a: Hashed, b: Hashed): Boolean =
+    a.h < b.h || (a.h == b.h && a.id < b.id)
+
+  private def capped(merged: Seq[Hashed]): Seq[Hashed] = {
+    // quota is constant within a group; any element carries it
+    val cap = merged.head.quota
+    if (merged.size > cap) merged.take(cap) else merged
+  }
+
+  override def zero: Seq[Hashed] = Seq.empty
+  override def reduce(buf: Seq[Hashed], x: Hashed): Seq[Hashed] =
+    capped((buf :+ x).sortWith(better))
+  override def merge(a: Seq[Hashed], b: Seq[Hashed]): Seq[Hashed] =
+    if (a.isEmpty) b else if (b.isEmpty) a
+    else capped((a ++ b).sortWith(better))
+  override def finish(buf: Seq[Hashed]): Seq[Hashed] = buf
+
+  override def bufferEncoder: Encoder[Seq[Hashed]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hashed]]()
+  override def outputEncoder: Encoder[Seq[Hashed]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hashed]]()
+}
+
+object QuotaMinK {
+  def aggregator: QuotaMinKAggregator = new QuotaMinKAggregator
+}

@@ -278,6 +278,37 @@ object PrepOps {
     mixtureSample(Tables.load(spark, dir, "documents"))
       .orderBy("lang", "mix_rank")
 
+  /** Mixture sampling, bounded-aggregate form: identical output to
+    * [[mixtureSample]] (shared oracle) but each stratum's quota rows are
+    * selected by [[graft.functions.QuotaMinKAggregator]] through partial
+    * aggregation — at most quota rows per language cross the shuffle,
+    * vs the window form sorting whole strata. The 60-bit hash rides as
+    * a Long (it doesn't fit Double's mantissa), and mix_rank is the
+    * buffer position after the final merge.
+    */
+  def mixtureSampleTopK(docs: DataFrame,
+      quotas: Seq[(String, Int)] = MixtureQuotas): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.{Hashed, QuotaMinK}
+    val quota = quotas.foldLeft(lit(0)) { case (acc, (l, q)) =>
+      when(col("lang") === l, lit(q)).otherwise(acc)
+    }
+    val h = graft.functions.TextShingles.md5Hash60(col("doc_id").cast("string"))
+    docs.select(col("lang"), h.as("h"), col("doc_id"), quota.as("quota"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapValues { case (_, hv, id, q) => Hashed(hv, id, q) }
+      .agg(QuotaMinK.aggregator.toColumn.name("top"))
+      .flatMap { case (lang, top) =>
+        top.iterator.zipWithIndex.map { case (x, i) => (x.id, lang, i + 1) } }
+      .toDF("doc_id", "lang", "mix_rank")
+  }
+
+  private val mixtureTopK: Q = (spark, dir) =>
+    mixtureSampleTopK(Tables.load(spark, dir, "documents"))
+      .orderBy("lang", "mix_rank")
+
   // ---------------------------------------------------------------
   // JSONL shard export
   // ---------------------------------------------------------------
@@ -344,6 +375,7 @@ object PrepOps {
   val queries: Map[String, Q] = Map(
     "e_pipeline_mix_pack" -> mixPack,
     "e_mixture_sample" -> mixture,
+    "e_mixture_sample_topk" -> mixtureTopK,
     "e_pii_redact" -> piiRedact,
     "e_chunk" -> chunk,
     "e_tfidf" -> tfidf,
@@ -368,6 +400,23 @@ object PrepOps {
        |SELECT lang, max(n_total) AS n_total, count(*) AS n_kept,
        |  sum(n_chars)::BIGINT AS sum_chars
        |FROM ranked WHERE rn <= $RebalanceCap GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared by e_mixture_sample and e_mixture_sample_topk — window-rank
+    * and bounded quota-aggregate forms of the same selection.
+    */
+  private val mixtureOracle: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+       |               doc_id) AS mix_rank
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, CAST(mix_rank AS INT) AS mix_rank
+       |FROM ranked
+       |WHERE mix_rank <= CASE lang ${MixtureQuotas.map { case (l, q) =>
+          s"WHEN '$l' THEN $q" }.mkString(" ")} ELSE 0 END
+       |ORDER BY lang, mix_rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Mixture ranked-CTE + chunk starts + shard hash composed exactly
@@ -405,19 +454,8 @@ object PrepOps {
          |FROM chunks GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
     // Same md5-60bit ranking hash the dedup twins replay; quotas as a
     // CASE over lang (unlisted langs -> 0 -> dropped).
-    "e_mixture_sample" ->
-      s"""WITH ranked AS (
-         |  SELECT doc_id, lang,
-         |    row_number() OVER (PARTITION BY lang
-         |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
-         |               doc_id) AS mix_rank
-         |  FROM documents
-         |)
-         |SELECT doc_id, lang, CAST(mix_rank AS INT) AS mix_rank
-         |FROM ranked
-         |WHERE mix_rank <= CASE lang ${MixtureQuotas.map { case (l, q) =>
-            s"WHEN '$l' THEN $q" }.mkString(" ")} ELSE 0 END
-         |ORDER BY lang, mix_rank""".stripMargin,
+    "e_mixture_sample" -> mixtureOracle,
+    "e_mixture_sample_topk" -> mixtureOracle,
     // The synth column is rebuilt identically (substr + || casts);
     // DuckDB regexp_replace needs the 'g' flag to replace all matches
     // (Spark's replaces all by default).

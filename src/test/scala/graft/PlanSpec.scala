@@ -210,6 +210,16 @@ class PlanSpec extends SparkSpec {
       s"bounded selection must not window-sort strata:\n$p")
   }
 
+  test("mixture_topk selects quotas through partial aggregation, no window") {
+    val p = plan("e_mixture_sample_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the typed-Aggregator object-hash path in:\n$p")
+    assert(p.contains("partial_quotaminkaggregator"),
+      "QuotaMinK must combine map-side (partial aggregation)")
+    assert(!p.contains("Window"),
+      s"bounded quota selection must not window-sort strata:\n$p")
+  }
+
   test("tfidf per-doc top-3 plans as WindowGroupLimit, not a full sort") {
     // rank<=k over a window is rewritten to WindowGroupLimit: each
     // partition keeps k rows per doc before the window sort — without

@@ -92,6 +92,21 @@ class PrepSpec extends SparkSpec {
       s"tie-break must pick doc_ids 1,3: window=$t1 topk=$t2")
   }
 
+  test("mixtureSampleTopK agrees with the window-rank form on fixture data") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = PrepOps.mixtureSample(docs)
+      .orderBy("lang", "mix_rank").collect().toSeq
+    val b = PrepOps.mixtureSampleTopK(docs)
+      .orderBy("lang", "mix_rank").collect().toSeq
+    assert(a == b, "bounded-aggregate and window forms must be identical")
+    // a lang with no quota must be dropped entirely by both forms
+    import spark.implicits._
+    val stray = Seq((1L, "xx"), (2L, "en")).toDF("doc_id", "lang")
+    val kept = PrepOps.mixtureSampleTopK(stray, Seq("en" -> 5))
+      .select("lang").as[String].collect().toSeq
+    assert(kept == Seq("en"), s"zero-quota stratum must vanish: $kept")
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses whitespace") {
     val docs = Seq((1L, "  Hello,   WORLD!!  it's 42  ")).toDF("doc_id", "text")
     val r = PrepOps.normalizeText(docs).collect().head
