@@ -98,13 +98,10 @@ object ScalarOps {
     * can't flip the rounded result.
     */
   private val tumblingBatch: Q = (spark, dir) =>
-    Tables.load(spark, dir, "events")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        round(sum(col("value").cast(DecimalType(18, 6))), 2)
-          .cast("double").as("sum_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("cnt"), col("sum_value"))
+    // one transform for batch and stream: e_stream_tumbling_replay runs
+    // this same aggregation as a streaming query against the same oracle
+    graft.streaming.StreamingOps
+      .tumblingCounts(Tables.load(spark, dir, "events"))
       .orderBy("hour_start", "event_type")
 
   /** Sliding time windows in batch form: window(ts, 2h, 1h) assigns

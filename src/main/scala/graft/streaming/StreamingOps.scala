@@ -29,6 +29,21 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Tumbling hour windows — the same transform serves e_tumbling_batch
+    * (batch, ScalarOps delegates here) and e_stream_tumbling_replay
+    * (executed as a stream): Spark's unified model, one aggregation
+    * definition for ingest and backfill. Sum goes through 6-dp decimal
+    * so partial-aggregation order can't flip the rounded double.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** Tumbling/sliding event-time aggregation with a watermark — the
     * streaming form drops events later than 10 minutes.
     */
@@ -67,8 +82,8 @@ object StreamingOps {
     * sessionize transform, memory-sink'd. Demonstrates the readStream →
     * transform → writeStream path; used by tests, not the batch driver.
     */
-  def runSessionStream(spark: SparkSession, dir: String,
-      queryName: String = "graft_sessions"): StreamingQuery = {
+  private def runEventsStream(spark: SparkSession, dir: String,
+      queryName: String)(transform: DataFrame => DataFrame): StreamingQuery = {
     // FileStreamSource needs a directory; stage the single-file fixture
     // into a replay dir (in production the source IS a directory that
     // keeps receiving files).
@@ -86,7 +101,7 @@ object StreamingOps {
       if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       else stream
-    sessionize(resolved.withWatermark("ts", "10 minutes"))
+    transform(resolved.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("complete")
       .format("memory")
@@ -94,23 +109,36 @@ object StreamingOps {
       .start()
   }
 
+  def runSessionStream(spark: SparkSession, dir: String,
+      queryName: String = "graft_sessions"): StreamingQuery =
+    runEventsStream(spark, dir, queryName)(sessionize)
+
   private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** e_stream_session_replay: the session query EXECUTED AS A STREAM —
-    * file source → session_window aggregation → memory sink, run to
-    * completion — then returned as the sink table. Shares
-    * e_stream_session's oracle, so the driver's hash check covers the
-    * actual readStream→writeStream path, not just the batch twin of the
-    * transform. The single staged file arrives in one micro-batch, so
-    * the 10-minute watermark drops nothing and complete-mode output
-    * equals the batch aggregation exactly.
+  /** The e_stream_*_replay queries EXECUTE AS A STREAM — file source →
+    * event-time aggregation → memory sink, run to completion — then
+    * return the sink table. Each shares its batch twin's oracle, so the
+    * driver's hash check covers the actual readStream→writeStream path,
+    * not just the batch form of the transform. The single staged file
+    * arrives in one micro-batch, so the 10-minute watermark drops
+    * nothing and complete-mode output equals the batch aggregation
+    * exactly.
     */
-  def replaySessionStream(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_sessions_replay_${replaySeq.incrementAndGet()}"
-    val q = runSessionStream(spark, dir, name)
+  private def replayToTable(spark: SparkSession, dir: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = runEventsStream(spark, dir, name)(transform)
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("user_id", "session_start")
+    spark.table(name)
   }
+
+  /** Session windows executed as a stream (shares e_stream_session's oracle). */
+  def replaySessionStream(spark: SparkSession, dir: String): DataFrame =
+    replayToTable(spark, dir)(sessionize).orderBy("user_id", "session_start")
+
+  /** Tumbling hour windows executed as a stream (shares e_tumbling_batch's oracle). */
+  def replayTumblingStream(spark: SparkSession, dir: String): DataFrame =
+    replayToTable(spark, dir)(tumblingCounts).orderBy("hour_start", "event_type")
 
   /** Composed ingest hygiene gate, BATCH form: quality heuristics
     * (length + alpha ratio, the e_pipeline_e2e thresholds) →
@@ -165,6 +193,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "e_stream_session" -> streamSession,
     "e_stream_session_replay" -> (replaySessionStream(_, _)),
+    "e_stream_tumbling_replay" -> (replayTumblingStream(_, _)),
     "e_quality_gate" -> qualityGate,
   )
 
@@ -233,6 +262,9 @@ object StreamingOps {
         |  FROM survivors) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "e_stream_session_replay" -> sessionOracle,
     "e_stream_session" -> sessionOracle,
+    // the streaming tumbling replay answers to the batch twin's oracle
+    "e_stream_tumbling_replay" ->
+      graft.functions.ScalarOps.oracles("e_tumbling_batch"),
   )
 
 }

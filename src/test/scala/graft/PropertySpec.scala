@@ -133,6 +133,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKAggregator: any partition of the input merges to sorted top-k") {
+    // the property partial aggregation needs: reduce-then-merge over an
+    // ARBITRARY partitioning equals sorting the whole input — so the
+    // distributed result cannot depend on row placement or order
+    import graft.functions.{Scored, TopK}
+    val rowGen = for {
+      s <- Gen.choose(0, 9)  // narrow range forces score ties
+      id <- Gen.choose(0L, 50L)
+    } yield Scored(s.toDouble, id)
+    val caseGen = for {
+      rows <- Gen.listOf(rowGen)
+      k <- Gen.choose(1, 5)
+      cut <- Gen.choose(0, math.max(rows.size, 1))
+    } yield (rows, k, cut)
+    forAll(caseGen, n = 80) { case (rows, k, cut) =>
+      val agg = TopK.aggregator(k)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val expect = rows.distinct
+        .sortBy(x => (-x.score, x.id)).take(k)
+      // duplicates: sortWith keeps stable multiset semantics, compare
+      // against the multiset-sorted reference
+      val expectMulti = rows.sortBy(x => (-x.score, x.id)).take(k)
+      assert(agg.finish(merged) == expectMulti,
+        s"k=$k cut=$cut rows=$rows expect=$expectMulti got=${agg.finish(merged)}; distinct-ref=$expect")
+    }
+  }
+
+  test("QuotaMinKAggregator: partition-invariant min-quota per group") {
+    import graft.functions.{Hashed, QuotaMinK}
+    val caseGen = for {
+      quota <- Gen.choose(0, 5)
+      rows <- Gen.listOf(for {
+        h <- Gen.choose(0L, 20L)   // collisions force the id tie-break
+        id <- Gen.choose(0L, 50L)
+      } yield Hashed(h, id, quota))
+      cut <- Gen.choose(0, math.max(rows.size, 1))
+    } yield (rows, cut)
+    forAll(caseGen, n = 80) { case (rows, cut) =>
+      val agg = QuotaMinK.aggregator
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val quota = rows.headOption.map(_.quota).getOrElse(0)
+      val expect = rows.sortBy(x => (x.h, x.id)).take(quota)
+      assert(agg.finish(merged) == expect,
+        s"cut=$cut rows=$rows expect=$expect got=${agg.finish(merged)}")
+    }
+  }
+
   test("letter_counts interpreted eval equals the reference on arbitrary text") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
