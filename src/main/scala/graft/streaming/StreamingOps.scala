@@ -140,6 +140,40 @@ object StreamingOps {
   def replayTumblingStream(spark: SparkSession, dir: String): DataFrame =
     replayToTable(spark, dir)(tumblingCounts).orderBy("hour_start", "event_type")
 
+  /** The hygiene gate executed as a stream — covers the
+    * flatMapGroupsWithState dedup (custom streaming STATE, not just
+    * windowed aggregation) with the driver's oracle: documents replayed
+    * through a file source, stateless quality+decontamination gates,
+    * stateful first-seen dedup, memory sink (append), then the
+    * surviving doc_ids decorated with their batch attributes for the
+    * e_quality_gate output schema. Everything arrives in one
+    * micro-batch, and [[StreamingDedup.firstSeenOnly]] emits the min
+    * doc_id per fingerprint within a batch, so the result equals the
+    * batch gate deterministically.
+    */
+  def replayQualityGateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val evalSets = graft.operators.DedupOps.evalShingleSets(docs)
+    val replayDir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      replayDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(schema).format("parquet").load(replayDir.toString)
+    val evs = stream.select(xxhash64(col("text")).as("fingerprint"),
+      col("doc_id"), col("text")).as[DocEvent]
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = qualityGateStream(evs, evalSets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select("doc_id")
+      .join(docs.select("doc_id", "lang", "source", "n_chars"), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Composed ingest hygiene gate, BATCH form: quality heuristics
     * (length + alpha ratio, the e_pipeline_e2e thresholds) →
     * decontamination (n-gram containment vs the doc_id%97 eval set) →
@@ -194,6 +228,7 @@ object StreamingOps {
     "e_stream_session" -> streamSession,
     "e_stream_session_replay" -> (replaySessionStream(_, _)),
     "e_stream_tumbling_replay" -> (replayTumblingStream(_, _)),
+    "e_stream_quality_replay" -> (replayQualityGateStream(_, _)),
     "e_quality_gate" -> qualityGate,
   )
 
@@ -222,11 +257,12 @@ object StreamingOps {
     * from the previous event of the same user (Spark's session_window
     * end is exclusive, so `>=`); session id = running sum of breaks.
     */
-  val oracles: Map[String, String] = Map(
-    // Quality (length + alpha-ratio thresholds, same division shape as
-    // the Spark side), decontamination (the e_decontaminate containment
-    // replay on shingle strings), first-seen exact dedup — composed.
-    "e_quality_gate" ->
+  // Quality (length + alpha-ratio thresholds, same division shape as
+  // the Spark side), decontamination (the e_decontaminate containment
+  // replay on shingle strings), first-seen exact dedup — composed.
+  // Shared by e_quality_gate (batch) and e_stream_quality_replay (the
+  // same rule executed as a stream with flatMapGroupsWithState dedup).
+  private val qualityGateOracle: String =
       """WITH toked AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
         |  FROM documents
@@ -259,7 +295,11 @@ object StreamingOps {
         |SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |  FROM survivors) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |  FROM survivors) t WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "e_quality_gate" -> qualityGateOracle,
+    "e_stream_quality_replay" -> qualityGateOracle,
     "e_stream_session_replay" -> sessionOracle,
     "e_stream_session" -> sessionOracle,
     // the streaming tumbling replay answers to the batch twin's oracle
