@@ -537,6 +537,7 @@ object DedupOps {
     .withColumn("feat", array_distinct(TS.shingleHashesFrom(col("_th"), w)))
     .drop("_th")
 
+
   def decontaminate(docs: DataFrame, evalModulus: Long = 97L, w: Int = 3,
       tau: Double = 0.8): DataFrame = {
     // explode_outer, NOT explode, and no size(feat) > 0 filter: both
@@ -584,15 +585,61 @@ object DedupOps {
     * predicate agree row-for-row (pinned by StreamingSpec), so one
     * hygiene rule gates both the ingest stream and the backfill.
     */
-  def evalContains(feat: Column, evalFeats: Seq[Seq[Long]],
-      tau: Double = 0.8): Column =
-    evalFeats.filter(_.nonEmpty).map { e =>
-      // same division shape as the batch threshold (x/n >= tau): a
-      // multiplied form (x >= tau*n) rounds differently at exact-
-      // threshold cases and would let batch and stream disagree
-      size(array_intersect(feat, typedLit(e))).cast("double") /
-        lit(e.size.toDouble) >= lit(tau)
-    }.reduceOption(_ || _).getOrElse(lit(false))
+  def evalContains(text: Column, evalFeats: Seq[Seq[Long]],
+      tau: Double = 0.8, w: Int = 3): Column = {
+    // One scalar closure over the RAW TEXT, with driver-built hash sets
+    // (the broadcast eval-index pattern). Deliberately NOT a filter on
+    // the derived `feat` array: any filter over that column — UDF or
+    // expression — gets pushed/collapsed through the staged shingle
+    // projections (Catalyst only requires the PROJECT's fields be
+    // deterministic, and column pruning removes any unused barrier), and
+    // the substituted element_at-over-transform re-tokenizes the
+    // document per shingle position: O(tokens²)/row, 9-11 s at sf0.1 vs
+    // ~0.3 s for this closure. Tokenize+shingle replicate the
+    // TextShingles expressions BIT-FOR-BIT: UTF8String.toLowerCase,
+    // regex split("\s+", -1), xxhash64(token, 42), and the running
+    // xxhash64(h1..hw, 42) long-mix via the same catalyst XXH64 core.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val sets = evalFeats.filter(_.nonEmpty).map(e => (e.toSet, e.size))
+    val union: Set[Long] = sets.iterator.flatMap(_._1).toSet
+    val contains = udf { (s: String) =>
+      if (s == null || sets.isEmpty) false
+      else {
+        val toks = UTF8String.fromString(s).toLowerCase.toString
+          .split("\\s+", -1)
+        if (toks.length < w) false
+        else {
+          val th = toks.map { t =>
+            val u = UTF8String.fromString(t)
+            XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+              u.numBytes, 42L)
+          }
+          val fs = new scala.collection.mutable.HashSet[Long]
+          var i = 0
+          while (i + w <= th.length) {
+            var h = 42L
+            var j = 0
+            while (j < w) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+            fs += h
+            i += 1
+          }
+          // guard: nearly every document shares ZERO shingles with the
+          // eval corpus — sound for tau > 0 (containment >= tau implies
+          // a nonempty intersection with the union)
+          if (tau > 0 && !fs.exists(union.contains)) false
+          else sets.exists { case (e, n) =>
+            // same division shape as the batch threshold (x/n >= tau):
+            // a multiplied form (x >= tau*n) rounds differently at
+            // exact-threshold cases and would let batch and stream
+            // disagree
+            e.count(fs.contains).toDouble / n.toDouble >= tau
+          }
+        }
+      }
+    }
+    contains(text)
+  }
 
   val queries: Map[String, Q] = Map(
     "e_decontaminate" -> decontaminateQ,

@@ -195,9 +195,9 @@ object StreamingOps {
   }
 
   /** The same hygiene rule over a STREAM: stateless gates first
-    * (quality filter, then the literal-array decontamination predicate
-    * [[graft.operators.DedupOps.evalContains]] — no join, no state),
-    * then the stateful first-seen dedup keyed by content fingerprint.
+    * (quality filter, then the broadcast-eval-index decontamination
+    * predicate [[graft.operators.DedupOps.evalContains]] — no join, no
+    * state), then the stateful first-seen dedup keyed by fingerprint.
     * Batch and stream agree row-for-row on the same input (pinned by
     * StreamingSpec at sf0.001): one hygiene rule for ingest and
     * backfill is the property a production pipeline needs — the
@@ -211,10 +211,9 @@ object StreamingOps {
     val alphaRatio =
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
         greatest(nc.cast("double"), lit(1.0))
-    val gated = graft.operators.DedupOps
-      .withShingleFeature(
-        events.toDF().where(nc >= 100 && alphaRatio >= lit(0.8)), 3)
-      .where(!graft.operators.DedupOps.evalContains(col("feat"), evalFeats, tau))
+    val gated = events.toDF()
+      .where(nc >= 100 && alphaRatio >= lit(0.8))
+      .where(!graft.operators.DedupOps.evalContains(col("text"), evalFeats, tau))
       .select("fingerprint", "doc_id", "text").as[DocEvent]
     StreamingDedup.firstSeenOnly(gated)
   }

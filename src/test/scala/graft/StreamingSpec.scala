@@ -157,8 +157,8 @@ class StreamingSpec extends SparkSpec {
     // the stream side is the stateless predicate: no join, no state
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
-    val streamed = DedupOps.withShingleFeature(mem.toDF.toDF("doc_id", "text"))
-      .where(!DedupOps.evalContains(col("feat"), evalSets))
+    val streamed = mem.toDF.toDF("doc_id", "text")
+      .where(!DedupOps.evalContains(col("text"), evalSets))
       .select("doc_id")
     val q = streamed.writeStream.format("memory")
       .queryName("graft_hygiene").outputMode("append").start()
