@@ -229,6 +229,23 @@ class PlanSpec extends SparkSpec {
       s"expected WindowGroupLimit for the rank<=3 filter in:\n$p")
   }
 
+  test("decontamination predicate never inlines the shingle HOF into a filter") {
+    // the r6 trap: any filter over the derived feat array gets
+    // pushed/collapsed through the staged projections and re-tokenizes
+    // per shingle position (O(tokens²)/row). evalContains is a scalar
+    // closure over raw text, so no Filter in its plan may contain a
+    // HOF transform — if one appears, the array formulation crept back.
+    val docs = Tables.load(spark, sf, "documents")
+    val sets = graft.operators.DedupOps.evalShingleSets(docs)
+    val plan = docs
+      .where(graft.operators.DedupOps.evalContains(
+        org.apache.spark.sql.functions.col("text"), sets))
+      .queryExecution.executedPlan.toString
+    val filterLines = plan.linesIterator.filter(_.contains("Filter"))
+    assert(filterLines.forall(!_.contains("transform(")),
+      s"shingle HOF re-inlined into a filter:\n$plan")
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),
