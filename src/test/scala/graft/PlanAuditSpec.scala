@@ -1,0 +1,44 @@
+package graft
+
+import graft.engine.PlanAudit
+
+/** The plan-audit API itself, checked against plans whose shapes
+  * PlanSpec already pins by string: the structured counts must agree
+  * with what the strings say.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def report(q: String) =
+    PlanAudit.audit(SparkEntry.queries(q)(spark, sf))
+
+  test("a per-row scan query audits as shuffle-free and pruned") {
+    val r = report("e_pii_redact")
+    // the trailing result orderBy is the only allowed exchange
+    assert(r.shuffles <= 1, r.render)
+    assert(r.broadcasts == 0, r.render)
+    assert(r.scans.nonEmpty && r.scansPrunedTo(3),
+      s"pii_redact reads (doc_id, text)-ish only: ${r.render}")
+  }
+
+  test("a broadcast join audits as broadcast, not shuffle-join") {
+    val r = report("e_join_broadcast")
+    assert(r.broadcasts >= 1, r.render)
+  }
+
+  test("pushed filters are visible per scan") {
+    val r = report("r_filter_eq_date")
+    assert(r.scans.exists(_.pushedFilters.exists(_.contains("o_orderdate"))),
+      r.render)
+  }
+
+  test("window queries report their WindowExec count") {
+    assert(report("e_window_running").windows >= 1)
+    // a per-row scan query must have none
+    assert(report("e_pii_redact").windows == 0)
+  }
+
+  test("exchange budget of the fused pipeline matches the PlanSpec pin") {
+    val r = report("e_pipeline_e2e")
+    assert(r.shuffles + r.broadcasts <= 4, r.render)
+  }
+}
