@@ -78,19 +78,27 @@ object StreamingOps {
         |v_ts BETWEEN ts - INTERVAL 10 MINUTES AND ts""".stripMargin))
   }
 
-  /** File-source streaming replay of the events table through the same
-    * sessionize transform, memory-sink'd. Demonstrates the readStream →
-    * transform → writeStream path; used by tests, not the batch driver.
+  /** Stage the single-file fixture into a fresh replay dir —
+    * FileStreamSource needs a directory (in production the source IS a
+    * directory that keeps receiving files). Callers that drain the
+    * stream delete the dir afterwards via [[dropReplayDir]].
     */
-  private def runEventsStream(spark: SparkSession, dir: String,
-      queryName: String)(transform: DataFrame => DataFrame): StreamingQuery = {
-    // FileStreamSource needs a directory; stage the single-file fixture
-    // into a replay dir (in production the source IS a directory that
-    // keeps receiving files).
+  private def stageReplay(dir: String, file: String): java.nio.file.Path = {
     val replayDir = java.nio.file.Files.createTempDirectory("graft_replay")
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      replayDir.resolve("events.parquet"))
+      java.nio.file.Paths.get(s"$dir/$file"), replayDir.resolve(file))
+    replayDir
+  }
+
+  private def dropReplayDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  private def runEventsStream(spark: SparkSession, dir: String,
+      queryName: String, replayDir: java.nio.file.Path)(
+      transform: DataFrame => DataFrame): StreamingQuery = {
     // raw parquet schema (pre ts-conversion): stream sees what's on disk
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
@@ -111,7 +119,8 @@ object StreamingOps {
 
   def runSessionStream(spark: SparkSession, dir: String,
       queryName: String = "graft_sessions"): StreamingQuery =
-    runEventsStream(spark, dir, queryName)(sessionize)
+    runEventsStream(spark, dir, queryName,
+      stageReplay(dir, "events.parquet"))(sessionize)
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -127,8 +136,12 @@ object StreamingOps {
   private def replayToTable(spark: SparkSession, dir: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val q = runEventsStream(spark, dir, name)(transform)
-    try q.processAllAvailable() finally q.stop()
+    val staged = stageReplay(dir, "events.parquet")
+    val q = runEventsStream(spark, dir, name, staged)(transform)
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropReplayDir(staged)
+    }
     spark.table(name)
   }
 
@@ -155,10 +168,7 @@ object StreamingOps {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
     val evalSets = graft.operators.DedupOps.evalShingleSets(docs)
-    val replayDir = java.nio.file.Files.createTempDirectory("graft_replay")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      replayDir.resolve("documents.parquet"))
+    val replayDir = stageReplay(dir, "documents.parquet")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream
       .schema(schema).format("parquet").load(replayDir.toString)
@@ -168,7 +178,10 @@ object StreamingOps {
     val q = qualityGateStream(evs, evalSets)
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropReplayDir(replayDir)
+    }
     spark.table(name).select("doc_id")
       .join(docs.select("doc_id", "lang", "source", "n_chars"), Seq("doc_id"))
       .orderBy("doc_id")
