@@ -28,10 +28,33 @@ object SparkEntry {
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries
 
+  /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
+    * queries whose physical form the 100 TB story depends on and emit
+    * the operator counts as data — the oracle is a VALUES literal, so a
+    * planner regression (a lost broadcast, an extra shuffle, a window
+    * where a bounded aggregate should be) turns a driver-green row red.
+    * Counts verified scale-stable (identical at sf0.001/0.01/0.1 —
+    * broadcasts are explicit hints, not stats decisions).
+    */
+  private val planAuditTargets = Seq("e_dedup_exact", "e_join_broadcast",
+    "e_pii_redact", "e_tfidf", "e_topk", "e_tpch_q3", "e_window_running",
+    "r_soql_proj")
+
+  private def planAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    planAuditTargets.map { name =>
+      val r = graft.engine.PlanAudit.audit(baseQueries(name)(spark, dir))
+      (name, r.shuffles, r.broadcasts, r.windows, r.scans.size)
+    }.toDF("query_name", "n_shuffles", "n_broadcasts", "n_windows", "n_scans")
+      .orderBy("query_name")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ Map("r_catalog" -> ((s: SparkSession, d: String) =>
-      QueryRegistry.describe(s, d, baseQueries)))
+    baseQueries ++ Map(
+      "r_catalog" -> ((s: SparkSession, d: String) =>
+        QueryRegistry.describe(s, d, baseQueries)),
+      "e_plan_audit" -> (planAudit(_, _)))
 
   /** DuckDB-equivalent SQL per oracle-checked query. Column names and
     * aliases match the Spark side exactly (driver sorts columns by name
@@ -46,6 +69,20 @@ object SparkEntry {
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
     // fails loudly if it drifts.
+    // The plan-shape contract (see planAudit above): expected operator
+    // counts per audited query, pinned as a VALUES literal.
+    "e_plan_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('e_dedup_exact', 2, 0, 1, 1),
+        |  ('e_join_broadcast', 1, 1, 0, 2),
+        |  ('e_pii_redact', 1, 0, 0, 1),
+        |  ('e_tfidf', 5, 1, 1, 2),
+        |  ('e_topk', 0, 0, 0, 1),
+        |  ('e_tpch_q3', 1, 2, 0, 3),
+        |  ('e_window_running', 2, 0, 1, 1),
+        |  ('r_soql_proj', 1, 0, 0, 1)
+        |) AS t(query_name, n_shuffles, n_broadcasts, n_windows, n_scans)
+        |ORDER BY query_name""".stripMargin,
     "r_catalog" ->
       """SELECT * FROM (VALUES
         |  ('e_agg_approx', 4, 'l_returnflag:string,exact_parts:bigint,approx_parts:bigint,rel_err:double'),

@@ -10,7 +10,10 @@ package graft
 class CatalogDriftSpec extends SparkSpec {
 
   test("r_catalog VALUES literal matches the live query registry") {
-    val rows = (SparkEntry.queries - "r_catalog").toSeq.sortBy(_._1).map {
+    // the meta-queries (r_catalog itself, the e_plan_audit contract)
+    // describe the operator registry and are not part of it
+    val rows = (SparkEntry.queries - "r_catalog" - "e_plan_audit")
+      .toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val schema = fn(spark, sf).schema
         (name, schema.fields.length,
