@@ -41,4 +41,22 @@ class PlanAuditSpec extends SparkSpec {
     val r = report("e_pipeline_e2e")
     assert(r.shuffles + r.broadcasts <= 4, r.render)
   }
+
+  test("e_plan_audit VALUES literal matches the live plans") {
+    // same drift protection as CatalogDriftSpec: an intentional plan
+    // change must update the literal, and this fails with the exact
+    // rows to paste instead of waiting for the driver's red row
+    val live = SparkEntry.queries("e_plan_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    val re = raw"\('([^']*)', (\d+), (\d+), (\d+), (\d+)\)".r
+    val declared = re.findAllMatchIn(SparkEntry.oracleSql("e_plan_audit"))
+      .map(m => (m.group(1), m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toInt, m.group(5).toInt)).toSeq
+    if (live != declared) {
+      val block = live.map { case (n, s, b, w, sc) =>
+        s"  ('$n', $s, $b, $w, $sc)" }.mkString(",\n")
+      fail(s"plan-audit contract drifted; paste into the oracle:\n$block")
+    }
+  }
 }
