@@ -183,6 +183,7 @@ object SparkEntry {
         |  ('e_stream_session_replay', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |  ('e_stream_tumbling_replay', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_stream_quality_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_stream_sliding_replay', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
         |  ('e_tfidf', 6, 'doc_id:bigint,term:string,tf:bigint,df:bigint,score:double,term_rank:int'),
         |  ('e_token_count', 4, 'doc_id:bigint,ws_tokens:bigint,re_tokens:bigint,chars_per_token:double'),

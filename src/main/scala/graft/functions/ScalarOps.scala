@@ -111,13 +111,10 @@ object ScalarOps {
     * quantization as [[tumblingBatch]].
     */
   private val slidingBatch: Q = (spark, dir) =>
-    Tables.load(spark, dir, "events")
-      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        round(sum(col("value").cast(DecimalType(18, 6))), 2)
-          .cast("double").as("sum_value"))
-      .select(col("window.start").as("win_start"), col("event_type"),
-        col("cnt"), col("sum_value"))
+    // one transform for batch and stream: e_stream_sliding_replay runs
+    // this same aggregation as a streaming query against the same oracle
+    graft.streaming.StreamingOps
+      .slidingCounts(Tables.load(spark, dir, "events"), "2 hours", "1 hour")
       .orderBy("win_start", "event_type")
 
   val queries: Map[String, Q] = Map(

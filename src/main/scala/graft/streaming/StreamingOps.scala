@@ -44,15 +44,21 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
-  /** Tumbling/sliding event-time aggregation with a watermark — the
-    * streaming form drops events later than 10 minutes.
+  /** Sliding event-time windows — each event lands in duration/slide
+    * overlapping windows. One transform serves e_sliding_batch (batch,
+    * ScalarOps delegates with 2h/1h) and e_stream_sliding_replay
+    * (executed as a stream against the same oracle); tests use the
+    * 1h/30m form. Same 6-dp decimal quantization as [[tumblingCounts]].
     */
-  def slidingCounts(events: DataFrame): DataFrame =
+  def slidingCounts(events: DataFrame, duration: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
 
   /** Batch form of the session query — oracle-checkable: the gap-based
     * session assignment is expressed in SQL with LAG + running sum.
@@ -153,6 +159,11 @@ object StreamingOps {
   def replayTumblingStream(spark: SparkSession, dir: String): DataFrame =
     replayToTable(spark, dir)(tumblingCounts).orderBy("hour_start", "event_type")
 
+  /** Sliding 2h/1h windows executed as a stream (shares e_sliding_batch's oracle). */
+  def replaySlidingStream(spark: SparkSession, dir: String): DataFrame =
+    replayToTable(spark, dir)(slidingCounts(_, "2 hours", "1 hour"))
+      .orderBy("win_start", "event_type")
+
   /** The hygiene gate executed as a stream — covers the
     * flatMapGroupsWithState dedup (custom streaming STATE, not just
     * windowed aggregation) with the driver's oracle: documents replayed
@@ -240,6 +251,7 @@ object StreamingOps {
     "e_stream_session" -> streamSession,
     "e_stream_session_replay" -> (replaySessionStream(_, _)),
     "e_stream_tumbling_replay" -> (replayTumblingStream(_, _)),
+    "e_stream_sliding_replay" -> (replaySlidingStream(_, _)),
     "e_stream_quality_replay" -> (replayQualityGateStream(_, _)),
     "e_quality_gate" -> qualityGate,
   )
@@ -314,9 +326,11 @@ object StreamingOps {
     "e_stream_quality_replay" -> qualityGateOracle,
     "e_stream_session_replay" -> sessionOracle,
     "e_stream_session" -> sessionOracle,
-    // the streaming tumbling replay answers to the batch twin's oracle
+    // the streaming window replays answer to their batch twins' oracles
     "e_stream_tumbling_replay" ->
       graft.functions.ScalarOps.oracles("e_tumbling_batch"),
+    "e_stream_sliding_replay" ->
+      graft.functions.ScalarOps.oracles("e_sliding_batch"),
   )
 
 }

@@ -101,6 +101,7 @@ class StreamingSpec extends SparkSpec {
   test("sliding window counts each event in overlapping windows") {
     val rows = Seq(Ev(th(10, 15), 1L, "x", 1.0))
     val out = StreamingOps.slidingCounts(rows.toDF())
+      .select("win_start", "event_type", "cnt")
       .orderBy("win_start")
       .as[(Timestamp, String, Long)].collect().toSeq
     // 1h window sliding 30m → event at 10:15 lands in [9:30,10:30) and [10:00,11:00)
