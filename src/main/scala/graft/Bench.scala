@@ -62,6 +62,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full line above is ~6 KB at 129 queries; a tail-limited capture
+    // (last ~2000 chars) loses its leading "metric"/"value" keys. Repeat
+    // the totals WITHOUT the per-query map as the FINAL line so any
+    // truncated-from-the-front capture still holds one complete,
+    // parseable total record (values identical to the full line).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

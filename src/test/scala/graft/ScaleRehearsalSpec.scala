@@ -99,6 +99,54 @@ class ScaleRehearsalSpec extends SparkSpec {
     }
   }
 
+  /** The typed selectors are *the* bounded-shuffle path at 100 TB, so
+    * their per-row constant matters as much as their row bound. The
+    * rehearsal pits the shipped reduce (saturation-reject + binary
+    * insert, O(1) for almost every row once the buffer holds quota
+    * rows) against the naive re-sort-per-row form it replaced, at
+    * quota=1000 where the naive O(k log k) constant dominates. Pure JVM
+    * micro-timing (no Spark, no IO), so a 5× bar is conservative — the
+    * real gap is orders of magnitude — and stable under host load.
+    */
+  test("bounded selector reduce is >=5x faster per row than re-sort at quota=1000", Slow) {
+    import graft.functions.{Hashed, QuotaMinK}
+    val quota = 1000
+    def better(a: Hashed, b: Hashed): Boolean =
+      a.h < b.h || (a.h == b.h && a.id < b.id)
+    def naiveReduce(buf: Seq[Hashed], x: Hashed): Seq[Hashed] = {
+      val merged = (buf :+ x).sortWith(better)
+      if (merged.size > quota) merged.take(quota) else merged
+    }
+    // deterministic pseudo-random stream (no Math.random in this env);
+    // splitmix64-ish mix gives well-spread hashes so post-saturation
+    // rejects dominate, as they do on real data
+    def row(i: Long): Hashed = {
+      var z = i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      Hashed(z ^ (z >>> 31), i, quota)
+    }
+    val agg = QuotaMinK.aggregator
+    def saturated(red: (Seq[Hashed], Hashed) => Seq[Hashed]): Seq[Hashed] =
+      (0L until quota.toLong).foldLeft(agg.zero)((b, i) => red(b, row(i)))
+    def perRowSec(red: (Seq[Hashed], Hashed) => Seq[Hashed], n: Long): Double = {
+      var buf = saturated(red) // warm: saturate + JIT outside the timed loop
+      val t0 = System.nanoTime()
+      var i = quota.toLong
+      while (i < quota + n) { buf = red(buf, row(i)); i += 1 }
+      assert(buf.size == quota)
+      (System.nanoTime() - t0) / 1e9 / n
+    }
+    perRowSec(agg.reduce, 20_000) // JIT warmup pass for both paths
+    perRowSec(naiveReduce, 2_000)
+    val fast = perRowSec(agg.reduce, 200_000)
+    val naive = perRowSec(naiveReduce, 10_000)
+    info(f"per-row: shipped ${fast * 1e9}%.0f ns vs naive ${naive * 1e9}%.0f ns (${naive / fast}%.0fx)")
+    assert(naive >= 5 * fast,
+      f"bounded reduce must beat re-sort-per-row by >=5x at quota=$quota: " +
+        f"shipped ${fast * 1e9}%.0f ns/row vs naive ${naive * 1e9}%.0f ns/row")
+  }
+
   test("minhash and simhash dedup wall-time grows ~linearly at 10x", Slow) {
     cleaningUp {
       // materialize the synthetic corpus OUTSIDE the timed region: its
