@@ -58,7 +58,10 @@ object Bench {
       System.err.println(f"[bench] $name%-24s ${best(name)}%8.2f s")
       name -> best(name)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Per-query map ordered slowest-first: the informative (expensive)
+    // rows lead the line, so a capture that keeps only a prefix still
+    // carries them.
+    val qs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
@@ -66,8 +69,10 @@ object Bench {
     // (last ~2000 chars) loses its leading "metric"/"value" keys. Repeat
     // the totals WITHOUT the per-query map as the FINAL line so any
     // truncated-from-the-front capture still holds one complete,
-    // parseable total record (values identical to the full line).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}""")
+    // parseable total record. Distinct metric name ("total_tail", same
+    // value fields) so a consumer collecting every metric=="total"
+    // record doesn't double-count the run; contract noted in BASELINE.md.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

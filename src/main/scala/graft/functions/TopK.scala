@@ -24,10 +24,16 @@ private[functions] object BoundedSorted {
     * of the naive form: `x` lands after any element it doesn't beat.
     */
   def insert[T >: Null <: AnyRef](
-      buf: Seq[T], x: T, cap: Int, better: (T, T) => Boolean)(
+      buf0: Seq[T], x: T, cap: Int, better: (T, T) => Boolean)(
       implicit ct: scala.reflect.ClassTag[T]): Seq[T] = {
-    val n = buf.length
     if (cap <= 0) return ArraySeq.empty
+    // Defensive clamp: callers maintain buf.length <= cap (QuotaMinK's
+    // per-group-constant quota holds by construction), but if that
+    // invariant were ever violated the binary-search insert below would
+    // index past the output array; degrade to a capped buffer instead,
+    // matching the old take(cap) behavior.
+    val buf = if (buf0.length > cap) buf0.take(cap) else buf0
+    val n = buf.length
     if (n >= cap && !better(x, buf(n - 1))) return buf
     var lo = 0
     var hi = n

@@ -186,6 +186,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BoundedSorted.insert degrades to a capped buffer on invariant violation") {
+    // Callers keep buf.length <= cap; if a mixed-quota group ever broke
+    // that, insert must cap the buffer (old take(cap) behavior), not
+    // index past the output array.
+    import graft.functions.{Hashed, QuotaMinK}
+    val agg = QuotaMinK.aggregator
+    val oversized = (0L until 10L).map(i => Hashed(i, i, 10))
+    // a row claiming quota=3 arrives into a 10-element buffer
+    val winner = agg.reduce(oversized, Hashed(-1L, 99L, 3))
+    assert(winner == Hashed(-1L, 99L, 3) +: oversized.take(2))
+    val loser = agg.reduce(oversized, Hashed(100L, 99L, 3))
+    assert(loser == oversized.take(3))
+  }
+
   test("letter_counts interpreted eval equals the reference on arbitrary text") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

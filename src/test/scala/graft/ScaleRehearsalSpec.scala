@@ -139,8 +139,10 @@ class ScaleRehearsalSpec extends SparkSpec {
     }
     perRowSec(agg.reduce, 20_000) // JIT warmup pass for both paths
     perRowSec(naiveReduce, 2_000)
-    val fast = perRowSec(agg.reduce, 200_000)
-    val naive = perRowSec(naiveReduce, 10_000)
+    // min-of-3 per side: a GC pause or contended-host stall inflates one
+    // pass, not the minimum, so the ratio measures the code not the host
+    val fast = (1 to 3).map(_ => perRowSec(agg.reduce, 200_000)).min
+    val naive = (1 to 3).map(_ => perRowSec(naiveReduce, 10_000)).min
     info(f"per-row: shipped ${fast * 1e9}%.0f ns vs naive ${naive * 1e9}%.0f ns (${naive / fast}%.0fx)")
     assert(naive >= 5 * fast,
       f"bounded reduce must beat re-sort-per-row by >=5x at quota=$quota: " +
