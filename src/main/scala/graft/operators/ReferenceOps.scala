@@ -116,8 +116,40 @@ object ReferenceOps {
         |ORDER BY o_orderkey""".stripMargin,
       Map("status" -> "F", "minp" -> 400000.0))
 
+  /** A1/A2 — live heterogeneous federation: the reference's core
+    * identity is pg + mysql under one namespace (index.js:230-252,
+    * config.json:11-40). The `nation` dim lives in a REAL second
+    * backend (embedded Derby via `spark.read.jdbc`,
+    * [[graft.sources.JdbcFederation]]); the equality filter is compiled
+    * into the remote WHERE clause (PushedFilters on the JDBC scan,
+    * pinned by JdbcFederationSpec), so the RDBMS ships 5 rows, not 25.
+    */
+  private val rJdbcScan: Q = (spark, dir) =>
+    graft.sources.JdbcFederation.readTable(spark, dir, "nation")
+      .where(col("n_regionkey") === lit(2))
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+
+  /** A1/A2 — cross-backend join: JDBC dim × parquet fact, the shape a
+    * federated deployment runs all day. The dim side is explicitly
+    * broadcast: the RDBMS is read ONCE (25 rows over the wire) and
+    * shipped to executors, so the fact side joins with zero shuffle —
+    * at 100 TB the remote database never becomes a per-task hotspot.
+    */
+  private val rJdbcJoin: Q = (spark, dir) => {
+    val n = graft.sources.JdbcFederation.readTable(spark, dir, "nation")
+    val s = Tables.load(spark, dir, "supplier")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_nationkey"), n("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        graft.Num.dsum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "r_sql_template" -> rSqlTemplate,
+    "r_jdbc_scan" -> rJdbcScan,
+    "r_jdbc_join" -> rJdbcJoin,
     "r_scan_all" -> rScanAll,
     "r_filter_eq_date" -> rFilterEqDate,
     "r_fk_lookup" -> rFkLookup,
@@ -131,6 +163,18 @@ object ReferenceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // The JDBC backend is loaded from the same fixture parquet the
+    // oracle reads, so DuckDB-over-parquet is the exact oracle for the
+    // federated path: any drift (type mapping, filter pushdown, commit
+    // visibility) shows up as a hash mismatch.
+    "r_jdbc_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin,
+    "r_jdbc_join" ->
+      """SELECT n_nationkey, n_name, count(*)::BIGINT AS n_suppliers,
+        |(sum(CAST(s_acctbal AS DECIMAL(18,2))))::DOUBLE AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
     "r_sql_template" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0

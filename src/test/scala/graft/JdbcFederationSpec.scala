@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Namespaces
+import graft.operators.ReferenceOps
+import graft.sources.JdbcFederation
+
+/** The federated JDBC backend (embedded Derby standing in for the
+  * reference's second RDBMS — index.js:230-252) must behave like any
+  * other source: same rows as the fixture parquet, filters compiled
+  * into the remote query, dim side broadcast into cross-backend joins.
+  */
+class JdbcFederationSpec extends SparkSpec {
+
+  test("federated dims round-trip the fixture parquet exactly") {
+    for (t <- Seq("nation", "region")) {
+      val viaJdbc = JdbcFederation.readTable(spark, sf, t)
+      val viaParquet = Tables.load(spark, sf, t)
+      assert(viaJdbc.columns.toSeq == viaParquet.columns.toSeq)
+      assert(viaJdbc.count() == viaParquet.count())
+      assert(viaJdbc.exceptAll(viaParquet).isEmpty &&
+        viaParquet.exceptAll(viaJdbc).isEmpty, s"$t differs across backends")
+    }
+  }
+
+  test("equality filter is pushed into the JDBC scan, not applied in Spark") {
+    val df = JdbcFederation.readTable(spark, sf, "nation")
+      .where(col("n_regionkey") === lit(2))
+      .select("n_nationkey", "n_name")
+    val plan = df.queryExecution.executedPlan.toString
+    // RowDataSourceScanExec advertises what the remote engine received;
+    // the filter must appear there — the RDBMS ships 5 rows, not 25.
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(n_regionkey,2)"),
+      s"filter did not reach the JDBC source:\n$plan")
+    // column pruning reaches the remote SELECT list too
+    assert(plan.contains("ReadSchema:") && !plan.contains("n_comment"))
+    assert(df.count() == 5)
+  }
+
+  test("cross-backend join broadcasts the JDBC dim (no shuffle of the fact)") {
+    val joined = ReferenceOps.queries("r_jdbc_join")(spark, sf)
+    val r = graft.engine.PlanAudit.audit(joined)
+    assert(r.broadcasts == 1, s"expected the 25-row JDBC dim broadcast: ${r.render}")
+    assert(joined.count() > 0)
+  }
+
+  test("the second backend mounts as a namespace beside the parquet one") {
+    // the reference federates heterogeneous backends under one route
+    // space (/q/<db>/<query>, index.js:318-324); mounting the JDBC
+    // catalog beside the parquet one exercises the same contract
+    val ns = Namespaces.of("pgmain", Map(
+      "regions" -> ReferenceOps.queries("r_scan_all")))
+    ns.register("derbydim",
+      graft.engine.NamedQuery("nations",
+        (s, d) => JdbcFederation.readTable(s, d, "nation"), None))
+    assert(ns.databases == Set("pgmain", "derbydim"))
+    val viaRoute = graft.engine.Router
+      .dispatch(ns, "/q/derbydim/nations")(spark, sf)
+    assert(viaRoute.toOption.get.count() == 25)
+  }
+}
