@@ -164,6 +164,79 @@ object StreamingOps {
     replayToTable(spark, dir)(slidingCounts(_, "2 hours", "1 hour"))
       .orderBy("win_start", "event_type")
 
+  /** Checkpoint/restart RESUME — the property a 100 TB streaming
+    * deployment actually depends on: aggregation state must survive a
+    * process death. Half the events (even event_ids) stream through a
+    * CHECKPOINTED query which is then stopped — the planned "crash";
+    * the other half lands in the source dir, and a NEW query starts
+    * from the same checkpoint. The restarted query recovers the session
+    * state from the checkpoint and folds in the second half, so its
+    * complete-mode output equals the batch aggregation over ALL events
+    * (the e_stream_session oracle) — if recovery dropped the first
+    * half's state, the first-half-only sessions disappear or split and
+    * the hash check fails.
+    *
+    * `stateStoreProvider` optionally pins the state backend (e.g.
+    * RocksDB) for the lifetime of this replay; a fresh checkpoint is
+    * created per call, as Spark forbids switching providers on an
+    * existing checkpoint.
+    */
+  def resumeSessionStream(spark: SparkSession, dir: String,
+      stateStoreProvider: Option[String] = None): DataFrame = {
+    val replayDir = java.nio.file.Files.createTempDirectory("graft_resume")
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_resume_cp")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val schema = raw.schema
+    def ship(half: DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_stage_$tag")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $tag"))
+      java.nio.file.Files.move(part, replayDir.resolve(s"$tag.parquet"))
+      dropReplayDir(tmp)
+    }
+    def start(name: String): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(schema).format("parquet").load(replayDir.toString)
+      val resolved =
+        if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        else stream
+      sessionize(resolved.withWatermark("ts", "10 minutes"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", cpDir.toString)
+        .start()
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
+    try {
+      val base = s"graft_resume_${replaySeq.incrementAndGet()}"
+      ship(raw.where(col("event_id") % 2 === 0), "day1")
+      val q1 = start(s"${base}_a")
+      try q1.processAllAvailable() finally q1.stop() // planned "crash"
+      ship(raw.where(col("event_id") % 2 === 1), "day2")
+      val q2 = start(s"${base}_b")
+      try q2.processAllAvailable() finally q2.stop()
+      // the memory sink table is materialized in-memory; safe to drop
+      // the source and checkpoint dirs before returning it
+      val out = spark.table(s"${base}_b").orderBy("user_id", "session_start")
+      dropReplayDir(replayDir)
+      dropReplayDir(cpDir)
+      out
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** The hygiene gate executed as a stream — covers the
     * flatMapGroupsWithState dedup (custom streaming STATE, not just
     * windowed aggregation) with the driver's oracle: documents replayed

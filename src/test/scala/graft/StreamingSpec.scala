@@ -141,6 +141,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart resumes session state (kill mid-stream, resume, match batch)") {
+    val resumed = StreamingOps.resumeSessionStream(spark, sf)
+    val batch = StreamingOps.queries("e_stream_session")(spark, sf)
+    assert(resumed.collect().toSeq == batch.collect().toSeq,
+      "restarted query must fold recovered state into the second half")
+  }
+
+  test("checkpoint restart resumes under the RocksDB state store") {
+    val resumed = StreamingOps.resumeSessionStream(spark, sf,
+      stateStoreProvider = Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val batch = StreamingOps.queries("e_stream_session")(spark, sf)
+    assert(resumed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("streaming hygiene filter agrees with batch decontamination") {
     import graft.operators.DedupOps
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
