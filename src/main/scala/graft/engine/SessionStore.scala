@@ -33,10 +33,15 @@ trait AuthPlugin {
 }
 
 /** Reference-parity credential plugin: validate (username, password);
-  * on failure retry once with password + securityToken appended — the
-  * Salesforce plugin's two-step login (`plugins/salesforce.js:16-49`).
-  * The validation function is injected (no external service exists in
-  * this container); the retry protocol is the part under test.
+  * on failure retry ONCE with password + securityToken appended — the
+  * Salesforce plugin's two-step login (`plugins/salesforce.js:26-39`:
+  * first `sfconn.login(username, password)`, and only in its error
+  * callback a second `login(username, password + securityToken)`
+  * whose error — the SECOND one — is what reaches the `{ok:false,
+  * error}` envelope). The validation function is injected (no external
+  * service exists in this container); the attempt protocol — exactly
+  * two logins, in that order, second error surfaced — is the part
+  * under test (SessionSpec pins the attempt sequence).
   */
 final class RetryTokenAuthPlugin(validate: (String, String) => Boolean)
     extends AuthPlugin {
@@ -49,9 +54,19 @@ final class RetryTokenAuthPlugin(validate: (String, String) => Boolean)
       val withToken = pass + info.getOrElse("securityToken", "")
       if (validate(user, withToken))
         AuthResult(ok = true, info = info + ("authenticated" -> "token"))
-      else AuthResult(ok = false, error = "INVALID_LOGIN")
+      else AuthResult(ok = false, error = RetryTokenAuthPlugin.invalidLogin)
     }
   }
+}
+
+object RetryTokenAuthPlugin {
+  /** The error the reference's envelope carries after the second
+    * failed attempt: jsforce surfaces Salesforce's canonical
+    * INVALID_LOGIN fault, passed through verbatim by
+    * `plugins/salesforce.js:31-33`.
+    */
+  val invalidLogin: String =
+    "INVALID_LOGIN: Invalid username, password, security token; or user locked out."
 }
 
 /** One token session: mutable key→value slots (`lib/session.js:1-46`

@@ -60,14 +60,31 @@ class SessionSpec extends AnyFunSuite {
       "securityToken" -> "SECTOK"))
     assert(ok.ok && ok.info("authenticated") == "token")
     val bad = plugin.auth(Map("username" -> "ann", "password" -> "nope"))
-    assert(!bad.ok && bad.error == "INVALID_LOGIN")
+    assert(!bad.ok && bad.error == RetryTokenAuthPlugin.invalidLogin)
+  }
+
+  test("attempt protocol: one login when plain succeeds; exactly two, in order, otherwise") {
+    // the reference tries login(password) and only in its error callback
+    // login(password + securityToken) — never more (salesforce.js:26-39)
+    var attempts = List.empty[String]
+    def tracking(accept: String => Boolean) = new RetryTokenAuthPlugin(
+      (_, p) => { attempts :+= p; accept(p) })
+    val creds = Map("username" -> "ann", "password" -> "pw",
+      "securityToken" -> "SECTOK")
+    tracking(_ == "pw").auth(creds)
+    assert(attempts == List("pw"), "plain success must not retry")
+    attempts = Nil
+    tracking(_ => false).auth(creds)
+    assert(attempts == List("pw", "pwSECTOK"),
+      "failure path is exactly plain then password+securityToken")
   }
 
   test("auth failure surfaces the plugin error envelope, creates no session") {
     val store = new SessionStore()
     store.register("sforce", new RetryTokenAuthPlugin((_, _) => false))
     assert(store.authenticate(Some("tk"), Some("sforce"),
-      Some(Map("username" -> "x", "password" -> "y"))) == Left("INVALID_LOGIN"))
+      Some(Map("username" -> "x", "password" -> "y"))) ==
+      Left(RetryTokenAuthPlugin.invalidLogin))
     assert(store.session("tk").isEmpty && store.size == 0)
   }
 
