@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-query-set scale sweep: time every registered query at sf0.1 and
+  * at a synthetic 10x of it ([[graft.sources.SyntheticScale]] — replica
+  * keys disjoint, structure preserved, so cost must grow ~linearly),
+  * and flag supralinear growth. This is the harness that catches the
+  * next O(n^2) trap (the interpreted-HOF and pushdown-inlining traps of
+  * earlier rounds were only caught because a bigger-input measurement
+  * existed) BEFORE a 100x user does.
+  *
+  * Run: `sbt "runMain graft.ScaleSweep"` (~15-25 min; the 10x fixture is
+  * generated once into /tmp and reused). Output: one JSON line per
+  * query, slowest-growth first, then a summary line; growth beyond
+  * `BAR` (10x data on fixed parallelism => ~10x work is linear; 30x
+  * tolerates partition-count and constant-factor noise) lists the query
+  * in "flagged" — expect an empty list.
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val synth = args.headOption.getOrElse("/tmp/graft_sf1_synth")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.sources.SyntheticScale.ensure(spark, base, synth)
+
+    def runFull(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    def timed(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      runFull(name, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+      .filterNot(_ == "r_catalog")
+    runFull("r_inner_join", base)  // JIT + footer-cache warmup
+    runFull("r_inner_join", synth)
+
+    // min-of-2 at BOTH scales: several operators intentionally memoize
+    // per-dir build artifacts (the IVF index, the CC label table, the
+    // persistOnce staged features) exactly as a production deployment
+    // reuses an on-disk index — so pass 1 pays the build and pass 2 is
+    // the steady state. Taking the min on one side only would compare a
+    // cached 1x against a cold 10x and report build-vs-probe asymmetry
+    // as fake superlinear growth (the first sweep run did: e_dedup_cc
+    // "85x", e_ann_ivf "48x"). Min-of-2 both sides compares steady
+    // state to steady state; cold-path growth still surfaces via the
+    // t10 absolute column.
+    val rows = names.map { n =>
+      val t1 = math.min(timed(n, base), timed(n, base))
+      val t10 = math.min(timed(n, synth), timed(n, synth))
+      val growth = t10 / math.max(t1, 0.05)
+      System.err.println(f"[sweep] $n%-28s 1x=$t1%6.2f s  10x=$t10%7.2f s  growth=$growth%6.1fx")
+      (n, t1, t10, growth)
+    }.sortBy(-_._4)
+
+    val BAR = 30.0
+    val flagged = rows.filter(r => r._4 > BAR && r._3 > 5.0).map(_._1)
+    rows.foreach { case (n, t1, t10, g) =>
+      println(f"""{"query":"$n","t1_sec":$t1%.3f,"t10_sec":$t10%.3f,"growth":$g%.2f}""")
+    }
+    println(s"""{"metric":"sweep_total","t1_sec":${rows.map(_._2).sum},""" +
+      s""""t10_sec":${rows.map(_._3).sum},"n_queries":${rows.size},""" +
+      s""""flagged":${flagged.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up of the sf0.1 fixture dir: 10 DISJOINT replicas of
+  * every fact table under shifted keys, preserving each table's
+  * internal structure while keeping replicas unrelatable — so query
+  * cost must grow ~linearly, and any superlinear growth a sweep
+  * observes is an algorithmic regression, not a property of the data.
+  *
+  * Structure-preserving tricks (same reasoning as ScaleRehearsalSpec):
+  *  - keys shift by `i * 10_000_000`, consistently across FK pairs
+  *    (orders.o_custkey shifts with customer.c_custkey, etc.);
+  *  - nation/region stay single-copy — TPC-H fixes them at 25/5 rows
+  *    at every scale factor;
+  *  - document tokens get a per-replica suffix, so within-replica
+  *    near-dup structure is preserved token-for-token while
+  *    cross-replica shingle similarity is exactly zero (10 EXACT text
+  *    copies would make LSH bucket membership 10x and in-bucket pairs
+  *    ~100x — a quadratic law inherent to that data, not a bug);
+  *  - embeddings are circularly ROTATED by i positions — an orthogonal
+  *    transform, so within-replica cosines are bit-preserved while
+  *    cross-replica cosines of effectively-random vectors sit near 0.
+  *
+  * Tables are written as single parquet FILES (matching the testdata
+  * layout — the streaming replays stage `<dir>/<table>.parquet` as a
+  * file). Generation is skipped when the marker file exists.
+  */
+object SyntheticScale {
+
+  private val OFF = 10_000_000L
+
+  def ensure(spark: SparkSession, baseDir: String, outDir: String,
+      replicas: Int = 10): Unit = {
+    val out = Paths.get(outDir)
+    val marker = out.resolve("_GRAFT_SYNTH_OK")
+    if (Files.exists(marker)) return
+    Files.createDirectories(out)
+
+    // fixed dims: byte-identical copies
+    for (t <- Seq("region", "nation")) {
+      val dst = out.resolve(s"$t.parquet")
+      Files.deleteIfExists(dst)
+      Files.copy(Paths.get(s"$baseDir/$t.parquet"), dst)
+    }
+
+    def shifted(df: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * OFF)))
+
+    def replicate(name: String)(one: Int => DataFrame): Unit =
+      writeSingleFile(
+        (0 until replicas).map(one).reduce(_ unionByName _),
+        out.resolve(s"$name.parquet"))
+
+    // raw reads (no Tables.load): events.ts must stay the on-disk long
+    def raw(name: String) = spark.read.parquet(s"$baseDir/$name.parquet")
+
+    replicate("customer")(i => shifted(raw("customer"), i, "c_custkey"))
+    replicate("supplier")(i => shifted(raw("supplier"), i, "s_suppkey"))
+    replicate("part")(i => shifted(raw("part"), i, "p_partkey"))
+    replicate("orders")(i =>
+      shifted(raw("orders"), i, "o_orderkey", "o_custkey"))
+    replicate("lineitem")(i =>
+      shifted(raw("lineitem"), i, "l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events")(i =>
+      shifted(raw("events"), i, "event_id", "user_id"))
+    replicate("documents") { i =>
+      val base = shifted(raw("documents"), i, "doc_id")
+      if (i == 0) base
+      else {
+        // Per-replica character BIJECTION (Caesar shift of the letter
+        // alphabet): a bijection maps word shingles AND char n-grams
+        // 1:1, so within-replica similarity structure is preserved for
+        // both shingle families while cross-replica text shares ~no
+        // features. (The earlier per-token suffix idea corrupts char
+        // n-grams: every token boundary then carries the same "_ri"
+        // grams, making them corpus-common within a replica — LSH
+        // buckets blow up quadratically BY CONSTRUCTION, not by bug.)
+        // Length is preserved, so n_chars stays valid.
+        val lower = "abcdefghijklmnopqrstuvwxyz"
+        val upper = lower.toUpperCase
+        def rot(s: String) = s.drop(i % 26) + s.take(i % 26)
+        base.withColumn("text",
+          translate(col("text"), lower + upper, rot(lower) + rot(upper)))
+      }
+    }
+    replicate("embeddings") { i =>
+      val base = shifted(raw("embeddings"), i, "vec_id")
+      if (i == 0) base
+      else base.withColumn("embedding", concat(
+        slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
+        slice(col("embedding"), lit(1), lit(i))))
+    }
+
+    Files.createFile(marker)
+  }
+
+  /** Write a DataFrame as one parquet FILE at `dst` (the fixture
+    * layout): single-partition write to a temp dir, then move the part
+    * file into place.
+    */
+  private def writeSingleFile(df: DataFrame, dst: Path): Unit = {
+    val tmp = Files.createTempDirectory("graft_synth_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for $dst"))
+    Files.deleteIfExists(dst)
+    Files.move(part, dst)
+    Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
+}
