@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, DedupOps, EventAnalytics, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, DedupOps, EventAnalytics, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -26,7 +26,8 @@ object SparkEntry {
     ReferenceOps.queries ++ RelationalOps.queries ++ ScalarOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
-      AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries
+      AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
+      LayoutOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -36,16 +37,18 @@ object SparkEntry {
     * Counts verified scale-stable (identical at sf0.001/0.01/0.1 —
     * broadcasts are explicit hints, not stats decisions).
     */
-  private val planAuditTargets = Seq("e_dedup_exact", "e_join_broadcast",
-    "e_pii_redact", "e_tfidf", "e_topk", "e_tpch_q3", "e_window_running",
-    "r_soql_proj")
+  private val planAuditTargets = Seq("e_bucketed_join", "e_dedup_exact",
+    "e_join_broadcast", "e_partition_prune", "e_pii_redact", "e_tfidf",
+    "e_topk", "e_tpch_q3", "e_window_running", "r_soql_proj")
 
   private def planAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     planAuditTargets.map { name =>
       val r = graft.engine.PlanAudit.audit(baseQueries(name)(spark, dir))
-      (name, r.shuffles, r.broadcasts, r.windows, r.scans.size)
-    }.toDF("query_name", "n_shuffles", "n_broadcasts", "n_windows", "n_scans")
+      (name, r.shuffles, r.broadcasts, r.windows, r.scans.size,
+        r.partitionPrunedScans)
+    }.toDF("query_name", "n_shuffles", "n_broadcasts", "n_windows", "n_scans",
+      "n_pruned")
       .orderBy("query_name")
   }
 
@@ -64,7 +67,8 @@ object SparkEntry {
     ReferenceOps.oracles ++ RelationalOps.oracles ++ ScalarOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
-      AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++ Map(
+      AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
+      LayoutOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -73,15 +77,17 @@ object SparkEntry {
     // counts per audited query, pinned as a VALUES literal.
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
-        |  ('e_dedup_exact', 2, 0, 1, 1),
-        |  ('e_join_broadcast', 1, 1, 0, 2),
-        |  ('e_pii_redact', 1, 0, 0, 1),
-        |  ('e_tfidf', 5, 1, 1, 2),
-        |  ('e_topk', 0, 0, 0, 1),
-        |  ('e_tpch_q3', 1, 2, 0, 3),
-        |  ('e_window_running', 2, 0, 1, 1),
-        |  ('r_soql_proj', 1, 0, 0, 1)
-        |) AS t(query_name, n_shuffles, n_broadcasts, n_windows, n_scans)
+        |  ('e_bucketed_join', 2, 0, 0, 2, 0),
+        |  ('e_dedup_exact', 2, 0, 1, 1, 0),
+        |  ('e_join_broadcast', 1, 1, 0, 2, 0),
+        |  ('e_partition_prune', 2, 0, 0, 1, 1),
+        |  ('e_pii_redact', 1, 0, 0, 1, 0),
+        |  ('e_tfidf', 5, 1, 1, 2, 0),
+        |  ('e_topk', 0, 0, 0, 1, 0),
+        |  ('e_tpch_q3', 1, 2, 0, 3, 0),
+        |  ('e_window_running', 2, 0, 1, 1, 0),
+        |  ('r_soql_proj', 1, 0, 0, 1, 0)
+        |) AS t(query_name, n_shuffles, n_broadcasts, n_windows, n_scans, n_pruned)
         |ORDER BY query_name""".stripMargin,
     "r_catalog" ->
       """SELECT * FROM (VALUES
@@ -149,7 +155,9 @@ object SparkEntry {
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
         |  ('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),
+        |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
         |  ('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
+        |  ('e_partition_prune', 3, 'event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |  ('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),

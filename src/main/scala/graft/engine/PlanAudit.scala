@@ -6,8 +6,14 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.window.WindowExec
 
-/** One parquet scan in the plan: what reached the reader. */
-final case class ScanInfo(pushedFilters: Seq[String], readSchema: String)
+/** One parquet scan in the plan: what reached the reader.
+  * `partitionFilters` are the predicates resolved against the
+  * directory layout (`d=.../`) — a non-empty list means the scan
+  * LISTS only matching directories instead of the whole dataset, the
+  * property that turns a 100 TB pass into a one-partition read.
+  */
+final case class ScanInfo(pushedFilters: Seq[String], readSchema: String,
+    partitionFilters: Seq[String] = Nil)
 
 /** Structured summary of a physical plan — the properties the 100 TB
   * story depends on, as data instead of a string to eyeball.
@@ -24,10 +30,14 @@ final case class PlanReport(
   def scansPrunedTo(maxCols: Int): Boolean =
     scans.forall(_.readSchema.count(_ == ',') + 1 <= maxCols)
 
+  /** Scans whose directory listing is narrowed by partition filters. */
+  def partitionPrunedScans: Int = scans.count(_.partitionFilters.nonEmpty)
+
   def render: String =
     s"shuffles=$shuffles broadcasts=$broadcasts codegenSpans=$codegenSpans " +
       s"windows=$windows sorts=$sorts scans=${scans.size}" +
       scans.map(s => s"\n  scan pushed=${s.pushedFilters.mkString("[", ",", "]")}" +
+        s" part=${s.partitionFilters.mkString("[", ",", "]")}" +
         s" read=${s.readSchema}").mkString
 }
 
@@ -50,7 +60,8 @@ object PlanAudit {
           s.metadata.get("PushedFilters").toSeq
             .flatMap(_.stripPrefix("[").stripSuffix("]").split(",\\s*"))
             .filter(f => f.nonEmpty && f != "[]"),
-          s.metadata.getOrElse("ReadSchema", ""))
+          s.metadata.getOrElse("ReadSchema", ""),
+          s.partitionFilters.map(_.sql))
       },
       codegenSpans = nodes.count(_.isInstanceOf[WholeStageCodegenExec]),
       windows = nodes.count(_.isInstanceOf[WindowExec]),

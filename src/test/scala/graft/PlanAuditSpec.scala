@@ -48,14 +48,14 @@ class PlanAuditSpec extends SparkSpec {
     // rows to paste instead of waiting for the driver's red row
     val live = SparkEntry.queries("e_plan_audit")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
-        r.getInt(4))).toSeq
-    val re = raw"\('([^']*)', (\d+), (\d+), (\d+), (\d+)\)".r
+        r.getInt(4), r.getInt(5))).toSeq
+    val re = raw"\('([^']*)', (\d+), (\d+), (\d+), (\d+), (\d+)\)".r
     val declared = re.findAllMatchIn(SparkEntry.oracleSql("e_plan_audit"))
       .map(m => (m.group(1), m.group(2).toInt, m.group(3).toInt,
-        m.group(4).toInt, m.group(5).toInt)).toSeq
+        m.group(4).toInt, m.group(5).toInt, m.group(6).toInt)).toSeq
     if (live != declared) {
-      val block = live.map { case (n, s, b, w, sc) =>
-        s"  ('$n', $s, $b, $w, $sc)" }.mkString(",\n")
+      val block = live.map { case (n, s, b, w, sc, pr) =>
+        s"  ('$n', $s, $b, $w, $sc, $pr)" }.mkString(",\n")
       fail(s"plan-audit contract drifted; paste into the oracle:\n$block")
     }
   }
