@@ -156,6 +156,7 @@ object SparkEntry {
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
         |  ('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),
         |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
+        |  ('e_compact', 4, 'lang:string,n_docs:bigint,sum_chars:bigint,fp:bigint'),
         |  ('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |  ('e_partition_prune', 3, 'event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),

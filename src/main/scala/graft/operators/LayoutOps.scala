@@ -134,11 +134,98 @@ object LayoutOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- //
+  // Small-file compaction
+  // ---------------------------------------------------------------- //
+
+  /** Compact a fragmented parquet directory into ~`targetBytes` files,
+    * range-clustered on `rangeKey`.
+    *
+    * Small files are the chronic operational failure of a 100 TB
+    * ingest: a streaming or over-parallel writer leaves thousands of
+    * KB-scale files per partition, and every later scan pays a task
+    * (and a namenode/listing round trip) per file. Compaction rewrites
+    * the directory at a chosen file size. Two scale choices:
+    *
+    *  - target file COUNT is derived from the directory's actual byte
+    *    size (one distributed-friendly `FileSystem.listStatus`, no data
+    *    read), so the same call works on a 3 MB fixture and a 100 TB
+    *    table;
+    *  - the rewrite uses `repartitionByRange(rangeKey)` + an
+    *    intra-partition sort, NOT `coalesce`/`repartition`: round-robin
+    *    compaction destroys clustering, leaving every file's min/max
+    *    stats spanning the whole key domain; range compaction keeps
+    *    file-level zone maps tight so post-compaction scans still skip
+    *    files (asserted file-by-file in LayoutSpec).
+    *
+    * Returns `(outDir, plannedFiles)`.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      rangeKey: String, targetBytes: Long): (String, Int) = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path).filter(_.isFile)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartitionByRange(nFiles, col(rangeKey))
+      .sortWithinPartitions(rangeKey)
+      .write.mode("overwrite").parquet(outDir)
+    (outDir, nFiles)
+  }
+
+  private val compactedCache = new ConcurrentHashMap[String, (String, String, Int)]()
+
+  /** Build (or fetch) the compaction fixture for `dir`: `documents`
+    * deliberately shredded into 48 round-robin fragments, then
+    * compacted to ~128 KB files clustered on doc_id. Returns
+    * (fragmentedDir, compactedDir, plannedFiles).
+    */
+  def compactedDocsDirs(spark: SparkSession, dir: String): (String, String, Int) = {
+    val key = s"${spark.sparkContext.applicationId}#$dir"
+    compactedCache.computeIfAbsent(key, _ => {
+      val frag = java.nio.file.Files
+        .createTempDirectory("graft_docs_frag").toString
+      val comp = java.nio.file.Files
+        .createTempDirectory("graft_docs_compact").toString
+      Tables.load(spark, dir, "documents")
+        .repartition(48)
+        .write.mode("overwrite").parquet(frag)
+      val (_, n) = compact(spark, frag, comp, "doc_id", 128L * 1024)
+      (frag, comp, n)
+    })
+  }
+
+  /** Lossless-compaction proof over the compacted layout: per-language
+    * doc counts, char totals, and an order-independent content
+    * fingerprint (bit_xor of each text's md5-60bit hash — XOR commutes,
+    * so the fragment→compact shuffle cannot affect it, and any lost or
+    * duplicated row flips it). The oracle computes the identical
+    * aggregate from the ORIGINAL table: equality proves the round trip
+    * preserved every row byte-for-byte.
+    */
+  private val compactQuery: Q = (spark, dir) => {
+    val (_, comp, _) = compactedDocsDirs(spark, dir)
+    spark.read.parquet(comp)
+      .withColumn("h", graft.functions.TextShingles.md5Hash60(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(h)").as("fp"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_bucketed_join" -> bucketedJoin,
+    "e_compact" -> compactQuery,
     "e_partition_prune" -> partitionPrune)
 
   val oracles: Map[String, String] = Map(
+    "e_compact" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+        |bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "e_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price

@@ -39,6 +39,37 @@ class LayoutSpec extends SparkSpec {
     assert(r.partitionPrunedScans == 1, r.render)
   }
 
+  test("compaction shrinks the file count and preserves every row") {
+    val (frag, comp, planned) = LayoutOps.compactedDocsDirs(spark, sf)
+    def partFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.toString)
+    val before = partFiles(frag)
+    val after = partFiles(comp)
+    assert(before.length == 48, s"fixture must be fragmented: ${before.length}")
+    assert(after.length == planned,
+      s"writer produced ${after.length} files, planned $planned")
+    assert(after.length < before.length)
+    val origRows = Tables.load(spark, sf, "documents").count()
+    assert(spark.read.parquet(comp).count() == origRows)
+  }
+
+  test("range compaction keeps per-file key ranges disjoint") {
+    val (_, comp, _) = LayoutOps.compactedDocsDirs(spark, sf)
+    val files = new java.io.File(comp).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.toString)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2,
+          s"file key ranges overlap ($hi > $lo2) — zone maps would be useless")
+      case _ => ()
+    }
+  }
+
   test("bucketed join equals the plain parquet join") {
     val viaLayout = LayoutOps.queries("e_bucketed_join")(spark, sf)
     val li = Tables.load(spark, sf, "lineitem")
