@@ -189,6 +189,7 @@ object SparkEntry {
         |  ('e_sliding_batch', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
+        |  ('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |  ('e_stream_session_replay', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |  ('e_stream_tumbling_replay', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),

@@ -68,20 +68,21 @@ object StreamingOps {
       .orderBy("user_id", "session_start")
 
   /** Stream-stream interval join: each click joined to the same user's
-    * views from the preceding 10 minutes. Watermarks on BOTH sides
+    * views from the preceding `interval`. Watermarks on BOTH sides
     * bound the join state (Spark evicts buffered rows older than
     * watermark + interval) — without them a stream-stream join's state
     * grows without bound.
     */
-  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("ts", "10 minutes")
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      interval: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", interval)
     val v = views
       .withColumnRenamed("user_id", "v_user_id")
       .withColumnRenamed("ts", "v_ts")
-      .withWatermark("v_ts", "10 minutes")
+      .withWatermark("v_ts", interval)
     c.join(v, expr(
-      """user_id = v_user_id AND
-        |v_ts BETWEEN ts - INTERVAL 10 MINUTES AND ts""".stripMargin))
+      s"""user_id = v_user_id AND
+         |v_ts BETWEEN ts - INTERVAL '$interval' AND ts""".stripMargin))
   }
 
   /** Stage the single-file fixture into a fresh replay dir —
@@ -163,6 +164,47 @@ object StreamingOps {
   def replaySlidingStream(spark: SparkSession, dir: String): DataFrame =
     replayToTable(spark, dir)(slidingCounts(_, "2 hours", "1 hour"))
       .orderBy("win_start", "event_type")
+
+  /** The stream-stream interval join executed as TWO real streams —
+    * clicks and views each arrive through their own file source, meet
+    * in a watermarked interval join (append mode: an inner join emits
+    * every match as soon as both sides have it; nothing is withheld
+    * for the watermark, which only governs STATE EVICTION), and the
+    * drained pair set is aggregated deterministically per user. A
+    * 4-hour lookback (vs the API default 10 minutes) gives the fixture
+    * a dense enough pair set to make the hash check meaningful. Shares
+    * a plain SQL interval-join oracle: the streamed two-source path
+    * must reproduce the batch join exactly.
+    */
+  def replayClickViewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageReplay(dir, "events.parquet")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def source(): DataFrame = {
+      val s = spark.readStream
+        .schema(batchSchema).format("parquet").load(staged.toString)
+      if (s.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else s
+    }
+    val clicks = source().where(col("event_type") === "click")
+      .select("user_id", "ts")
+    val views = source().where(col("event_type") === "view")
+      .select("user_id", "ts")
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = clickViewJoin(clicks, views, "4 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropReplayDir(staged)
+    }
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("unix_micros(ts) - unix_micros(v_ts)")).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
 
   /** Checkpoint/restart RESUME — the property a 100 TB streaming
     * deployment actually depends on: aggregation state must survive a
@@ -326,6 +368,7 @@ object StreamingOps {
     "e_stream_tumbling_replay" -> (replayTumblingStream(_, _)),
     "e_stream_sliding_replay" -> (replaySlidingStream(_, _)),
     "e_stream_quality_replay" -> (replayQualityGateStream(_, _)),
+    "e_stream_join_replay" -> (replayClickViewJoin(_, _)),
     "e_quality_gate" -> qualityGate,
   )
 
@@ -404,6 +447,14 @@ object StreamingOps {
       graft.functions.ScalarOps.oracles("e_tumbling_batch"),
     "e_stream_sliding_replay" ->
       graft.functions.ScalarOps.oracles("e_sliding_batch"),
+    "e_stream_join_replay" ->
+      """SELECT c.user_id, COUNT(*) AS n_pairs,
+        |SUM(epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS sum_gap_us
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        |  AND c.user_id = v.user_id
+        |  AND v.ts BETWEEN c.ts - INTERVAL 4 HOUR AND c.ts
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
   )
 
 }

@@ -141,6 +141,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two-stream interval-join replay equals the batch interval join") {
+    val streamed = StreamingOps.queries("e_stream_join_replay")(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+    val c = ev.where(col("event_type") === "click").select("user_id", "ts")
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    val batch = c.join(v, expr(
+        """user_id = v_user_id AND
+          |v_ts BETWEEN ts - INTERVAL '4 hours' AND ts""".stripMargin))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("unix_micros(ts) - unix_micros(v_ts)")).as("sum_gap_us"))
+      .orderBy("user_id")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("checkpoint restart resumes session state (kill mid-stream, resume, match batch)") {
     val resumed = StreamingOps.resumeSessionStream(spark, sf)
     val batch = StreamingOps.queries("e_stream_session")(spark, sf)
