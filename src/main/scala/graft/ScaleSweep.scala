@@ -44,8 +44,12 @@ object ScaleSweep {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // args(1..) optionally restrict the sweep to named queries — the
+    // targeted re-measure loop after optimizing a flagged grower
+    val only = args.drop(1).toSet
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filterNot(_ == "r_catalog")
+      .filter(n => only.isEmpty || only.contains(n))
     runFull("r_inner_join", base)  // JIT + footer-cache warmup
     runFull("r_inner_join", synth)
 

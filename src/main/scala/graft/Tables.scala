@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loader. The reference federates named backends under one
   * namespace (/root/reference/index.js:52,112 `dbs{}` keyed by db.name);
@@ -19,13 +19,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects; sessions
-    // set spark.sql.legacy.parquet.nanosAsLong=true, so it arrives as
-    // nanos-since-epoch LONG. Truncate to micros (identical to DuckDB's
-    // ns→us cast for positive epochs) and restore TimestampType.
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize the fixture's `ts` column to TimestampType regardless of
+    * how the generator annotated it — the driver has shipped it as
+    * TIMESTAMP(NANOS) (arriving as nanos-since-epoch LONG under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and as untagged
+    * TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ under Spark 4's NTZ
+    * inference). Values are UTC wall times and sessions run in UTC, so
+    * both conversions are instant-preserving and agree with DuckDB's
+    * read of the same file. Works on batch and streaming frames alike.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      // nanos → micros truncation, identical to DuckDB's ns→us cast for
+      // positive epochs
       df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    case TimestampNTZType =>
+      // naive-UTC → session-UTC instant; cast in a UTC session is exact
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
 
   /** Register every fixture table as a temp view so `spark.sql` queries

@@ -670,14 +670,40 @@ object DedupOps {
     // xxhash64(h1..hw, 42) long-mix via the same catalyst XXH64 core.
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    val sets = evalFeats.filter(_.nonEmpty).map(e => (e.toSet, e.size))
-    val union: Set[Long] = sets.iterator.flatMap(_._1).toSet
+    val sets = evalFeats.filter(_.nonEmpty)
+    val nSets = sets.length
+    // |e_i| denominators, plus an inverted index shingle → eval-set ids
+    // so the per-row cost is proportional to the row's ACTUAL overlap
+    // volume, not to |eval corpus|. The previous sets.exists scan was
+    // O(|sets|·|e|) for every row sharing even one shingle with any
+    // eval doc — at 10× data that's 10× rows × 10× sets, the measured
+    // 26× wall growth of e_stream_quality_replay in SWEEP.json; the
+    // postings walk restores the batch join's O(matching pairs) shape.
+    val sizes: Array[Int] = sets.map(_.size).toArray
+    val postings: scala.collection.mutable.LongMap[Array[Int]] = {
+      val tmp = new scala.collection.mutable.LongMap[
+        scala.collection.mutable.ArrayBuilder.ofInt]
+      var i = 0
+      while (i < nSets) {
+        // array_distinct upstream guarantees per-set uniqueness, so one
+        // posting per (shingle, set) and count == |e ∩ fs| exactly
+        sets(i).foreach { g =>
+          tmp.getOrElseUpdate(g,
+            new scala.collection.mutable.ArrayBuilder.ofInt) += i
+        }
+        i += 1
+      }
+      val out = new scala.collection.mutable.LongMap[Array[Int]](tmp.size)
+      tmp.foreach { case (k, b) => out.update(k, b.result()) }
+      out
+    }
     val contains = udf { (s: String) =>
-      if (s == null || sets.isEmpty) false
+      if (s == null || nSets == 0) false
       else {
         val toks = UTF8String.fromString(s).toLowerCase.toString
           .split("\\s+", -1)
         if (toks.length < w) false
+        else if (tau <= 0) true // count/n >= 0 holds for every set
         else {
           val th = toks.map { t =>
             val u = UTF8String.fromString(t)
@@ -693,16 +719,24 @@ object DedupOps {
             fs += h
             i += 1
           }
-          // guard: nearly every document shares ZERO shingles with the
-          // eval corpus — sound for tau > 0 (containment >= tau implies
-          // a nonempty intersection with the union)
-          if (tau > 0 && !fs.exists(union.contains)) false
-          else sets.exists { case (e, n) =>
-            // same division shape as the batch threshold (x/n >= tau):
-            // a multiplied form (x >= tau*n) rounds differently at
-            // exact-threshold cases and would let batch and stream
-            // disagree
-            e.count(fs.contains).toDouble / n.toDouble >= tau
+          // overlap counts only for sets the row actually touches
+          val counts = new scala.collection.mutable.LongMap[Int]
+          fs.foreach { g =>
+            postings.get(g) match {
+              case Some(ids) =>
+                var k = 0
+                while (k < ids.length) {
+                  counts(ids(k).toLong) = counts.getOrElse(ids(k).toLong, 0) + 1
+                  k += 1
+                }
+              case None =>
+            }
+          }
+          // same division shape as the batch threshold (x/n >= tau): a
+          // multiplied form (x >= tau*n) rounds differently at
+          // exact-threshold cases and would let batch and stream disagree
+          counts.exists { case (idx, c) =>
+            c.toDouble / sizes(idx.toInt).toDouble >= tau
           }
         }
       }

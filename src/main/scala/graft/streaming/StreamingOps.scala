@@ -112,10 +112,7 @@ object StreamingOps {
       .schema(batchSchema)
       .format("parquet")
       .load(replayDir.toString)
-    val resolved =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else stream
+    val resolved = Tables.normalizeTs(stream)
     transform(resolved.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("complete")
@@ -179,13 +176,9 @@ object StreamingOps {
   def replayClickViewJoin(spark: SparkSession, dir: String): DataFrame = {
     val staged = stageReplay(dir, "events.parquet")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    def source(): DataFrame = {
-      val s = spark.readStream
-        .schema(batchSchema).format("parquet").load(staged.toString)
-      if (s.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else s
-    }
+    def source(): DataFrame =
+      Tables.normalizeTs(spark.readStream
+        .schema(batchSchema).format("parquet").load(staged.toString))
     val clicks = source().where(col("event_type") === "click")
       .select("user_id", "ts")
     val views = source().where(col("event_type") === "view")
@@ -242,10 +235,7 @@ object StreamingOps {
     def start(name: String): StreamingQuery = {
       val stream = spark.readStream
         .schema(schema).format("parquet").load(replayDir.toString)
-      val resolved =
-        if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        else stream
+      val resolved = Tables.normalizeTs(stream)
       sessionize(resolved.withWatermark("ts", "10 minutes"))
         .writeStream
         .outputMode("complete")
