@@ -41,7 +41,8 @@ class RestLikeSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new RestTable(
       properties.asScala.getOrElse("pages", "4").toInt,
-      properties.asScala.getOrElse("pageSize", "250").toInt)
+      properties.asScala.getOrElse("pageSize", "250").toInt,
+      properties.asScala.get("baseUrl"))
 }
 
 object RestLikeSource {
@@ -55,16 +56,17 @@ object RestLikeSource {
     (id, s"item_$id", (id % 97) / 97.0)
 }
 
-class RestTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+class RestTable(pages: Int, pageSize: Int, baseUrl: Option[String])
+    extends Table with SupportsRead {
   override def name(): String = s"rest_like($pages pages x $pageSize)"
   override def schema(): StructType = RestLikeSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(pages, pageSize)
+    new RestScanBuilder(pages, pageSize, baseUrl)
 }
 
-class RestScanBuilder(pages: Int, pageSize: Int)
+class RestScanBuilder(pages: Int, pageSize: Int, baseUrl: Option[String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -133,8 +135,8 @@ class RestScanBuilder(pages: Int, pageSize: Int)
     required = requiredSchema
 
   override def build(): Scan = aggs match {
-    case Some(a) => new RestAggScan(pages, pageSize, pushed, a)
-    case None => new RestScan(pages, pageSize, pushed, required, limit)
+    case Some(a) => new RestAggScan(pages, pageSize, pushed, a, baseUrl)
+    case None => new RestScan(pages, pageSize, pushed, required, limit, baseUrl)
   }
 }
 
@@ -145,7 +147,8 @@ class RestScanBuilder(pages: Int, pageSize: Int)
   * metadata call and paging the whole endpoint through the cluster.
   */
 class RestAggScan(pages: Int, pageSize: Int, pushed: Array[Filter],
-    aggs: Seq[AggregateFunc]) extends Scan with Batch {
+    aggs: Seq[AggregateFunc], baseUrl: Option[String] = None)
+    extends Scan with Batch {
 
   /** Surviving id interval after the pushed filters (ids are dense). */
   private def interval: (Long, Long) = {
@@ -175,28 +178,74 @@ class RestAggScan(pages: Int, pageSize: Int, pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory = {
     val (a, b) = interval
     val empty = b < a
-    val values: Seq[Any] = aggs.map {
-      case _: CountStar => math.max(0L, b - a + 1)
-      case _: Min => if (empty) null else a
-      case _: Max => if (empty) null else b
+    // Reduce each pushed agg to a serializable tag at planning time
+    // (an unpushable agg fails here, not in a task); the VALUES are
+    // produced lazily in the reader — Spark may build the factory more
+    // than once per query (explain + execute), and the live metadata
+    // call must go out exactly once, from the single planned
+    // partition's reader.
+    val tags: Seq[String] = aggs.map {
+      case _: CountStar => "count"
+      case _: Min => "min"
+      case _: Max => "max"
       case f => throw new IllegalStateException(s"unpushable agg $f")
     }
-    new SingleRowReaderFactory(values)
+    val url = baseUrl
+    new SingleRowReaderFactory(() => {
+      // Live mode issues the REAL metadata call (`/items/count?min&max`)
+      // instead of answering from local arithmetic — the zero-data-pages
+      // property is then asserted on the server's request log, not
+      // assumed. Synthetic mode keeps the arithmetic answer.
+      val count: Long = url match {
+        case Some(u) =>
+          val body = RestHttp.get(s"$u/items/count?min=$a&max=$b")
+          RestHttp.mapper.readTree(body).get("count").asLong()
+        case None => math.max(0L, b - a + 1)
+      }
+      tags.map {
+        case "count" => count
+        case "min" => if (empty) null else a
+        case "max" => if (empty) null else b
+      }
+    })
   }
 }
 
-class SingleRowReaderFactory(values: Seq[Any]) extends PartitionReaderFactory {
+/** Shared HTTP plumbing for the live-federation path: a plain
+  * `HttpURLConnection` GET (JDK-only, executor-safe) and Spark's own
+  * bundled Jackson for the JSON parse — no dependency beyond what every
+  * Spark classpath already carries.
+  */
+object RestHttp {
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def get(url: String): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    try {
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } finally conn.disconnect()
+  }
+}
+
+class SingleRowReaderFactory(values: () => Seq[Any])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var served = false
       override def next(): Boolean = if (served) false else { served = true; true }
-      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def get(): InternalRow = InternalRow.fromSeq(values())
       override def close(): Unit = ()
     }
 }
 
 class RestScan(pages: Int, pageSize: Int, pushed: Array[Filter],
-    required: StructType, limit: Option[Int]) extends Scan with Batch {
+    required: StructType, limit: Option[Int],
+    baseUrl: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -235,26 +284,60 @@ class RestScan(pages: Int, pageSize: Int, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(pushed, required)
+    new RestReaderFactory(pushed, required, baseUrl)
 }
 
 case class RestPage(page: Int, pageSize: Int) extends InputPartition
 
-class RestReaderFactory(pushed: Array[Filter], required: StructType)
-    extends PartitionReaderFactory {
+class RestReaderFactory(pushed: Array[Filter], required: StructType,
+    baseUrl: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RestPageReader(partition.asInstanceOf[RestPage], pushed, required)
+    new RestPageReader(partition.asInstanceOf[RestPage], pushed, required,
+      baseUrl)
 }
 
 class RestPageReader(page: RestPage, pushed: Array[Filter],
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, baseUrl: Option[String] = None)
+    extends PartitionReader[InternalRow] {
 
-  /** Stand-in for the HTTP page fetch (executor-side, one call per
-    * partition; pushed filters would become query-string params here).
+  /** The executor-side page fetch, one call per partition. With a
+    * `baseUrl` this is a REAL HTTP GET: the pushed id filters travel as
+    * `min`/`max` query-string params (EqualTo arrives as min=v&max=v)
+    * and the JSON body is parsed with Spark's bundled Jackson — the
+    * DSv2 analog of predicate pushdown reaching the remote service.
+    * Without one, a deterministic in-memory generator stands in (no
+    * egress in the build sandbox; tests run both paths against
+    * [[HttpFixtureServer]] on loopback and assert identical results).
     */
-  private def fetchPage: Iterator[(Long, String, Double)] = {
-    val lo = page.page.toLong * page.pageSize
-    (lo until lo + page.pageSize).iterator.map(RestLikeSource.record)
+  private def fetchPage: Iterator[(Long, String, Double)] = baseUrl match {
+    case Some(url) =>
+      var qs = s"page=${page.page}&pageSize=${page.pageSize}"
+      var min = Long.MinValue
+      var max = Long.MaxValue
+      pushed.foreach {
+        case EqualTo("id", v: Long) =>
+          min = math.max(min, v); max = math.min(max, v)
+        case GreaterThan("id", v: Long) => min = math.max(min, v + 1)
+        case LessThan("id", v: Long) => max = math.min(max, v - 1)
+        case _ =>
+      }
+      if (min != Long.MinValue) qs += s"&min=$min"
+      if (max != Long.MaxValue) qs += s"&max=$max"
+      val body = RestHttp.get(s"$url/items?$qs")
+      val root = RestHttp.mapper.readTree(body)
+      require(root.isArray, s"expected a JSON array page, got: $body")
+      val it = root.elements()
+      new Iterator[(Long, String, Double)] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): (Long, String, Double) = {
+          val n = it.next()
+          (n.get("id").asLong(), n.get("name").asText(),
+            n.get("score").asDouble())
+        }
+      }
+    case None =>
+      val lo = page.page.toLong * page.pageSize
+      (lo until lo + page.pageSize).iterator.map(RestLikeSource.record)
   }
 
   private val rows = fetchPage.filter { case (id, _, _) =>

@@ -46,6 +46,27 @@ class JdbcFederationSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("range-parallel JDBC read splits the remote table across partitions") {
+    // the big-table scale path from the README: partitionColumn bounds
+    // issue one ranged remote query per partition. The 25-row dim
+    // doesn't need it — this pins that the mechanics WORK against the
+    // embedded backend so the option set is known-good when the URL
+    // points at a real RDBMS with a 10^9-row table.
+    val u = graft.sources.JdbcFederation.ensureLoaded(spark, sf)
+    val df = spark.read.format("jdbc")
+      .option("url", u)
+      .option("dbtable", "\"nation\"")
+      .option("partitionColumn", "n_nationkey")
+      .option("lowerBound", "0").option("upperBound", "25")
+      .option("numPartitions", "4")
+      .load()
+    assert(df.rdd.getNumPartitions == 4, "expected 4 ranged JDBC partitions")
+    val viaParquet = Tables.load(spark, sf, "nation")
+    assert(df.count() == 25 &&
+      df.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(df).isEmpty,
+      "ranged partitions must cover the table exactly once")
+  }
+
   test("the second backend mounts as a namespace beside the parquet one") {
     // the reference federates heterogeneous backends under one route
     // space (/q/<db>/<query>, index.js:318-324); mounting the JDBC
