@@ -220,6 +220,7 @@ object SparkEntry {
         |  ('r_inner_join', 12, 'o_orderkey:bigint,l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz'),
         |  ('r_jdbc_join', 4, 'n_nationkey:int,n_name:string,n_suppliers:bigint,sum_acctbal:double'),
         |  ('r_jdbc_scan', 3, 'n_nationkey:int,n_name:string,n_regionkey:int'),
+        |  ('r_jdbc_two_backends', 4, 'r_regionkey:int,r_name:string,n_customers:bigint,sum_acctbal:double'),
         |  ('r_page_keyset', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
         |  ('r_page_sort', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
         |  ('r_point_lookup', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),

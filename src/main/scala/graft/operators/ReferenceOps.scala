@@ -146,10 +146,31 @@ object ReferenceOps {
       .orderBy("n_nationkey")
   }
 
+  /** A1+A2 together — THREE engines in one plan: `nation` from the
+    * first JDBC backend (pgmain), `region` from the second (mysqlmain),
+    * the `customer` fact from parquet. This is the reference's whole
+    * reason to exist — heterogeneous backends answering one query —
+    * executed as a single Catalyst plan with both remote dims broadcast
+    * (each RDBMS serves its rows once; the fact never shuffles for the
+    * joins).
+    */
+  private val rJdbcTwoBackends: Q = (spark, dir) => {
+    val n = graft.sources.JdbcFederation.readTable(spark, dir, "nation")
+    val r = graft.sources.JdbcFederation.readTable(spark, dir, "region")
+    val c = Tables.load(spark, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_regionkey"), r("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        graft.Num.dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_regionkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "r_sql_template" -> rSqlTemplate,
     "r_jdbc_scan" -> rJdbcScan,
     "r_jdbc_join" -> rJdbcJoin,
+    "r_jdbc_two_backends" -> rJdbcTwoBackends,
     "r_scan_all" -> rScanAll,
     "r_filter_eq_date" -> rFilterEqDate,
     "r_fk_lookup" -> rFkLookup,
@@ -175,6 +196,12 @@ object ReferenceOps {
         |(sum(CAST(s_acctbal AS DECIMAL(18,2))))::DOUBLE AS sum_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "r_jdbc_two_backends" ->
+      """SELECT r_regionkey, r_name, count(*)::BIGINT AS n_customers,
+        |(sum(CAST(c_acctbal AS DECIMAL(18,2))))::DOUBLE AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin,
     "r_sql_template" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0

@@ -46,6 +46,39 @@ class JdbcFederationSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("nation and region live in DIFFERENT backend databases") {
+    val uNation = graft.sources.JdbcFederation.ensureLoaded(spark, sf, "nation")
+    val uRegion = graft.sources.JdbcFederation.ensureLoaded(spark, sf, "region")
+    assert(uNation != uRegion,
+      "the two dims must come from two distinct JDBC catalogs")
+    // each backend only knows its own tables — reading region from the
+    // nation backend must fail at the remote engine
+    val cross = intercept[Exception] {
+      spark.read.format("jdbc").option("url", uNation)
+        .option("dbtable", "\"region\"").load().collect()
+    }
+    assert(cross.getMessage != null)
+  }
+
+  test("three engines in one plan: two JDBC backends + parquet fact") {
+    val df = ReferenceOps.queries("r_jdbc_two_backends")(spark, sf)
+    val r = graft.engine.PlanAudit.audit(df)
+    assert(r.broadcasts == 2,
+      s"both remote dims must broadcast (RDBMS read once each): ${r.render}")
+    // cross-check against the same query computed all-parquet
+    val n = Tables.load(spark, sf, "nation")
+    val c = Tables.load(spark, sf, "customer")
+    val reg = Tables.load(spark, sf, "region")
+    val expect = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(reg, n("n_regionkey") === reg("r_regionkey"))
+      .groupBy(reg("r_regionkey"), reg("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        graft.Num.dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_regionkey")
+    assert(df.collect().toSeq == expect.collect().toSeq,
+      "federated result must equal the all-parquet computation")
+  }
+
   test("range-parallel JDBC read splits the remote table across partitions") {
     // the big-table scale path from the README: partitionColumn bounds
     // issue one ranged remote query per partition. The 25-row dim
