@@ -71,18 +71,15 @@ object ScaleSweep {
       (n, t1, t10, growth)
     }.sortBy(-_._4)
 
-    // The streaming replays get an explicit higher bar, NOT an
-    // exemption: their 1x pass is stream start/drain-dominated (~2 s of
-    // fixed cost regardless of data), so the raw t10/t1 ratio roughly
-    // doubles the marginal-cost growth — e_stream_quality_replay
-    // measures 28-31x run-to-run and oscillates across a 30x bar on
-    // noise while its marginal cost stays ~linear (BASELINE.md, scale
-    // sweep row). 60x on the raw ratio corresponds to ~30x marginal at
-    // a 50% fixed-cost share; genuine quadratic blowup still trips it.
+    // One bar for everything, streaming replays included: their ~2 s
+    // fixed start/drain cost only LOWERS the raw t10/t1 ratio, so 30x
+    // is conservative for them too. (An earlier 60x replay carve-out
+    // existed solely for e_stream_quality_replay's 26x — which turned
+    // out to be a real O(|eval sets|) per-row scan in the
+    // decontamination UDF, not fixed-cost noise; with the inverted
+    // shingle index it measures 2.3x. The sweep was right to complain.)
     val BAR = 30.0
-    val BAR_REPLAY = 60.0
-    def bar(n: String) = if (n.endsWith("_replay")) BAR_REPLAY else BAR
-    val flagged = rows.filter(r => r._4 > bar(r._1) && r._3 > 5.0).map(_._1)
+    val flagged = rows.filter(r => r._4 > BAR && r._3 > 5.0).map(_._1)
     rows.foreach { case (n, t1, t10, g) =>
       println(f"""{"query":"$n","t1_sec":$t1%.3f,"t10_sec":$t10%.3f,"growth":$g%.2f}""")
     }
