@@ -39,7 +39,8 @@ object SparkEntry {
     */
   private val planAuditTargets = Seq("e_bucketed_join", "e_dedup_exact",
     "e_join_broadcast", "e_partition_prune", "e_pii_redact", "e_tfidf",
-    "e_topk", "e_tpch_q3", "e_window_running", "r_soql_proj")
+    "e_topk", "e_tpch_q3", "e_window_running", "r_jdbc_two_backends",
+    "r_soql_proj")
 
   private def planAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -86,6 +87,7 @@ object SparkEntry {
         |  ('e_topk', 0, 0, 0, 1, 0),
         |  ('e_tpch_q3', 1, 2, 0, 3, 0),
         |  ('e_window_running', 2, 0, 1, 1, 0),
+        |  ('r_jdbc_two_backends', 2, 2, 0, 1, 0),
         |  ('r_soql_proj', 1, 0, 0, 1, 0)
         |) AS t(query_name, n_shuffles, n_broadcasts, n_windows, n_scans, n_pruned)
         |ORDER BY query_name""".stripMargin,
