@@ -21,7 +21,7 @@ object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Fetch one embedding as a driver-side literal (single-row lookup). */
-  private def vectorOf(spark: SparkSession, dir: String, id: Long): Seq[Double] =
+  private[graft] def vectorOf(spark: SparkSession, dir: String, id: Long): Seq[Double] =
     Tables.load(spark, dir, "embeddings")
       .where(col("vec_id") === lit(id))
       .select("embedding").head()
@@ -179,6 +179,40 @@ object SimilarityOps {
     })
   }
 
+  /** Persist an IVF index to disk: the centroid list as a tiny parquet
+    * (nlist rows) and the assigned vector table PARTITIONED BY cell —
+    * the on-disk layout production vector search actually uses. The
+    * payoff is physical, not cosmetic: a probe in any later session
+    * reads ONLY the nprobe pruned cell directories (PartitionFilters
+    * on the scan — pinned by SimilaritySpec), so at 100 TB a probe
+    * touches nprobe/nlist of the bytes no matter how large the corpus
+    * grows, with zero in-memory build state required. The same move
+    * the persisted dedup-fingerprint index makes for dedup
+    * ([[DedupOps.dedupIncremental]]): index build is a batch job,
+    * index use is cheap and incremental.
+    */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("label", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted IVF index: centroids collected to the driver
+    * (nlist × dim doubles — trivial), assignments as a lazy partitioned
+    * scan. No recompute, no k-means, no assignment pass.
+    */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("label").collect().toSeq
+      .map { case Row(i: Int, c: scala.collection.Seq[_]) =>
+        (i, c.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+      }
+    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** Probe an IVF index: rank cells by centroid similarity on the
     * driver (nlist doubles — trivial), scan only the nprobe nearest
     * cells, exact top-k within them.
@@ -204,6 +238,27 @@ object SimilarityOps {
   private val annIvf: Q = (spark, dir) =>
     probeIvf(buildIvfIndex(spark, dir), vectorOf(spark, dir, 0L),
       nprobe = 4, k = 10, excludeId = 0L)
+
+  private val ivfDiskCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** IVF ANN against the PERSISTED index: first invocation per dataset
+    * builds and writes the index (a batch job in production), then the
+    * probe itself always goes through [[loadIvfIndex]] — centroids
+    * re-read from parquet, assignments scanned from the cell-partitioned
+    * layout with partition pruning. Same answer as [[annIvf]], same
+    * oracle; what changes is WHERE the index lives.
+    */
+  private val annIvfPersisted: Q = (spark, dir) => {
+    val path = ivfDiskCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        saveIvfIndex(buildIvfIndex(spark, dir), p)
+        p
+      })
+    probeIvf(loadIvfIndex(spark, path), vectorOf(spark, dir, 0L),
+      nprobe = 4, k = 10, excludeId = 0L)
+  }
 
   /** Symmetric int8 quantization of each embedding — the compression
     * step an ANN store applies before indexing (4× smaller than
@@ -238,6 +293,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
+    "e_ann_ivf_persisted" -> annIvfPersisted,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
     "e_embedding_quantize" -> embQuantize,
@@ -275,6 +331,8 @@ object SimilarityOps {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "e_ann_ivf" -> ivfOracle(),
+    // identical oracle: persistence must not change the answer
+    "e_ann_ivf_persisted" -> ivfOracle(),
     "e_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec

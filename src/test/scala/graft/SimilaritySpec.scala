@@ -78,4 +78,27 @@ class SimilaritySpec extends SparkSpec {
     assert(idx1.assigned.storageLevel.useMemory,
       "assignment table must be persisted at build time")
   }
+
+  test("persisted IVF index round-trips and probes with partition pruning") {
+    val built = SimilarityOps.buildIvfIndex(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_rt").toString
+    SimilarityOps.saveIvfIndex(built, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    assert(loaded.centroids == built.centroids,
+      "centroids must survive the parquet round-trip bit-exactly")
+    val q = SimilarityOps.vectorOf(spark, sf, 0L)
+    val fromDisk = SimilarityOps.probeIvf(loaded, q, nprobe = 4, k = 10,
+      excludeId = 0L)
+    val fromMem = SimilarityOps.probeIvf(built, q, nprobe = 4, k = 10,
+      excludeId = 0L)
+    assert(fromDisk.collect().toSeq == fromMem.collect().toSeq,
+      "the persisted index must answer exactly like the in-memory one")
+    // the scale property: the probe's scan carries partition filters on
+    // `cell`, so only the nprobe cell directories are read — at 100 TB
+    // a probe touches nprobe/nlist of the bytes regardless of corpus
+    // size
+    val audit = graft.engine.PlanAudit.audit(fromDisk)
+    assert(audit.partitionPrunedScans == 1,
+      s"probe must prune cell partitions: ${audit.render}")
+  }
 }
