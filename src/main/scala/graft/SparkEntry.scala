@@ -152,10 +152,12 @@ object SparkEntry {
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_median_hist', 3, 'event_type:string,n:bigint,median_hist:double'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
+        |  ('e_multimodal_features', 9, 'doc_id:bigint,f0:bigint,f1:bigint,f2:bigint,f3:bigint,f4:bigint,f5:bigint,f6:bigint,f7:bigint'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
+        |  ('e_multimodal_resize', 5, 'doc_id:bigint,width:int,height:int,out_w:int,out_h:int'),
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
         |  ('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),
         |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),

@@ -25,6 +25,18 @@ final case class FrameSample(
     frame_idx: Int,
     frame_hash: Long)
 
+final case class ResizedMedia(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    out_w: Int,
+    out_h: Int)
+
+final case class MediaFeatures(
+    doc_id: Long,
+    f0: Long, f1: Long, f2: Long, f3: Long,
+    f4: Long, f5: Long, f6: Long, f7: Long)
+
 /** Multimodal-column plumbing: binary payloads flow through typed
   * Datasets; decode/feature-extract runs per-partition (mapPartitions —
   * the Scala analog of an Arrow-batched pandas UDF: one decoder
@@ -101,6 +113,52 @@ object MultimodalOps {
     }
   }
 
+  /** Aspect-preserving resize planning (letterbox fit into tw×th):
+    * INTEGER-EXACT throughout — the limiting side is chosen by
+    * cross-multiplication (tw·height ≤ th·width ⇔ width-limited, no
+    * float ratio), the scaled side is a floor division. A real codec
+    * would consume these target dims; the arithmetic that PICKS them is
+    * the part worth pinning cross-engine, and it replays exactly in the
+    * DuckDB oracle.
+    */
+  def resizeAll(media: Dataset[MediaRecord], tw: Int,
+      th: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decodeStub(r)
+        val widthLimited = tw.toLong * d.height <= th.toLong * d.width
+        val (ow, oh) =
+          if (widthLimited)
+            (tw, math.max(1L, tw.toLong * d.height / d.width).toInt)
+          else
+            (math.max(1L, th.toLong * d.width / d.height).toInt, th)
+        ResizedMedia(r.doc_id, d.width, d.height, ow, oh)
+      }
+    }
+  }
+
+  /** Per-partition feature extraction: the payload folded into an
+    * 8-lane byte histogram (lane j sums bytes at positions ≡ j mod 8) —
+    * the stand-in for a real embedding pass, with the same shape: one
+    * extractor per partition, a fixed-width numeric vector per row,
+    * integer-exact so the oracle can replay it. Lanes emitted as
+    * columns (f0..f7) because the driver gate hashes scalars.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val acc = new Array[Long](8)
+        val b = r.payload
+        var i = 0
+        while (i < b.length) { acc(i & 7) += (b(i) & 0xff); i += 1 }
+        MediaFeatures(r.doc_id, acc(0), acc(1), acc(2), acc(3),
+          acc(4), acc(5), acc(6), acc(7))
+      }
+    }
+  }
+
   /** Oracle-checkable metadata pass: payload size + content hash, all
     * Catalyst built-ins (no stub involvement).
     */
@@ -120,10 +178,23 @@ object MultimodalOps {
     sampleFrames(mediaTable(spark, dir), everyK = 30).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize planning to a 224×224 target (the standard vision-model
+    * input) over the media corpus.
+    */
+  private val multimodalResize: Q = (spark, dir) =>
+    resizeAll(mediaTable(spark, dir), tw = 224, th = 224)
+      .toDF().orderBy("doc_id")
+
+  /** Feature extraction over the media corpus. */
+  private val multimodalFeatures: Q = (spark, dir) =>
+    extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "e_multimodal_meta" -> multimodalMeta,
     "e_multimodal_decode" -> multimodalDecode,
     "e_multimodal_frames" -> multimodalFrames,
+    "e_multimodal_resize" -> multimodalResize,
+    "e_multimodal_features" -> multimodalFeatures,
   )
 
   /** The decode/frames stub is a pure function of the payload bytes
@@ -172,6 +243,43 @@ object MultimodalOps {
         |       THEN (1 + ((h // 2147483648) % 240)::BIGINT)::INT
         |       ELSE 1 END AS n_frames
         |FROM media ORDER BY doc_id""".stripMargin),
+    // width/height derive from the fnv hash exactly as in decode; the
+    // letterbox choice is the same integer cross-multiplication and
+    // floor division as resizeAll (// floors for positives in DuckDB)
+    "e_multimodal_resize" -> (s"WITH $fnvCte\n" +
+      """, dims AS (
+        |  SELECT doc_id,
+        |    (16 + abs(hs % 1905))::BIGINT AS width,
+        |    (16 + ((h // 131072) % 1065)::BIGINT)::BIGINT AS height
+        |  FROM media
+        |)
+        |SELECT doc_id, width::INT AS width, height::INT AS height,
+        |  CASE WHEN 224 * height <= 224 * width THEN 224
+        |       ELSE greatest(1, (224 * width) // height)::INT END AS out_w,
+        |  CASE WHEN 224 * height <= 224 * width
+        |       THEN greatest(1, (224 * height) // width)::INT
+        |       ELSE 224 END AS out_h
+        |FROM dims ORDER BY doc_id""".stripMargin),
+    // lane j = sum of UTF-8 byte values at positions ≡ j mod 8; the
+    // corpus is pure ASCII so ascii(char) == the byte. LEFT JOIN keeps
+    // zero-length payloads as all-zero lanes, matching the Scala fold.
+    "e_multimodal_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, p, ascii(substr(text, p + 1, 1)) AS a
+        |  FROM documents, LATERAL (
+        |    SELECT unnest(generate_series(0, length(text) - 1)) AS p) t
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(sum(CASE WHEN p % 8 = 0 THEN a END), 0)::BIGINT AS f0,
+        |  coalesce(sum(CASE WHEN p % 8 = 1 THEN a END), 0)::BIGINT AS f1,
+        |  coalesce(sum(CASE WHEN p % 8 = 2 THEN a END), 0)::BIGINT AS f2,
+        |  coalesce(sum(CASE WHEN p % 8 = 3 THEN a END), 0)::BIGINT AS f3,
+        |  coalesce(sum(CASE WHEN p % 8 = 4 THEN a END), 0)::BIGINT AS f4,
+        |  coalesce(sum(CASE WHEN p % 8 = 5 THEN a END), 0)::BIGINT AS f5,
+        |  coalesce(sum(CASE WHEN p % 8 = 6 THEN a END), 0)::BIGINT AS f6,
+        |  coalesce(sum(CASE WHEN p % 8 = 7 THEN a END), 0)::BIGINT AS f7
+        |FROM documents d LEFT JOIN pos USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "e_multimodal_frames" -> (s"WITH $fnvCte\n" +
       """SELECT doc_id, frame_idx,
         |  CASE WHEN hw >= 9223372036854775808::HUGEINT

@@ -102,7 +102,7 @@ object SimilarityOps {
   }
 
   /** nearest-cell assignment expression for a centroid list. */
-  private def cellExpr(centroids: Seq[(Int, Seq[Double])]) =
+  private[graft] def cellExpr(centroids: Seq[(Int, Seq[Double])]) =
     array_max(array(centroids.map { case (i, c) =>
       struct(VectorOps.cosineConst(col("embedding"), c).as("s"), lit(i).as("i"))
     }: _*)).getField("i")
@@ -211,6 +211,24 @@ object SimilarityOps {
         (i, c.asInstanceOf[scala.collection.Seq[Double]].toSeq)
       }
     IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Append a batch of new vectors to a persisted index WITHOUT
+    * rebuilding: the coarse quantizer is FROZEN after training (the
+    * production contract — train once on a sample, ingest forever), so
+    * an increment only pays one assignment pass over ITS OWN rows and
+    * an append into the cell-partitioned layout. Day-N ingest cost is
+    * O(|increment|), independent of index size — the similarity-search
+    * analog of [[DedupOps.dedupIncremental]]'s fingerprint-index
+    * append. Caller contract: `newVecs` has the embeddings schema and
+    * vec_ids disjoint from the index (enforce upstream, exactly like
+    * any primary-keyed ingest).
+    */
+  def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
+      path: String): Unit = {
+    val centroids = loadIvfIndex(spark, path).centroids
+    newVecs.withColumn("cell", cellExpr(centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
   /** Probe an IVF index: rank cells by centroid similarity on the

@@ -24,6 +24,34 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.filter(_.media_type != "video").forall(_.n_frames == 1))
   }
 
+  test("resize planning preserves aspect ratio and fits the target box") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    val resized = MultimodalOps.resizeAll(m, tw = 224, th = 224).collect()
+    assert(resized.length == 500)
+    resized.foreach { r =>
+      assert(r.out_w <= 224 && r.out_h <= 224 && r.out_w >= 1 && r.out_h >= 1)
+      assert(r.out_w == 224 || r.out_h == 224, "one side must hit the target")
+      // floor division can only shrink the scaled side: out/in ratios
+      // must not invert the aspect ordering
+      if (r.width >= r.height) assert(r.out_w >= r.out_h)
+      else assert(r.out_h >= r.out_w)
+    }
+  }
+
+  test("feature lanes sum the payload bytes exactly") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    val feats = MultimodalOps.extractFeatures(m).collect()
+      .map(f => f.doc_id -> f).toMap
+    val total = m.collect().map(r =>
+      r.doc_id -> r.payload.map(_ & 0xff).map(_.toLong).sum).toMap
+    assert(feats.size == 500)
+    total.foreach { case (id, sum) =>
+      val f = feats(id)
+      assert(f.f0 + f.f1 + f.f2 + f.f3 + f.f4 + f.f5 + f.f6 + f.f7 == sum,
+        s"doc $id: lane sums must partition the byte total")
+    }
+  }
+
   test("frame sampling emits every k-th frame for videos only") {
     val m = MultimodalOps.mediaTable(spark, sf)
     val frames = MultimodalOps.sampleFrames(m, everyK = 30).collect()

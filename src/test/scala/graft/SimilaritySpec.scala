@@ -101,4 +101,37 @@ class SimilaritySpec extends SparkSpec {
     assert(audit.partitionPrunedScans == 1,
       s"probe must prune cell partitions: ${audit.render}")
   }
+
+  test("incremental append to the persisted index equals one-shot assignment") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val day1 = emb.where(col("vec_id") % 2L === 0L)
+    val day2 = emb.where(col("vec_id") % 2L === 1L)
+    // quantizer trained on day-1 only, then FROZEN — day-2 arrives later
+    val centroids = SimilarityOps.kmeansCentroids(day1, 16, 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    val built = SimilarityOps.IvfIndex(centroids,
+      day1.withColumn("cell", SimilarityOps.cellExpr(centroids)))
+    SimilarityOps.saveIvfIndex(built, path)
+    SimilarityOps.appendToIvfIndex(spark, day2, path)
+    val incr = SimilarityOps.loadIvfIndex(spark, path)
+    assert(incr.centroids == centroids, "append must not touch the quantizer")
+    // the incrementally-built index must hold exactly the rows a
+    // one-shot assignment of the full corpus (same frozen quantizer)
+    // would produce
+    val oneShot = emb.withColumn("cell", SimilarityOps.cellExpr(centroids))
+      .select("vec_id", "cell")
+    val got = incr.assigned.select("vec_id", "cell")
+    assert(got.count() == emb.count())
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty,
+      "incremental day1+day2 must equal the one-shot assignment")
+    // and the probe answers identically
+    val q = SimilarityOps.vectorOf(spark, sf, 0L)
+    val a = SimilarityOps.probeIvf(incr, q, nprobe = 4, k = 10, excludeId = 0L)
+    val b = SimilarityOps.probeIvf(
+      SimilarityOps.IvfIndex(centroids,
+        emb.withColumn("cell", SimilarityOps.cellExpr(centroids))),
+      q, nprobe = 4, k = 10, excludeId = 0L)
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
 }
