@@ -84,6 +84,25 @@ class HttpRestSpec extends SparkSpec
     assert(meta.size == 1 && meta.head.contains("min=101"), s"meta: $meta")
   }
 
+  test("64 page partitions fetch in parallel through the 4-thread server") {
+    // many concurrent executor-side GETs against a small server pool:
+    // requests queue rather than fail, every page arrives exactly once
+    val before = server.requests.size
+    val wide = spark.read
+      .format("graft.sources.RestLikeSource")
+      .option("pages", "64").option("pageSize", "50")
+      .option("baseUrl", server.baseUrl).load()
+    // a bare count() would collapse to the pushed metadata call (zero
+    // data pages — by design); collect ids to force real page fetches
+    val ids = wide.select("id").as[Long].collect()
+    assert(ids.length == 3200 && ids.toSet.size == 3200)
+    val wire = dataPages(server.requests.drop(before))
+    assert(wire.size == 64, s"expected 64 page fetches, saw ${wire.size}")
+    val pages = wire.map(u =>
+      "page=(\\d+)".r.findFirstMatchIn(u).get.group(1).toInt).sorted
+    assert(pages == (0 until 64), "every page fetched exactly once")
+  }
+
   test("ExternalJson.fetch materializes a remote JSON page") {
     val df = graft.sources.ExternalJson.fetch(spark,
       s"${server.baseUrl}/items?page=0&pageSize=3")
