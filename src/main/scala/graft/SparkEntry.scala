@@ -37,7 +37,8 @@ object SparkEntry {
     * Counts verified scale-stable (identical at sf0.001/0.01/0.1 —
     * broadcasts are explicit hints, not stats decisions).
     */
-  private val planAuditTargets = Seq("e_bucketed_join", "e_dedup_exact",
+  private val planAuditTargets = Seq("e_ann_ivf_persisted",
+    "e_bucketed_join", "e_dedup_exact",
     "e_join_broadcast", "e_partition_prune", "e_pii_redact", "e_tfidf",
     "e_topk", "e_tpch_q3", "e_window_running", "r_jdbc_two_backends",
     "r_soql_proj")
@@ -78,6 +79,7 @@ object SparkEntry {
     // counts per audited query, pinned as a VALUES literal.
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
+        |  ('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
         |  ('e_bucketed_join', 2, 0, 0, 2, 0),
         |  ('e_dedup_exact', 2, 0, 1, 1, 0),
         |  ('e_join_broadcast', 1, 1, 0, 2, 0),
