@@ -225,6 +225,21 @@ object RestHttp {
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(30000)
     try {
+      val code = conn.getResponseCode
+      if (code >= 400) {
+        // surface the remote's error envelope (the reference answers
+        // ok:false with a reason — index.js:254-262) instead of the
+        // JDK's opaque IOException; the body is what tells an operator
+        // WHICH parameter the service rejected
+        val err = Option(conn.getErrorStream)
+          .map { es =>
+            try new String(es.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally es.close()
+          }
+          .getOrElse("")
+        throw new IllegalStateException(s"HTTP $code from $url: $err")
+      }
       val in = conn.getInputStream
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()

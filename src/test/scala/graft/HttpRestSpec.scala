@@ -111,6 +111,15 @@ class HttpRestSpec extends SparkSpec
     assert(df.where(col("id") === 2L).head().getAs[String]("name") == "item_2")
   }
 
+  test("HTTP errors surface the remote's error envelope, not a bare IOException") {
+    val e = intercept[IllegalStateException] {
+      graft.sources.RestHttp.get(s"${server.baseUrl}/items?min=5")
+    }
+    assert(e.getMessage.contains("HTTP 400"), e.getMessage)
+    assert(e.getMessage.contains("page and pageSize are required"),
+      s"the remote's reason must reach the caller: ${e.getMessage}")
+  }
+
   test("live relation joins with parquet tables") {
     val local = Tables.load(spark, sf, "customer")
       .select(col("c_custkey").as("id"), col("c_name"))
