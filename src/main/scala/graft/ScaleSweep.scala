@@ -45,8 +45,12 @@ object ScaleSweep {
     }
 
     // args(1..) optionally restrict the sweep to named queries — the
-    // targeted re-measure loop after optimizing a flagged grower
+    // targeted re-measure loop after optimizing a flagged grower. A
+    // typo'd name must fail fast, not produce an empty sweep whose
+    // flagged=[] reads as a clean pass.
     val only = args.drop(1).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filterNot(_ == "r_catalog")
       .filter(n => only.isEmpty || only.contains(n))

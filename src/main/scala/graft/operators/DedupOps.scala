@@ -685,9 +685,13 @@ object DedupOps {
         scala.collection.mutable.ArrayBuilder.ofInt]
       var i = 0
       while (i < nSets) {
-        // array_distinct upstream guarantees per-set uniqueness, so one
-        // posting per (shingle, set) and count == |e ∩ fs| exactly
-        sets(i).foreach { g =>
+        // one posting per DISTINCT (shingle, set) so count == |e ∩ fs|
+        // exactly — enforced here rather than assumed of the caller
+        // (evalShingleSets does array_distinct upstream, but a caller
+        // passing a duplicated shingle must not double-count overlap;
+        // the denominator stays the original length, matching the old
+        // (e.toSet, e.size) form)
+        sets(i).distinct.foreach { g =>
           tmp.getOrElseUpdate(g,
             new scala.collection.mutable.ArrayBuilder.ofInt) += i
         }

@@ -94,8 +94,9 @@ object JdbcFederation {
         for (t <- backends(backend).sorted) {
           val st = conn.createStatement()
           try st.executeUpdate(dims(t)) finally st.close()
-          val rows = Tables.load(spark, dir, t).collect()
-          val cols = Tables.load(spark, dir, t).columns
+          val df = Tables.load(spark, dir, t)
+          val rows = df.collect()
+          val cols = df.columns
           val ps = conn.prepareStatement(
             s"""INSERT INTO "$t" VALUES (${cols.map(_ => "?").mkString(",")})""")
           try {

@@ -54,6 +54,24 @@ object RestLikeSource {
   /** The deterministic fake "remote" record for a given id. */
   def record(id: Long): (Long, String, Double) =
     (id, s"item_$id", (id % 97) / 97.0)
+
+  /** Intersect [lo, hi] with every pushed id filter — ids are dense, so
+    * the accepted filters fold to ONE interval. The single place the
+    * filter→interval translation lives: partition pruning, the agg
+    * metadata interval, and the live query-string params all call this,
+    * so a new accepted filter type is added here exactly once.
+    */
+  def intervalOf(pushed: Array[Filter], lo: Long, hi: Long): (Long, Long) = {
+    var a = lo
+    var b = hi
+    pushed.foreach {
+      case EqualTo("id", v: Long) => a = math.max(a, v); b = math.min(b, v)
+      case GreaterThan("id", v: Long) => a = math.max(a, v + 1)
+      case LessThan("id", v: Long) => b = math.min(b, v - 1)
+      case _ =>
+    }
+    (a, b)
+  }
 }
 
 class RestTable(pages: Int, pageSize: Int, baseUrl: Option[String])
@@ -151,17 +169,8 @@ class RestAggScan(pages: Int, pageSize: Int, pushed: Array[Filter],
     extends Scan with Batch {
 
   /** Surviving id interval after the pushed filters (ids are dense). */
-  private def interval: (Long, Long) = {
-    var a = 0L
-    var b = pages.toLong * pageSize - 1
-    pushed.foreach {
-      case EqualTo("id", v: Long) => a = math.max(a, v); b = math.min(b, v)
-      case GreaterThan("id", v: Long) => a = math.max(a, v + 1)
-      case LessThan("id", v: Long) => b = math.min(b, v - 1)
-      case _ =>
-    }
-    (a, b)
-  }
+  private def interval: (Long, Long) =
+    RestLikeSource.intervalOf(pushed, 0L, pages.toLong * pageSize - 1)
 
   override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
     case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
@@ -268,13 +277,7 @@ class RestScan(pages: Int, pageSize: Int, pushed: Array[Filter],
     * filter — ids are dense, so the filters intersect to one interval.
     */
   private def matching(lo: Long, hi: Long): Long = {
-    var a = lo; var b = hi
-    pushed.foreach {
-      case EqualTo("id", v: Long) => a = math.max(a, v); b = math.min(b, v)
-      case GreaterThan("id", v: Long) => a = math.max(a, v + 1)
-      case LessThan("id", v: Long) => b = math.min(b, v - 1)
-      case _ =>
-    }
+    val (a, b) = RestLikeSource.intervalOf(pushed, lo, hi)
     math.max(0L, b - a + 1)
   }
 
@@ -327,15 +330,8 @@ class RestPageReader(page: RestPage, pushed: Array[Filter],
   private def fetchPage: Iterator[(Long, String, Double)] = baseUrl match {
     case Some(url) =>
       var qs = s"page=${page.page}&pageSize=${page.pageSize}"
-      var min = Long.MinValue
-      var max = Long.MaxValue
-      pushed.foreach {
-        case EqualTo("id", v: Long) =>
-          min = math.max(min, v); max = math.min(max, v)
-        case GreaterThan("id", v: Long) => min = math.max(min, v + 1)
-        case LessThan("id", v: Long) => max = math.min(max, v - 1)
-        case _ =>
-      }
+      val (min, max) =
+        RestLikeSource.intervalOf(pushed, Long.MinValue, Long.MaxValue)
       if (min != Long.MinValue) qs += s"&min=$min"
       if (max != Long.MaxValue) qs += s"&max=$max"
       val body = RestHttp.get(s"$url/items?$qs")
