@@ -49,10 +49,16 @@ object ScaleSweep {
     // typo'd name must fail fast, not produce an empty sweep whose
     // flagged=[] reads as a clean pass.
     val only = args.drop(1).toSet
-    val unknown = only -- SparkEntry.queries.keySet
-    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    val names = SparkEntry.queries.keySet.toSeq.sorted
-      .filterNot(_ == "r_catalog")
+    // Validate against the POST-exclusion name set: `r_catalog` passes
+    // the registry check but is excluded from the sweep (metadata-only,
+    // no data dependency), so accepting it here would produce exactly
+    // the silent empty sweep with flagged=[] this guard exists to
+    // prevent.
+    val sweepable = SparkEntry.queries.keySet - "r_catalog"
+    val unknown = only -- sweepable
+    require(unknown.isEmpty,
+      s"unknown or unsweepable queries: ${unknown.mkString(", ")}")
+    val names = sweepable.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
     runFull("r_inner_join", base)  // JIT + footer-cache warmup
     runFull("r_inner_join", synth)

@@ -271,6 +271,15 @@ object SimilarityOps {
     val path = ivfDiskCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}#$dir", _ => {
         val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        // The index is a full parquet copy of the embeddings table;
+        // without cleanup every session leaks one under /tmp. A JVM
+        // shutdown hook bounds the leak to the process lifetime (a
+        // production deployment would instead write the index under a
+        // managed warehouse path with its own retention policy).
+        sys.addShutdownHook {
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(p))
+        }
         saveIvfIndex(buildIvfIndex(spark, dir), p)
         p
       })

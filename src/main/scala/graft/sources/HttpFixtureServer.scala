@@ -69,8 +69,10 @@ final class HttpFixtureServer private (server: HttpServer,
       val p = params(ex)
       val a = p.get("min").map(_.toLong).getOrElse(0L)
       val b = p.get("max").map(_.toLong).getOrElse(-1L)
+      // b < a guard, not max(0, b-a+1): a saturated empty interval
+      // (min=MaxValue&max=MinValue) would wrap b-a+1 to 2
       respond(ex, 200,
-        s"""{"count":${math.max(0L, b - a + 1)},"min":$a,"max":$b}""")
+        s"""{"count":${if (b < a) 0L else b - a + 1},"min":$a,"max":$b}""")
     })
     server.createContext("/items", { ex =>
       seen.add(s"${ex.getRequestURI.getPath}?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}")

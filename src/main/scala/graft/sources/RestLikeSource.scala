@@ -64,10 +64,19 @@ object RestLikeSource {
   def intervalOf(pushed: Array[Filter], lo: Long, hi: Long): (Long, Long) = {
     var a = lo
     var b = hi
+    // id > Long.MaxValue / id < Long.MinValue are unsatisfiable; v±1
+    // would overflow and silently WIDEN the interval instead of
+    // emptying it (the complete-aggregate path has no local re-filter,
+    // so an overflowed interval would answer COUNT with the full row
+    // count). Saturate to the canonical empty interval — max/min keep
+    // it empty through any later filter.
+    def forceEmpty(): Unit = { a = Long.MaxValue; b = Long.MinValue }
     pushed.foreach {
       case EqualTo("id", v: Long) => a = math.max(a, v); b = math.min(b, v)
-      case GreaterThan("id", v: Long) => a = math.max(a, v + 1)
-      case LessThan("id", v: Long) => b = math.min(b, v - 1)
+      case GreaterThan("id", v: Long) =>
+        if (v == Long.MaxValue) forceEmpty() else a = math.max(a, v + 1)
+      case LessThan("id", v: Long) =>
+        if (v == Long.MinValue) forceEmpty() else b = math.min(b, v - 1)
       case _ =>
     }
     (a, b)
@@ -204,17 +213,28 @@ class RestAggScan(pages: Int, pageSize: Int, pushed: Array[Filter],
       // Live mode issues the REAL metadata call (`/items/count?min&max`)
       // instead of answering from local arithmetic — the zero-data-pages
       // property is then asserted on the server's request log, not
-      // assumed. Synthetic mode keeps the arithmetic answer.
-      val count: Long = url match {
+      // assumed. ALL THREE aggregates come from the one response
+      // (count/min/max): against a remote with sparse ids, answering
+      // min/max from local dense-id arithmetic while count comes from
+      // the wire would make the aggregates disagree with each other.
+      // Synthetic mode keeps the arithmetic answer.
+      val (count, minV, maxV): (Long, Any, Any) = url match {
         case Some(u) =>
           val body = RestHttp.get(s"$u/items/count?min=$a&max=$b")
-          RestHttp.mapper.readTree(body).get("count").asLong()
-        case None => math.max(0L, b - a + 1)
+          val root = RestHttp.mapper.readTree(body)
+          val c = root.get("count").asLong()
+          if (c == 0L) (0L, null, null)
+          else (c, root.get("min").asLong(), root.get("max").asLong())
+        case None =>
+          // guard with b < a, not max(0, b-a+1): the saturated empty
+          // interval (MaxValue, MinValue) makes b-a+1 itself wrap to 2
+          val c = if (empty) 0L else b - a + 1
+          (c, if (empty) null else a, if (empty) null else b)
       }
       tags.map {
         case "count" => count
-        case "min" => if (empty) null else a
-        case "max" => if (empty) null else b
+        case "min" => minV
+        case "max" => maxV
       }
     })
   }
@@ -278,7 +298,7 @@ class RestScan(pages: Int, pageSize: Int, pushed: Array[Filter],
     */
   private def matching(lo: Long, hi: Long): Long = {
     val (a, b) = RestLikeSource.intervalOf(pushed, lo, hi)
-    math.max(0L, b - a + 1)
+    if (b < a) 0L else b - a + 1
   }
 
   /** One partition per page — pages whose id range can't satisfy the

@@ -72,6 +72,21 @@ class RestSourceSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.isNullAt(1))
   }
 
+  test("boundary filters saturate instead of overflowing the id interval") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    import graft.sources.RestLikeSource.intervalOf
+    // id > Long.MaxValue is unsatisfiable: v+1 must not wrap to
+    // Long.MinValue and widen the interval back to everything
+    val (a1, b1) = intervalOf(Array(GreaterThan("id", Long.MaxValue)), 0L, 999L)
+    assert(b1 < a1, s"impossible predicate must yield an empty interval: [$a1,$b1]")
+    val (a2, b2) = intervalOf(Array(LessThan("id", Long.MinValue)), 0L, 999L)
+    assert(b2 < a2, s"impossible predicate must yield an empty interval: [$a2,$b2]")
+    // and the complete-aggregate path (no local re-filter) answers 0
+    val r = rest.where(col("id") > Long.MaxValue)
+      .agg(count(lit(1)).as("n"), min("id").as("lo")).head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
   test("grouped or non-id aggregates stay in Spark") {
     val g = rest.groupBy(col("id") % 2).agg(count(lit(1)))
     assert(g.queryExecution.executedPlan.toString.contains("HashAggregate"),
