@@ -448,14 +448,21 @@ object DedupOps {
     * Shuffles once on doc_id; the exchange carries 23 longs per doc.
     */
   def simhashAgg(docs: DataFrame,
-      tokenHashes: Column => Column = t => TS.hashed(TS.tokens(t))): DataFrame = {
+      hashOne: Column => Column = tok => xxhash64(tok)): DataFrame = {
     // Cap votes at 65 535 tokens/doc: the 16-bit packed counters would
     // silently carry into the neighboring bit's field beyond that. A
     // deterministic truncation (first 64k tokens vote) beats both a
     // runtime error on one giant document and a corrupted simhash; a
     // 64k-token prefix pins the fingerprint in practice.
-    val th = docs.select(col("doc_id"),
-      explode(slice(tokenHashes(col("text")), 1, 65535)).as("h"))
+    //
+    // Hash AFTER the explode, not inside the token array: a
+    // transform(tokens, hash) HOF evaluates interpreted per element,
+    // while hashOne over the exploded scalar column is a codegen'd
+    // projection inside the same whole-stage span as the explode.
+    val th = docs
+      .select(col("doc_id"),
+        explode(slice(TS.tokens(col("text")), 1, 65535)).as("tok"))
+      .select(col("doc_id"), hashOne(col("tok")).as("h"))
     val fieldsPerCol = 3
     val nCols = (64 + fieldsPerCol - 1) / fieldsPerCol // 22
     val packCols = (0 until nCols).map { g =>
@@ -482,10 +489,10 @@ object DedupOps {
     * pairs agreeing on ≥1 band are checked for Hamming distance ≤ 3.
     */
   def simhashDedup(docsIn: DataFrame, maxHamming: Int = 3,
-      tokenHashes: Column => Column = t => TS.hashed(TS.tokens(t))): DataFrame = {
+      hashOne: Column => Column = tok => xxhash64(tok)): DataFrame = {
     // (doc_id, simhash) is 16 bytes/doc — persist so the band explode,
     // both pair sides, and the final anti join share one computation
-    val docs = docsIn.join(persistOnce(simhashAgg(docsIn, tokenHashes)), "doc_id")
+    val docs = docsIn.join(persistOnce(simhashAgg(docsIn, hashOne)), "doc_id")
     val withBands = docs.select(col("doc_id"),
       array((0 until 4).map { j =>
         struct(lit(j).as("band"),
@@ -515,7 +522,7 @@ object DedupOps {
     */
   private val dedupSimhashMd5: Q = (spark, dir) =>
     simhashDedup(Tables.load(spark, dir, "documents"),
-      tokenHashes = t => transform(TS.tokens(t), tok => TS.md5Hash60(tok)))
+      hashOne = tok => TS.md5Hash60(tok))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 

@@ -592,9 +592,17 @@ object RelationalOps {
     */
   private val aggApprox: Q = (spark, dir) =>
     Tables.load(spark, dir, "lineitem")
+      // dedupe (group, value) FIRST with a codegen'd hash aggregate:
+      // both the exact count and the HLL sketch are duplicate-insensitive,
+      // so folding them over the distinct pairs gives the identical
+      // answer while (a) the sketch update runs over ~10x fewer rows and
+      // (b) countDistinct no longer needs its Expand rewrite (mixing a
+      // distinct aggregate with a sketch in ONE agg doubles the input
+      // via Expand before aggregating)
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1L)).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .select(col("l_returnflag"), col("exact_parts"), col("approx_parts"),
         round(abs(col("approx_parts") - col("exact_parts")) /
@@ -628,9 +636,14 @@ object RelationalOps {
     */
   private val kmvDistinctQ: Q = (spark, dir) =>
     Tables.load(spark, dir, "lineitem")
+      // distinct-first, as in [[aggApprox]]: KMV keeps the k smallest
+      // DISTINCT hashes, so duplicates never change the sketch — the
+      // string-cast + hash + heap update then runs over the ~10x
+      // smaller distinct set and the Expand rewrite disappears
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1L)).as("exact_parts"),
         graft.functions.KmvDistinct.kmvDistinct(spark,
           col("l_partkey").cast("string")).as("kmv_parts"))
       .select(col("l_returnflag"), col("exact_parts"), col("kmv_parts"),
@@ -647,9 +660,13 @@ object RelationalOps {
     */
   private val kmvDistinctMd5Q: Q = (spark, dir) =>
     Tables.load(spark, dir, "lineitem")
+      // distinct-first (see [[aggApprox]]): the md5 derivation — the
+      // expensive part of this variant — now runs once per distinct
+      // (flag, partkey) pair instead of once per lineitem row
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1L)).as("exact_parts"),
         graft.functions.KmvDistinct.kmvDistinct(spark,
           graft.functions.TextShingles.md5Hash60(
             col("l_partkey").cast("string"))).as("kmv_parts"))

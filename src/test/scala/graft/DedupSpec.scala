@@ -81,9 +81,7 @@ class DedupSpec extends SparkSpec {
   test("md5-token simhash removes identical docs and caps at 60 bits") {
     val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
     val kept = DedupOps.simhashDedup(d,
-        tokenHashes = t => org.apache.spark.sql.functions.transform(
-          graft.functions.TextShingles.tokens(t),
-          tok => graft.functions.TextShingles.md5Hash60(tok)))
+        hashOne = tok => graft.functions.TextShingles.md5Hash60(tok))
       .select("doc_id", "simhash").as[(Long, Long)].collect().sortBy(_._1)
     assert(kept.map(_._1).toSeq == Seq(1L, 3L))
     // bits 60..63 can never be set with 60-bit token hashes
