@@ -233,6 +233,7 @@ object SparkEntry {
         |  ('r_point_lookup', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
         |  ('r_scan_all', 2, 'r_regionkey:int,r_name:string'),
         |  ('r_soql_proj', 2, 'c_custkey:bigint,c_name:string'),
+        |  ('r_soql_pushdown', 4, 'id:string,accountnumber:string,name:string,annualrevenue:double'),
         |  ('r_sql_template', 3, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double')
         |) AS t(query_name, n_columns, fields)
         |ORDER BY query_name""".stripMargin

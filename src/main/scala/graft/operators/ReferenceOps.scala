@@ -105,6 +105,21 @@ object ReferenceOps {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** A5 — the SOQL COMPILATION path (`plugins/salesforce.js:101-116`):
+    * the DSv2 [[graft.sources.SoqlSource]] compiles the pushed
+    * projection + range filters into the exact lowercase SOQL text
+    * jsforce's `conn.query` would receive (pinned string-exact in
+    * SoqlSpec, logged via [[graft.sources.SoqlWire]]); rows come from
+    * the deterministic account fixture, which DuckDB reconstructs with
+    * a range() generator — so the pushdown compilation is on the full
+    * rows+schema+hash gate, not just unit-tested.
+    */
+  private val rSoqlPushdown: Q = (spark, _) =>
+    spark.read.format("graft.sources.SoqlSource")
+      .option("object", "account").option("rows", "200").load()
+      .where(col("annualrevenue") >= 50000.0 && col("annualrevenue") < 150000.0)
+      .orderBy("id")
+
   /** H1 — the template layer itself: a named-parameter SQL template
     * bound through Catalyst's parameterized-query API (the reference's
     * handlebars render + node-dbi bind, config.json:19-24 shape).
@@ -181,6 +196,7 @@ object ReferenceOps {
     "r_page_keyset" -> rPageKeyset,
     "r_desc_table" -> rDescTable,
     "r_soql_proj" -> rSoqlProj,
+    "r_soql_pushdown" -> rSoqlPushdown,
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +254,17 @@ object ReferenceOps {
         |ORDER BY c_acctbal, c_custkey LIMIT 20""".stripMargin,
     "r_soql_proj" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    // DuckDB reconstructs the deterministic SObject fixture with a
+    // range() generator and applies the same predicate the source
+    // compiled into SOQL — the pushdown path is hash-checked end to end.
+    "r_soql_pushdown" ->
+      """SELECT '001' || lpad(CAST(i AS VARCHAR), 15, '0') AS id,
+        |'ACC-' || CAST(i AS VARCHAR) AS accountnumber,
+        |'Account ' || CAST(i AS VARCHAR) AS name,
+        |CAST(i * 1000 AS DOUBLE) AS annualrevenue
+        |FROM range(0, 200) t(i)
+        |WHERE i * 1000 >= 50000 AND i * 1000 < 150000
+        |ORDER BY id""".stripMargin,
     // Schema-as-data pinned as a VALUES literal: the lineitem schema is
     // part of the table contract (TESTDATA.md), so the oracle hardcodes
     // the expected rows rather than asking DuckDB to mirror Spark's
