@@ -114,4 +114,57 @@ class JdbcFederationSpec extends SparkSpec {
       .dispatch(ns, "/q/derbydim/nations")(spark, sf)
     assert(viaRoute.toOption.get.count() == 25)
   }
+
+  test("the two backends resolve to two DISTINCT JdbcDialects in one plan") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    JdbcFederation.ensureLoaded(spark, sf, "region") // registers the dialect
+    val pgDialect = JdbcDialects.get(JdbcFederation.backendUrl(sf, "nation"))
+    val myDialect = JdbcDialects.get(JdbcFederation.backendUrl(sf, "region"))
+    // the mysqlmain URL selects the custom dialect (Spark folds it with
+    // the engine's base dialect into an AggregatedDialect, custom
+    // first); the pgmain URL must NOT see the custom mapping
+    val bigint = java.sql.Types.BIGINT
+    val mb = () => new org.apache.spark.sql.types.MetadataBuilder()
+    assert(myDialect.getCatalystType(bigint, "BIGINT", 8, mb())
+      .contains(org.apache.spark.sql.types.IntegerType),
+      s"mysqlmain dialect must carry the custom BIGINT mapping: $myDialect")
+    assert(myDialect != pgDialect,
+      "pgmain and mysqlmain must not share a dialect")
+    assert(!pgDialect.getCatalystType(bigint, "BIGINT", 8, mb())
+      .contains(org.apache.spark.sql.types.IntegerType),
+      "the custom mapping must not leak into the pgmain dialect")
+    // the dialect's type mapping does real work: the backend declares
+    // r_regionkey BIGINT, the dialect narrows it to the fixture's int32
+    val viaJdbc = JdbcFederation.readTable(spark, sf, "region")
+    assert(viaJdbc.schema("r_regionkey").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"dialect must map the backend BIGINT key to int: ${viaJdbc.schema}")
+    // and pushdown still compiles into the re-mapped column
+    val one = viaJdbc.where(col("r_regionkey") === 2).collect()
+    assert(one.length == 1 && one.head.getInt(0) == 2)
+  }
+
+  test("K3: a killed backend reconnects exactly once with identical results") {
+    // reference parity index.js:96-126 — connection terminated =>
+    // reconnect; the kill drops the in-memory db WITHOUT telling the
+    // loader cache, so the next read hits a dead connection mid-path
+    val before = JdbcFederation.readTable(spark, sf, "nation")
+      .orderBy("n_nationkey").collect().toSeq
+    val n0 = JdbcFederation.reconnectCount.get()
+    JdbcFederation.killBackend(sf, "nation")
+    val after = JdbcFederation.readTable(spark, sf, "nation")
+      .orderBy("n_nationkey").collect().toSeq
+    assert(JdbcFederation.reconnectCount.get() == n0 + 1,
+      "one kill must cost exactly one reconnect")
+    assert(after == before, "post-reconnect rows must be identical")
+  }
+
+  test("K3: non-connection errors propagate without any reconnect") {
+    val n0 = JdbcFederation.reconnectCount.get()
+    intercept[IllegalArgumentException] {
+      JdbcFederation.readTable(spark, sf, "lineitem") // not a federated dim
+    }
+    assert(JdbcFederation.reconnectCount.get() == n0,
+      "a non-connection error must not trigger the reconnect path")
+  }
 }
