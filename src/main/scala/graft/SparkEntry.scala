@@ -102,6 +102,7 @@ object SparkEntry {
         |  ('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_ann_ivf_persisted', 2, 'vec_id:bigint,cos_sim:double'),
+        |  ('e_ann_recall', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
         |  ('e_argmax', 3, 'c_nationkey:int,best_acctbal:double,best_custkey:bigint'),
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),

@@ -107,6 +107,59 @@ object SimilarityOps {
       struct(VectorOps.cosineConst(col("embedding"), c).as("s"), lit(i).as("i"))
     }: _*)).getField("i")
 
+  /** Broadcast-matrix assignment for LARGE centroid lists: one scalar
+    * UDF holding the k×dim matrix in a closure (broadcast once per
+    * executor) instead of [[cellExpr]]'s O(k·dim)-node expression tree,
+    * which at k in the hundreds bloats codegen past the JIT's method
+    * limits. The arithmetic replays cosineConst exactly — same
+    * left-to-right fold order for the dot product and both norms, same
+    * zero-norm guard, same argmax tie-break to the HIGHER cell id
+    * (array_max over struct(s, i) orders lexicographically; iterating
+    * ascending ids with `>=` reproduces it) — so the two paths produce
+    * IDENTICAL assignments (pinned by SimilaritySpec at k=16) and the
+    * k threshold is a pure physical-plan switch.
+    */
+  private[graft] def cellUdf(centroids: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val mat = sorted.map(_._2.toArray).toArray
+    // same left fold as l2Norm: acc + x*x in element order, then sqrt
+    val norms = mat.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      math.sqrt(s)
+    }
+    val assign = udf { (emb: Seq[Float]) =>
+      val e = new Array[Double](emb.length)
+      var na = 0.0
+      var i = 0
+      while (i < e.length) {
+        e(i) = emb(i).toDouble; na += e(i) * e(i); i += 1
+      }
+      val an = math.sqrt(na)
+      var bestS = Double.NegativeInfinity
+      var bestI = ids(0)
+      var cI = 0
+      while (cI < mat.length) {
+        val c = mat(cI)
+        var d = 0.0; var j = 0
+        while (j < c.length) { d += e(j) * c(j); j += 1 }
+        val n = an * norms(cI)
+        val s = if (n == 0.0) 0.0 else d / n
+        if (s >= bestS) { bestS = s; bestI = ids(cI) }
+        cI += 1
+      }
+      bestI
+    }
+    assign(col("embedding"))
+  }
+
+  /** Codegen expression tree below the threshold, broadcast-matrix UDF
+    * above it — identical answers either side (see [[cellUdf]]).
+    */
+  private[graft] def assignCell(centroids: Seq[(Int, Seq[Double])]): Column =
+    if (centroids.size <= 32) cellExpr(centroids) else cellUdf(centroids)
+
   /** Deterministic k-means (Lloyd) for the IVF coarse quantizer:
     * seeded with the first k vectors, `iters` assignment/mean rounds.
     * Each round is one Spark aggregation (posexplode → per-(cell,dim)
@@ -131,7 +184,7 @@ object SimilarityOps {
       // the DuckDB oracle replays ([[ivfOracle]] meanCte); avg over
       // decimal would divide at decimal scale 18 first and can differ
       // from the oracle by ~1 ulp, enough to flip a near-tie argmax.
-      val means = emb.withColumn("cell", cellExpr(centroids))
+      val means = emb.withColumn("cell", assignCell(centroids))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
@@ -173,7 +226,7 @@ object SimilarityOps {
     ivfCache.computeIfAbsent(key, _ => {
       val emb = Tables.load(spark, dir, "embeddings")
       val centroids = kmeansCentroids(emb, nlist, iters)
-      val assigned = emb.withColumn("cell", cellExpr(centroids)).persist()
+      val assigned = emb.withColumn("cell", assignCell(centroids)).persist()
       assigned.count() // materialize: the build pays the assignment pass
       IvfIndex(centroids, assigned)
     })
@@ -227,7 +280,7 @@ object SimilarityOps {
   def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
       path: String): Unit = {
     val centroids = loadIvfIndex(spark, path).centroids
-    newVecs.withColumn("cell", cellExpr(centroids))
+    newVecs.withColumn("cell", assignCell(centroids))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
@@ -317,10 +370,29 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** ANN quality ON THE GATE: recall@10 of the IVF probe against the
+    * brute-force top-10, computed as data (one row: k, hit count,
+    * recall). Both sides are deterministic, so the exact recall value
+    * is hash-checked by the driver — a quantizer or probe regression
+    * that silently degrades answer quality turns this row red even
+    * though e_ann_ivf itself would still "pass" (it is self-consistent
+    * by construction). The ScalaTest ≥0.8 floor stays as the quality
+    * bar; this pins the exact value.
+    */
+  private val annRecall: Q = (spark, dir) => {
+    val ivf = annIvf(spark, dir).select("vec_id")
+    val exact = similarityTopk(spark, dir).select("vec_id")
+    ivf.join(exact, Seq("vec_id"))
+      .agg(count(lit(1L)).as("n_hits"))
+      .select(lit(10).as("k"), col("n_hits"),
+        round(col("n_hits") / lit(10.0), 2).as("recall_at_k"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
     "e_ann_ivf_persisted" -> annIvfPersisted,
+    "e_ann_recall" -> annRecall,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
     "e_embedding_quantize" -> embQuantize,
@@ -360,6 +432,19 @@ object SimilarityOps {
     "e_ann_ivf" -> ivfOracle(),
     // identical oracle: persistence must not change the answer
     "e_ann_ivf_persisted" -> ivfOracle(),
+    // recall = |ivf top-10 ∩ exact top-10| / 10, composed from the two
+    // oracles already proven above (CTE-in-subquery is legal DuckDB)
+    "e_ann_recall" ->
+      s"""WITH ivf AS (SELECT vec_id FROM (${ivfOracle()}) t),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+         |    6) DESC, vec_id LIMIT 10
+         |)
+         |SELECT 10 AS k, count(*)::BIGINT AS n_hits,
+         |round(count(*) / 10.0, 2) AS recall_at_k
+         |FROM ivf JOIN exact USING (vec_id)""".stripMargin,
     "e_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec

@@ -134,4 +134,29 @@ class SimilaritySpec extends SparkSpec {
       q, nprobe = 4, k = 10, excludeId = 0L)
     assert(a.collect().toSeq == b.collect().toSeq)
   }
+
+  test("broadcast-matrix scorer assigns identically to the expression tree") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = SimilarityOps.kmeansCentroids(emb, 16, 1)
+    val viaExpr = emb.select(col("vec_id"),
+      SimilarityOps.cellExpr(centroids).as("cell"))
+    val viaUdf = emb.select(col("vec_id"),
+      SimilarityOps.cellUdf(centroids).as("cell"))
+    assert(viaExpr.exceptAll(viaUdf).isEmpty &&
+      viaUdf.exceptAll(viaExpr).isEmpty,
+      "the two assignment paths must agree on every vector")
+  }
+
+  test("k=256 quantizer build finishes within budget via the UDF path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    assert(emb.count() >= 256, "fixture must seed 256 centroids")
+    val t0 = System.nanoTime()
+    val idx = SimilarityOps.buildIvfIndex(spark, sf, nlist = 256, iters = 1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(idx.centroids.size == 256)
+    assert(idx.assigned.select("cell").distinct().count() > 1)
+    // generous bound: the point is that codegen no longer explodes —
+    // the old expression tree at k=256 ran minutes-to-failure
+    assert(secs < 120.0, f"k=256 build took $secs%.1f s")
+  }
 }
