@@ -160,6 +160,7 @@ object SparkEntry {
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
+        |  ('e_multimodal_png', 3, 'doc_id:bigint,png_w:int,png_h:int'),
         |  ('e_multimodal_resize', 5, 'doc_id:bigint,width:int,height:int,out_w:int,out_h:int'),
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
         |  ('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),

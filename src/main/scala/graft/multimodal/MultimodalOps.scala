@@ -173,6 +173,73 @@ object MultimodalOps {
   private val multimodalDecode: Q = (spark, dir) =>
     decodeAll(mediaTable(spark, dir)).toDF().orderBy("doc_id")
 
+  /** REAL codec behind the same boundary: a PNG corpus whose image
+    * dimensions are known arithmetic functions of doc_id, encoded with
+    * the JDK's own ImageIO (genuine PNG bytes — magic, IHDR, zlib
+    * chunks), then decoded back by a per-partition PNG ImageReader.
+    * The oracle predicts width/height from the doc_id arithmetic, so
+    * the driver hash-checks that a REAL decoder recovered exactly the
+    * dimensions that went in; the decode cannot be faked because the
+    * reader parses actual PNG structure. The stubbed decode queries
+    * keep their byte-fold replays — this lane proves the boundary
+    * carries a true codec without losing the oracle.
+    */
+  def pngTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        // per-partition encoder config: ImageIO's disk cache off once,
+        // not per row (the writer itself is looked up inside write())
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id * 7) % 24).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // deterministic pixel content (payload bytes stable per id)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRecord(id, "image", out.toByteArray)
+        }
+      }
+  }
+
+  final case class PngMeta(doc_id: Long, png_w: Int, png_h: Int)
+
+  /** Header-only metadata decode with ONE reusable PNG ImageReader per
+    * partition (the expensive-codec-init pattern for real): getWidth/
+    * getHeight parse the IHDR chunk without decoding pixel data — the
+    * metadata fast path a 100 TB media crawl actually wants.
+    */
+  def decodePngMeta(media: Dataset[MediaRecord]): Dataset[PngMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next() // once per partition
+      rows.map { r =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          reader.setInput(in)
+          PngMeta(r.doc_id, reader.getWidth(0), reader.getHeight(0))
+        } finally in.close()
+      }
+    }
+  }
+
+  private val multimodalPng: Q = (spark, dir) =>
+    decodePngMeta(pngTable(spark, dir)).toDF().orderBy("doc_id")
+
   /** Frame sampling over the video subset. */
   private val multimodalFrames: Q = (spark, dir) =>
     sampleFrames(mediaTable(spark, dir), everyK = 30).toDF()
@@ -191,6 +258,7 @@ object MultimodalOps {
 
   val queries: Map[String, Q] = Map(
     "e_multimodal_meta" -> multimodalMeta,
+    "e_multimodal_png" -> multimodalPng,
     "e_multimodal_decode" -> multimodalDecode,
     "e_multimodal_frames" -> multimodalFrames,
     "e_multimodal_resize" -> multimodalResize,
@@ -231,6 +299,12 @@ object MultimodalOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle predicts what the REAL PNG decoder must recover: the
+    // encode dims are pure doc_id arithmetic, the decode is ImageIO
+    "e_multimodal_png" ->
+      """SELECT doc_id, (8 + doc_id % 32)::INT AS png_w,
+        |(8 + (doc_id * 7) % 24)::INT AS png_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |sha256(text) AS sha
