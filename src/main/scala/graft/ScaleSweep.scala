@@ -20,7 +20,16 @@ import org.apache.spark.sql.SparkSession
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val base = "/root/testdata/sf0.1"
-    val synth = args.headOption.getOrElse("/tmp/graft_sf1_synth")
+    // --skew: sweep against the Zipfian-hot-key 10x variant instead of
+    // the uniform one (SyntheticScale.ensureSkewed) and additionally
+    // verify AQE's skew-join split actually engages on the hot key.
+    // Same 30x bar: a skew pathology (one straggler task carrying the
+    // hot partition) shows up as growth, exactly like any other
+    // superlinearity.
+    val skewMode = args.contains("--skew")
+    val posArgs = args.filterNot(_ == "--skew")
+    val synth = posArgs.headOption.getOrElse(
+      if (skewMode) "/tmp/graft_sf1_skew" else "/tmp/graft_sf1_synth")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +42,8 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    graft.sources.SyntheticScale.ensure(spark, base, synth)
+    if (skewMode) graft.sources.SyntheticScale.ensureSkewed(spark, base, synth)
+    else graft.sources.SyntheticScale.ensure(spark, base, synth)
 
     def runFull(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
@@ -44,11 +54,11 @@ object ScaleSweep {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // args(1..) optionally restrict the sweep to named queries — the
+    // posArgs(1..) optionally restrict the sweep to named queries — the
     // targeted re-measure loop after optimizing a flagged grower. A
     // typo'd name must fail fast, not produce an empty sweep whose
     // flagged=[] reads as a clean pass.
-    val only = args.drop(1).toSet
+    val only = posArgs.drop(1).toSet
     // Validate against the POST-exclusion name set: `r_catalog` passes
     // the registry check but is excluded from the sweep (metadata-only,
     // no data dependency), so accepting it here would produce exactly
@@ -93,9 +103,74 @@ object ScaleSweep {
     rows.foreach { case (n, t1, t10, g) =>
       println(f"""{"query":"$n","t1_sec":$t1%.3f,"t10_sec":$t10%.3f,"growth":$g%.2f}""")
     }
+    val skewField =
+      if (skewMode) s""","aqe_skew_split":${aqeSkewSplit(spark, synth)}"""
+      else ""
     println(s"""{"metric":"sweep_total","t1_sec":${rows.map(_._2).sum},""" +
       s""""t10_sec":${rows.map(_._3).sum},"n_queries":${rows.size},""" +
-      s""""flagged":${flagged.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")}}""")
+      s""""mode":"${if (skewMode) "skew" else "uniform"}",""" +
+      s""""flagged":${flagged.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")}""" +
+      skewField + "}")
     spark.stop()
+  }
+
+  /** Prove AQE's skew-join machinery ENGAGES on the forged hot key: a
+    * sort-merge join of lineitem (10% of rows on one orderkey) against
+    * orders must show a skew-split AQEShuffleRead in the final adaptive
+    * plan. The skew thresholds are lowered for the check — at sf1 the
+    * hot shuffle partition is ~tens of MB, below the 256 MB production
+    * default that a 100 TB corpus would trip naturally; the lowered
+    * threshold exercises the identical code path at fixture scale.
+    */
+  private def aqeSkewSplit(spark: SparkSession, dir: String): Boolean = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.files.maxPartitionBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      // hot partition ≈ 4x the median at 32 shuffle partitions — the
+      // default factor-5 trigger just misses it at fixture scale
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      // several map tasks per scan: a skewed reduce partition is only
+      // splittable at MAP CHUNK boundaries, so a one-mapper stage can
+      // never be skew-split no matter the thresholds (production scans
+      // have thousands of mappers; the fixture write uses 8 MB row
+      // groups so byte-range splits actually produce them)
+      conf.set("spark.sql.files.maxPartitionBytes", "16m")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      // carry real measure columns through the join shuffle: a
+      // key-only projection compresses the hot partition (one repeated
+      // long) below any skew threshold, hiding the very imbalance the
+      // check exists to expose
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1L)), sum("l_extendedprice"), sum("l_quantity"),
+          sum("l_discount"), sum("l_tax"))
+      // collect(), not a writer: the writer executes its OWN
+      // QueryExecution, leaving j's adaptive plan unfinalized — the
+      // skew-split decision only exists in the finalized plan
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // Spark 4 prints the split as "AQEShuffleRead skewed" (or
+      // "coalesced and skewed"); match on the node line, not a bare
+      // "skew" substring — the fixture PATH contains "skew"
+      val engaged = plan.linesIterator.exists(ln =>
+        ln.contains("AQEShuffleRead") && ln.contains("skewed"))
+      System.err.println(s"[sweep] aqe_skew_split=$engaged")
+      if (!engaged) System.err.println(s"[sweep] final plan:\n$plan")
+      engaged
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }

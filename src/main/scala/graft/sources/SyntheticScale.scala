@@ -33,8 +33,24 @@ object SyntheticScale {
 
   private val OFF = 10_000_000L
 
+  /** Skewed 10x variant: same replica construction, then a Zipfian hot
+    * key is FORGED onto the shuffle paths AQE must defend —
+    * ~10% of all lineitem rows point at one orderkey and ~10% of all
+    * events at one user — while documents/embeddings stay untouched
+    * (text-side hot keys would blow up LSH bucket membership
+    * quadratically BY CONSTRUCTION; that is a property of duplicated
+    * text, not an engine regression — see the replica-suffix note
+    * below). The uniform sweep can never surface a skew pathology (its
+    * replicas are key-disjoint and uniform by design); this variant
+    * exists so join/groupBy paths are measured under the hot-key
+    * distribution a real corpus has.
+    */
+  def ensureSkewed(spark: SparkSession, baseDir: String,
+      outDir: String, replicas: Int = 10): Unit =
+    ensure(spark, baseDir, outDir, replicas, skew = true)
+
   def ensure(spark: SparkSession, baseDir: String, outDir: String,
-      replicas: Int = 10): Unit = {
+      replicas: Int = 10, skew: Boolean = false): Unit = {
     val out = Paths.get(outDir)
     val marker = out.resolve("_GRAFT_SYNTH_OK")
     if (Files.exists(marker)) return
@@ -63,10 +79,31 @@ object SyntheticScale {
     replicate("part")(i => shifted(raw("part"), i, "p_partkey"))
     replicate("orders")(i =>
       shifted(raw("orders"), i, "o_orderkey", "o_custkey"))
+
+    // hot-key targets for the skew variant: real keys from replica 0,
+    // so the forged FK rows still JOIN (a dangling hot key would just
+    // vanish in inner joins and measure nothing)
+    lazy val hotOrder = raw("orders")
+      .agg(min("o_orderkey")).head().getLong(0)
+    lazy val hotUser = raw("events").agg(min("user_id")).head().getLong(0)
+
+    /** Route a deterministic ~1/density slice of rows to the hot key.
+      * Selection hashes the pre-skew key so it is stable across runs
+      * and uncorrelated with the key's own value distribution.
+      */
+    def skewKey(df: DataFrame, key: String, hot: => Long,
+        density: Int): DataFrame =
+      if (!skew) df
+      else df.withColumn(key,
+        when(pmod(xxhash64(col(key)), lit(density)) === 0, lit(hot))
+          .otherwise(col(key)))
+
     replicate("lineitem")(i =>
-      shifted(raw("lineitem"), i, "l_orderkey", "l_partkey", "l_suppkey"))
+      skewKey(shifted(raw("lineitem"), i, "l_orderkey", "l_partkey",
+        "l_suppkey"), "l_orderkey", hotOrder, density = 10))
     replicate("events")(i =>
-      shifted(raw("events"), i, "event_id", "user_id"))
+      skewKey(shifted(raw("events"), i, "event_id", "user_id"),
+        "user_id", hotUser, density = 10))
     replicate("documents") { i =>
       val base = shifted(raw("documents"), i, "doc_id")
       if (i == 0) base
@@ -104,7 +141,17 @@ object SyntheticScale {
     */
   private def writeSingleFile(df: DataFrame, dst: Path): Unit = {
     val tmp = Files.createTempDirectory("graft_synth_stage")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // 8 MB row groups: a coalesce(1) write otherwise emits ONE row
+    // group per table, which caps every downstream scan at one
+    // productive map task (a parquet byte-range split only reads row
+    // groups STARTING inside it) — that both serializes the scan and
+    // makes AQE's skew-split a no-op, since a skewed reduce partition
+    // with a single map chunk cannot be subdivided. Real corpora are
+    // many files x many row groups; 8 MB reproduces that shape in a
+    // single-file fixture.
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(tmp.toString)
     import scala.jdk.CollectionConverters._
     val part = Files.list(tmp).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
