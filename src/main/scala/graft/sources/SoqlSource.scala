@@ -179,15 +179,21 @@ class SoqlScan(rows: Int, pushed: Array[Filter], required: StructType,
   override def toBatch: Batch = this
   override def description(): String = s"soql_pushdown[$soql]"
 
-  /** One partition per queryMore batch. Under a pushed limit, plan
-    * only the batch prefix covering it (a remote would stop paging).
+  /** One partition per queryMore batch. Under a pushed limit WITHOUT
+    * pushed filters, plan only the batch prefix covering it (a remote
+    * would stop paging). With filters pushed the prefix arithmetic is
+    * unsound — a predicate matching only later batches would make a
+    * row-count prefix drop rows — so every batch is planned and the
+    * limit applies after the (remote-side) filtering, exactly as a
+    * real queryMore loop would keep paging until `limit` SURVIVING
+    * rows arrived.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val batches = (rows + SoqlSource.batchSize - 1) / SoqlSource.batchSize
     val wanted = limit match {
-      case Some(n) =>
+      case Some(n) if pushed.isEmpty =>
         math.min(batches, (n + SoqlSource.batchSize - 1) / SoqlSource.batchSize)
-      case None => batches
+      case _ => batches
     }
     (0 until wanted).map(b => SoqlBatch(b, rows): InputPartition).toArray
   }

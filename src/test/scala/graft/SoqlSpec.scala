@@ -77,6 +77,16 @@ class SoqlSpec extends SparkSpec {
     assert(soql(rows = 1200).select("id").rdd.getNumPartitions == 3)
   }
 
+  test("limit under a pushed filter must not prune batches unsoundly") {
+    // the predicate matches only ids >= 600 (batch 1); a row-count
+    // batch prefix for limit 5 would plan batch 0 only and return
+    // nothing — the planner must keep paging when filters are pushed
+    val got = soql(rows = 1200)
+      .where(col("annualrevenue") >= 600000.0)
+      .select("id").limit(5).collect()
+    assert(got.length == 5, s"got ${got.length} rows")
+  }
+
   test("the compiled SOQL appears in the physical plan description") {
     val q = soql().where(col("annualrevenue") < 3000.0).select("id")
     val plan = q.queryExecution.executedPlan.toString
