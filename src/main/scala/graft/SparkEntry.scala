@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, DedupOps, EventAnalytics, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, DedupOps, EventAnalytics, FuzzyJoinOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -27,7 +27,7 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
-      LayoutOps.queries
+      LayoutOps.queries ++ FuzzyJoinOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -70,7 +70,7 @@ object SparkEntry {
       DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
-      LayoutOps.oracles ++ Map(
+      LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -102,17 +102,20 @@ object SparkEntry {
         |  ('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_ann_ivf_persisted', 2, 'vec_id:bigint,cos_sim:double'),
+        |  ('e_ann_pq', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
         |  ('e_ann_recall', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
+        |  ('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),
         |  ('e_argmax', 3, 'c_nationkey:int,best_acctbal:double,best_custkey:bigint'),
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
-        |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
-        |  ('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
-        |  ('e_cohort_retention', 3, 'cohort_week:timestamp,week_offset:bigint,n_active:bigint'),
-        |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
+        |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
+        |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
         |  ('e_char_diversity', 3, 'doc_id:bigint,n_letters:bigint,gini:double'),
-        |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
+        |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
+        |  ('e_cohort_retention', 3, 'cohort_week:timestamp,week_offset:bigint,n_active:bigint'),
+        |  ('e_compact', 4, 'lang:string,n_docs:bigint,sum_chars:bigint,fp:bigint'),
         |  ('e_corr_matrix', 3, 'x:string,y:string,r:double'),
+        |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),
         |  ('e_dau_churn', 4, 'day:timestamp,n_new:bigint,n_retained:bigint,n_churned:bigint'),
         |  ('e_decontaminate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_cc', 2, 'id:bigint,label:bigint'),
@@ -130,9 +133,10 @@ object SparkEntry {
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_embedding_quantize', 4, 'vec_id:bigint,scale_r:double,q_checksum:bigint,q_max:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
-        |  ('e_funnel', 3, 'stage:int,step:string,n_users:bigint'),
-        |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_fingerprint_rolling', 2, 'doc_id:bigint,roll_fp:bigint'),
+        |  ('e_funnel', 3, 'stage:int,step:string,n_users:bigint'),
+        |  ('e_fuzzy_join', 3, 'doc_a:bigint,doc_b:bigint,dist:int'),
+        |  ('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |  ('e_group_concat', 3, 'lang:string,sources:string,n_sources:bigint'),
         |  ('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
@@ -144,9 +148,10 @@ object SparkEntry {
         |  ('e_join_outer', 3, 'c_custkey:bigint,c_name:string,n_orders:bigint'),
         |  ('e_join_semi', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_json_funcs', 4, 'event_id:bigint,event_type:string,k_str:string,k_num:bigint'),
+        |  ('e_k_anonymity', 5, 'lang:string,len_bucket:bigint,published:boolean,n_docs:bigint,sum_chars:bigint'),
         |  ('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
-        |  ('e_knn_join', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
         |  ('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
+        |  ('e_knn_join', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
         |  ('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),
         |  ('e_lm_score', 3, 'doc_id:bigint,n_bigrams:bigint,lm_score:double'),
@@ -154,44 +159,43 @@ object SparkEntry {
         |  ('e_markov', 4, 'from_type:string,to_type:string,cnt:bigint,p:double'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_median_hist', 3, 'event_type:string,n:bigint,median_hist:double'),
+        |  ('e_minmax_norm', 3, 'event_id:bigint,event_type:string,v_norm:double'),
+        |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
+        |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
         |  ('e_multimodal_features', 9, 'doc_id:bigint,f0:bigint,f1:bigint,f2:bigint,f3:bigint,f4:bigint,f5:bigint,f6:bigint,f7:bigint'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
-        |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
-        |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),
         |  ('e_multimodal_png', 3, 'doc_id:bigint,png_w:int,png_h:int'),
         |  ('e_multimodal_resize', 5, 'doc_id:bigint,width:int,height:int,out_w:int,out_h:int'),
         |  ('e_normalize', 3, 'doc_id:bigint,n_chars_norm:bigint,norm_fp:string'),
         |  ('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),
-        |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
-        |  ('e_compact', 4, 'lang:string,n_docs:bigint,sum_chars:bigint,fp:bigint'),
         |  ('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |  ('e_partition_prune', 3, 'event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |  ('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |  ('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),
-        |  ('e_minmax_norm', 3, 'event_id:bigint,event_type:string,v_norm:double'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
         |  ('e_profile', 5, 'column_name:string,n_nulls:bigint,n_distinct:bigint,min_len:bigint,max_len:bigint'),
         |  ('e_quality_gate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
-        |  ('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
+        |  ('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
+        |  ('e_range_join', 2, 'event_id:bigint,n_recent_clicks:bigint'),
         |  ('e_rebalance', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
         |  ('e_rebalance_topk', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
-        |  ('e_range_join', 2, 'event_id:bigint,n_recent_clicks:bigint'),
         |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
         |  ('e_rolling_7d', 4, 'event_type:string,day:timestamp,n_7d:bigint,v_7d:double'),
         |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
         |  ('e_sample_weighted', 3, 'lang:string,n_kept:bigint,sum_chars:bigint'),
         |  ('e_scd2', 5, 'user_id:bigint,event_type:string,valid_from:timestamp,valid_to:timestamp,n_in_run:bigint'),
+        |  ('e_semdedup', 3, 'vec_id:bigint,cell:int,kept:boolean'),
         |  ('e_sessionize', 4, 'user_id:bigint,event_id:bigint,ts:timestamp,session_seq:bigint'),
         |  ('e_set_except', 1, 'nationkey:int'),
-        |  ('e_share_of_total', 3, 'c_nationkey:int,revenue:double,share:double'),
         |  ('e_set_intersect', 1, 'nationkey:int'),
         |  ('e_set_ops_all', 3, 'op:string,l_linenumber:int,n:bigint'),
         |  ('e_set_union', 1, 'name:string'),
+        |  ('e_share_of_total', 3, 'c_nationkey:int,revenue:double,share:double'),
         |  ('e_shuffle_shard', 4, 'shard:bigint,n_docs:bigint,sum_chars:bigint,fp:bigint'),
         |  ('e_similarity_topk', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_skew_salted', 3, 'c_nationkey:int,n_orders:bigint,revenue:double'),
@@ -199,11 +203,12 @@ object SparkEntry {
         |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
         |  ('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
+        |  ('e_stream_quality_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |  ('e_stream_session_replay', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
-        |  ('e_stream_tumbling_replay', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
-        |  ('e_stream_quality_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_stream_sliding_replay', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
+        |  ('e_stream_static_replay', 3, 'c_mktsegment:string,n_events:bigint,sum_value:double'),
+        |  ('e_stream_tumbling_replay', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
         |  ('e_tfidf', 6, 'doc_id:bigint,term:string,tf:bigint,df:bigint,score:double,term_rank:int'),
         |  ('e_token_count', 4, 'doc_id:bigint,ws_tokens:bigint,re_tokens:bigint,chars_per_token:double'),
@@ -217,11 +222,11 @@ object SparkEntry {
         |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
         |  ('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
-        |  ('e_zorder', 2, 'o_orderkey:bigint,zval:bigint'),
         |  ('e_window_pct', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,pct_rank:double,cume:double'),
         |  ('e_window_range', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,n_nearby:bigint,cheapest_key:bigint'),
         |  ('e_window_rank', 4, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,rn:int'),
         |  ('e_window_running', 3, 'o_custkey:bigint,o_orderkey:bigint,running_total:double'),
+        |  ('e_zorder', 2, 'o_orderkey:bigint,zval:bigint'),
         |  ('r_desc_table', 3, 'col_name:string,data_type:string,nullable:boolean'),
         |  ('r_dynamic_proj', 1, 'c_name:string'),
         |  ('r_filter_eq_date', 6, 'o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string'),

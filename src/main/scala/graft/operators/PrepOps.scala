@@ -56,6 +56,50 @@ object PrepOps {
     redactPii(Tables.load(spark, dir, "documents")).orderBy("doc_id")
 
   // ---------------------------------------------------------------
+  // k-anonymity suppression
+  // ---------------------------------------------------------------
+
+  private val KAnonK = 5
+  private val KAnonBucket = 64
+
+  /** k-anonymity release gate (Sweeney 2002): group the corpus by its
+    * quasi-identifier tuple — here (lang, 64-char length bucket), the
+    * kind of low-cardinality attributes that re-identify authors when
+    * combined — and publish per-class stats ONLY for equivalence
+    * classes with ≥ k members; smaller classes are generalized into a
+    * single fully-suppressed ('*', -1) row so the released table never
+    * exposes a group an attacker could narrow below k candidates.
+    * The reference exposes raw per-row reads (index.js CRUD); a
+    * privacy-gated aggregate release is the corresponding operation a
+    * training-data pipeline actually ships.
+    *
+    * 100 TB shape: one hash aggregation on the quasi-id tuple (map-side
+    * combined), then a second aggregation over |classes| rows — tiny by
+    * construction — to fold the sub-k classes into the suppressed
+    * bucket. The corpus crosses the wire once; suppression is a
+    * per-class relabel, not a second scan.
+    */
+  def kAnonymize(docs: DataFrame, k: Int = KAnonK,
+      bucket: Int = KAnonBucket): DataFrame = {
+    val classes = docs
+      .groupBy(col("lang"),
+        floor(col("n_chars") / lit(bucket)).as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val ok = col("n_docs") >= k
+    classes
+      .select(
+        when(ok, col("lang")).otherwise(lit("*")).as("lang"),
+        when(ok, col("len_bucket")).otherwise(lit(-1L)).as("len_bucket"),
+        ok.as("published"), col("n_docs"), col("sum_chars"))
+      .groupBy("lang", "len_bucket", "published")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
+      .orderBy("lang", "len_bucket")
+  }
+
+  private val kAnonymity: Q = (spark, dir) =>
+    kAnonymize(Tables.load(spark, dir, "documents"))
+
+  // ---------------------------------------------------------------
   // Context-window chunking
   // ---------------------------------------------------------------
 
@@ -377,6 +421,7 @@ object PrepOps {
     "e_mixture_sample" -> mixture,
     "e_mixture_sample_topk" -> mixtureTopK,
     "e_pii_redact" -> piiRedact,
+    "e_k_anonymity" -> kAnonymity,
     "e_chunk" -> chunk,
     "e_tfidf" -> tfidf,
     "e_pack_sequences" -> pack,
@@ -456,6 +501,26 @@ object PrepOps {
     // CASE over lang (unlisted langs -> 0 -> dropped).
     "e_mixture_sample" -> mixtureOracle,
     "e_mixture_sample_topk" -> mixtureOracle,
+    // Quasi-id classes, then the sub-k fold into the ('*', -1)
+    // suppressed bucket — same two-stage aggregation as the engine.
+    // Spark floor(long/int) yields BIGINT; DuckDB // matches. sum() of
+    // BIGINT is HUGEINT in DuckDB -> ::BIGINT casts.
+    "e_k_anonymity" ->
+      s"""WITH classes AS (
+         |  SELECT lang, n_chars // $KAnonBucket AS len_bucket,
+         |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         |  FROM documents GROUP BY 1, 2
+         |), gen AS (
+         |  SELECT
+         |    CASE WHEN n_docs >= $KAnonK THEN lang ELSE '*' END AS lang,
+         |    CASE WHEN n_docs >= $KAnonK THEN len_bucket ELSE -1 END AS len_bucket,
+         |    n_docs >= $KAnonK AS published, n_docs, sum_chars
+         |  FROM classes
+         |)
+         |SELECT lang, len_bucket, published,
+         |  sum(n_docs)::BIGINT AS n_docs, sum(sum_chars)::BIGINT AS sum_chars
+         |FROM gen GROUP BY lang, len_bucket, published
+         |ORDER BY lang, len_bucket""".stripMargin,
     // The synth column is rebuilt identically (substr + || casts);
     // DuckDB regexp_replace needs the 'g' flag to replace all matches
     // (Spark's replaces all by default).

@@ -388,14 +388,158 @@ object SimilarityOps {
         round(col("n_hits") / lit(10.0), 2).as("recall_at_k"))
   }
 
+  // ---------------------------------------------------------------
+  // SemDeDup — semantic deduplication in embedding space
+  // ---------------------------------------------------------------
+
+  private val SemDedupTau = 0.40
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the corpus embeddings with the SAME
+    * deterministic coarse quantizer the IVF index uses
+    * ([[buildIvfIndex]], so a bench run reuses one index build), then
+    * within each cluster drop every vector that has a sufficiently
+    * similar lower-id twin (round(cos, 6) ≥ τ). Unlike
+    * [[graft.operators.DedupOps.embeddingDedup]]'s sign-LSH pass, which
+    * targets near-IDENTICAL vectors (τ = 0.99), SemDeDup prunes
+    * semantic REDUNDANCY: τ sits far below 1 (the paper sweeps
+    * 0.5–0.95 on web data; this fixture's cosine ceiling is ~0.51, so
+    * τ = 0.40 plays that role). Keep-lowest-id replaces the paper's
+    * keep-farthest-from-centroid — deterministic and join-free; the
+    * cluster structure, the point of the method, is identical.
+    *
+    * 100 TB shape: candidate pairs are confined to quantizer cells —
+    * one shuffle of (cell, vec) on each side, pairwise work Σ|cell|²
+    * bounded by the quantizer granularity (nlist grows with the corpus
+    * so mean cell size stays constant — the paper's own scaling knob).
+    * No all-pairs stage anywhere; the final keep-mark is a broadcast
+    * anti-join shape (dup ids ≪ corpus).
+    */
+  def semDedup(spark: SparkSession, dir: String,
+      tau: Double = SemDedupTau): DataFrame = {
+    val assigned = buildIvfIndex(spark, dir).assigned
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    val dups = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .where(round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.select("vec_id", "cell")
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)) === lit(false) as "kept")
+      .orderBy("vec_id")
+  }
+
+  private val semDedupQ: Q = (spark, dir) => semDedup(spark, dir)
+
+  // ---------------------------------------------------------------
+  // Product quantization (ADC scoring)
+  // ---------------------------------------------------------------
+
+  private val PqM = 8 // subspaces
+  private val PqK = 16 // codewords per subspace
+  private val PqSubDim = 8 // = dim / PqM
+
+  /** Product-quantization codebooks (Jégou et al. TPAMI 2011): split
+    * the 64-dim space into [[PqM]] subspaces of [[PqSubDim]] dims; the
+    * per-subspace codebook is the corresponding subvectors of the
+    * first [[PqK]] corpus vectors — the same deterministic-seed
+    * convention as the IVF quantizer's c0 (production trains each
+    * codebook by k-means over a sample; encode/ADC plan shape is
+    * unchanged). Returns [m][k][subdim].
+    */
+  private def pqCodebooks(spark: SparkSession, dir: String)
+      : Array[Array[Array[Double]]] = {
+    val seeds = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < PqK.toLong).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Array.tabulate(PqM, PqK) { (m, c) =>
+      seeds(c).slice(m * PqSubDim, (m + 1) * PqSubDim)
+    }
+  }
+
+  /** Micro-quantized squared L2 distance — round-half-up to 1e-6, the
+    * same explicit rounding [[embQuantize]] uses, so per-subspace
+    * distances become exact integers and every downstream comparison
+    * (argmin, the ADC sum, the final ordering) is bit-deterministic in
+    * both engines regardless of summation order.
+    */
+  private def l2MicroSq(a: Array[Double], b: Array[Double]): Long = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.floor(s * 1e6 + 0.5).toLong
+  }
+
+  /** ANN by product quantization with asymmetric distance computation:
+    * each corpus vector is encoded to [[PqM]] code ids (argmin
+    * micro-L2² to its subspace codebook; ties → lower code), the query
+    * precomputes a [m][k] distance table, and the approximate distance
+    * is the table-lookup sum — 8 adds per vector instead of 64
+    * multiplies, over codes that store as 8 bytes instead of 256. The
+    * top-k by ADC distance also reports exact cosine per hit for
+    * audit. At 100 TB: PQ is the compression layer UNDER the IVF cells
+    * (scan nprobe cells, score by ADC) — a map-side scan + bounded
+    * TakeOrderedAndProject; the codebook (m·k·subdim doubles) rides in
+    * the closure like the IVF centroid list.
+    *
+    * The encode-and-score step is one scalar UDF holding the codebook
+    * matrix — the [[cellUdf]] precedent: at m·k = 128 codewords a
+    * codegen expression tree would be ~128 aggregate nodes deep, past
+    * JIT limits, while the UDF's integer output keeps it
+    * oracle-replayable.
+    */
+  def pqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val q = vectorOf(spark, dir, 0L).toArray
+    // query-side ADC table, micro-quantized like the corpus side
+    val dt: Array[Array[Long]] = Array.tabulate(PqM, PqK) { (m, c) =>
+      l2MicroSq(q.slice(m * PqSubDim, (m + 1) * PqSubDim), cb(m)(c))
+    }
+    val adc = udf { (emb: Seq[Float]) =>
+      val e = emb.toArray.map(_.toDouble)
+      var total = 0L
+      var m = 0
+      while (m < PqM) {
+        val sub = e.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        var bestD = Long.MaxValue
+        var bestC = 0
+        var c = 0
+        while (c < PqK) {
+          val d = l2MicroSq(sub, cb(m)(c))
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        total += dt(m)(bestC)
+        m += 1
+      }
+      total
+    }
+    Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), adc(col("embedding")).as("adc_micro"),
+        round(VectorOps.cosineConst(col("embedding"), q.toSeq), 6)
+          .as("cos_sim"))
+      .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  private val annPq: Q = (spark, dir) => pqTopk(spark, dir)
+
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
     "e_ann_ivf_persisted" -> annIvfPersisted,
+    "e_ann_pq" -> annPq,
     "e_ann_recall" -> annRecall,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
     "e_embedding_quantize" -> embQuantize,
+    "e_semdedup" -> semDedupQ,
   )
 
   /** Brute-force top-k is oracle-checked via DuckDB's
@@ -432,6 +576,61 @@ object SimilarityOps {
     "e_ann_ivf" -> ivfOracle(),
     // identical oracle: persistence must not change the answer
     "e_ann_ivf_persisted" -> ivfOracle(),
+    // SemDeDup: quantizer-assignment replay (same prefix the IVF
+    // oracle proves), then the within-cell a<b pair scan at
+    // round(cos,6) >= tau and the keep-mark left join.
+    "e_semdedup" ->
+      s"""WITH ${assignmentPrefix(16, 2, 64)},
+         |dups AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM afinal x JOIN afinal y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $SemDedupTau
+         |)
+         |SELECT f.vec_id, f.cell, (d.vec_id IS NULL) AS kept
+         |FROM afinal f LEFT JOIN dups d USING (vec_id)
+         |ORDER BY f.vec_id""".stripMargin,
+    // PQ/ADC replay: seed codebooks are list slices of the first PqK
+    // vectors; every distance is micro-quantized (floor(x*1e6 + 0.5))
+    // BEFORE argmin/sum, so codes and ADC totals are exact integers in
+    // both engines — no float-order ambiguity anywhere on the ranking
+    // path (cos_sim is audit-only and rounds like e_similarity_topk).
+    "e_ann_pq" ->
+      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cw AS (
+         |  SELECT s.vec_id::INT AS code, gs.m AS sub,
+         |    s.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS c
+         |  FROM vecs s CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
+         |  WHERE s.vec_id < $PqK
+         |),
+         |subv AS (
+         |  SELECT e.vec_id, gs.m AS sub,
+         |    e.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS sv
+         |  FROM vecs e CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
+         |),
+         |dist AS (
+         |  SELECT subv.vec_id, subv.sub, cw.code,
+         |    CAST(floor(list_sum([ (subv.sv[i]-cw.c[i])*(subv.sv[i]-cw.c[i])
+         |      for i in range(1, ${PqSubDim + 1}) ]) * 1000000 + 0.5) AS BIGINT)
+         |      AS dmicro
+         |  FROM subv JOIN cw ON subv.sub = cw.sub
+         |),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dmicro ASC, code ASC) = 1
+         |),
+         |qdt AS (SELECT sub, code, dmicro FROM dist WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT c.vec_id, sum(q.dmicro)::BIGINT AS adc_micro
+         |  FROM codes c JOIN qdt q ON c.sub = q.sub AND c.code = q.code
+         |  GROUP BY c.vec_id
+         |)
+         |SELECT a.vec_id, a.adc_micro,
+         |  round(list_cosine_similarity(v.v,
+         |    (SELECT v FROM vecs WHERE vec_id = 0)), 6) AS cos_sim
+         |FROM adc a JOIN vecs v USING (vec_id) WHERE a.vec_id <> 0
+         |ORDER BY adc_micro ASC, vec_id LIMIT 10""".stripMargin,
     // recall = |ivf top-10 ∩ exact top-10| / 10, composed from the two
     // oracles already proven above (CTE-in-subquery is legal DuckDB)
     "e_ann_recall" ->
@@ -497,16 +696,21 @@ object SimilarityOps {
     *    form already proven against round(cosineConst, 6) by
     *    e_similarity_topk.
     */
-  private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
-      k: Int = 10, dim: Int = 64): String = {
-    def cos(a: String, b: String): String =
-      s"CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0.0 THEN 0.0 " +
-        s"ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0.0 THEN 0.0 " +
+      s"ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"
+
+  /** The WITH-body prefix replaying the deterministic quantizer build
+    * and final cell assignment (`vecs`, `c0`, the aᵣ/mᵣ/cᵣ Lloyd
+    * rounds, `afinal`) — shared by [[ivfOracle]] and the SemDeDup
+    * oracle, so both replay the ONE quantizer [[buildIvfIndex]] caches.
+    */
+  private def assignmentPrefix(nlist: Int, iters: Int, dim: Int): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT e.vec_id, e.v, c.cell FROM vecs e CROSS JOIN $cents c
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${cos("e.v", "c.c")} DESC, c.cell DESC) = 1
+         |    ORDER BY ${cosSql("e.v", "c.c")} DESC, c.cell DESC) = 1
          |)""".stripMargin
     def meanCte(name: String, assigned: String): String =
       s"""$name AS (
@@ -525,13 +729,19 @@ object SimilarityOps {
       Seq(assignCte(s"a$r", s"c${r - 1}"), meanCte(s"m$r", s"a$r"),
         centCte(s"c$r", s"c${r - 1}", s"m$r"))
     }.mkString(",\n")
-    s"""WITH vecs AS (
+    s"""vecs AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), c0 AS (
        |  SELECT vec_id::INT AS cell, v AS c FROM vecs WHERE vec_id < $nlist
        |),
        |$rounds,
-       |${assignCte("afinal", s"c$iters")},
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
+  }
+
+  private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
+      k: Int = 10, dim: Int = 64): String = {
+    def cos(a: String, b: String): String = cosSql(a, b)
+    s"""WITH ${assignmentPrefix(nlist, iters, dim)},
        |qv AS (
        |  SELECT v FROM vecs WHERE vec_id = 0
        |), probe AS (

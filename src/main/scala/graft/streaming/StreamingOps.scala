@@ -352,8 +352,47 @@ object StreamingOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Stream-static join executed as a real stream — the enrichment
+    * shape Structured Streaming is used for most: a fact stream joined
+    * to a broadcast dimension with NO streaming state at all (the
+    * static side is a local relation on every micro-batch; nothing is
+    * watermarked or buffered, unlike [[replayClickViewJoin]]'s
+    * stream-stream interval join). Events replay through a file
+    * source, join the customer dim on user_id = c_custkey inside the
+    * stream, drain to a memory sink, and the drained enriched rows are
+    * aggregated per market segment with the decimal-quantized sum the
+    * batch aggregations use. At 100 TB the dim broadcast is exactly
+    * the production plan — the stream never shuffles.
+    */
+  def replayStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val staged = stageReplay(dir, "events.parquet")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = Tables.normalizeTs(spark.readStream
+      .schema(schema).format("parquet").load(staged.toString))
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    // append mode: the join is stateless, so rows emit as they arrive —
+    // no watermark, no state store (the helper's complete-mode sink is
+    // for streaming aggregations and rejects a stateless plan)
+    val q = stream.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropReplayDir(staged)
+    }
+    spark.table(name)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_stream_session" -> streamSession,
+    "e_stream_static_replay" -> (replayStreamStaticJoin(_, _)),
     "e_stream_session_replay" -> (replaySessionStream(_, _)),
     "e_stream_tumbling_replay" -> (replayTumblingStream(_, _)),
     "e_stream_sliding_replay" -> (replaySlidingStream(_, _)),
@@ -437,6 +476,12 @@ object StreamingOps {
       graft.functions.ScalarOps.oracles("e_tumbling_batch"),
     "e_stream_sliding_replay" ->
       graft.functions.ScalarOps.oracles("e_sliding_batch"),
+    "e_stream_static_replay" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |  AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "e_stream_join_replay" ->
       """SELECT c.user_id, COUNT(*) AS n_pairs,
         |SUM(epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS sum_gap_us

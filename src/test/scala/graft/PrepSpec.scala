@@ -163,6 +163,29 @@ class PrepSpec extends SparkSpec {
     assert(back.select("shard").distinct().count() == 8)
   }
 
+  test("k-anonymity: published classes have >= k members, totals balance") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = PrepOps.queries("e_k_anonymity")(spark, sf)
+      .select("lang", "len_bucket", "published", "n_docs", "sum_chars")
+      .as[(String, Long, Boolean, Long, Long)].collect()
+    val (pub, sup) = out.partition(_._3)
+    assert(pub.forall(_._4 >= 5), "a published class below k leaks")
+    assert(pub.forall(r => r._1 != "*" && r._2 >= 0))
+    assert(sup.length <= 1, "all sub-k classes fold into one row")
+    sup.foreach { r => assert(r._1 == "*" && r._2 == -1L) }
+    // nothing lost, nothing invented
+    val total = docs.count()
+    val totalChars = docs.agg(sum("n_chars")).as[Long].head()
+    assert(out.map(_._4).sum == total)
+    assert(out.map(_._5).sum == totalChars)
+    // the suppressed row equals the independently-computed sub-k mass
+    val small = docs
+      .groupBy(col("lang"), floor(col("n_chars") / lit(64)).as("b"))
+      .agg(count(lit(1)).as("n")).where(col("n") < 5)
+      .agg(coalesce(sum("n"), lit(0L))).as[Long].head()
+    assert(sup.headOption.map(_._4).getOrElse(0L) == small)
+  }
+
   test("chunk explode does not re-evaluate the token split in the scan") {
     // the e_decontaminate regression shape: an inferred filter on a
     // derived HOF column substituted into the scan. explode_outer emits

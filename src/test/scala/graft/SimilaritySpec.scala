@@ -159,4 +159,54 @@ class SimilaritySpec extends SparkSpec {
     // the old expression tree at k=256 ran minutes-to-failure
     assert(secs < 120.0, f"k=256 build took $secs%.1f s")
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("semdedup drops exactly the vectors with a lower-id within-cell twin") {
+    val assigned = SimilarityOps.buildIvfIndex(spark, sf).assigned
+      .select("vec_id", "cell", "embedding").collect()
+      .map { case Row(id: Long, cell: Int, v: scala.collection.Seq[_]) =>
+        (id, cell, v.asInstanceOf[scala.collection.Seq[Float]].map(_.toDouble).toSeq)
+      }
+    val tau = 0.40
+    val expectedDropped = (for {
+      (idA, cA, vA) <- assigned; (idB, cB, vB) <- assigned
+      if cA == cB && idA < idB &&
+        round6(VectorOps.cosineSeq(vA, vB)) >= tau
+    } yield idB).toSet
+    val out = SimilarityOps.queries("e_semdedup")(spark, sf)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect()
+    assert(out.length == assigned.length, "one verdict per vector")
+    assert(out.filterNot(_._2).map(_._1).toSet == expectedDropped)
+  }
+
+  test("PQ ADC distances equal a driver-side recomputation, top-10 order and all") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map { case Row(id: Long, v: scala.collection.Seq[_]) =>
+        id -> v.asInstanceOf[scala.collection.Seq[Float]].map(_.toDouble).toArray
+      }
+    val vecs = emb.toMap
+    def l2Micro(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.floor(s * 1e6 + 0.5).toLong
+    }
+    val cb = Array.tabulate(8, 16) { (m, c) => vecs(c.toLong).slice(m * 8, m * 8 + 8) }
+    val q = vecs(0L)
+    val dt = Array.tabulate(8, 16) { (m, c) => l2Micro(q.slice(m * 8, m * 8 + 8), cb(m)(c)) }
+    def adc(v: Array[Double]): Long =
+      (0 until 8).map { m =>
+        val sub = v.slice(m * 8, m * 8 + 8)
+        val best = (0 until 16).minBy(c => (l2Micro(sub, cb(m)(c)), c))
+        dt(m)(best)
+      }.sum
+    val expected = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (id, adc(v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    val got = SimilarityOps.queries("e_ann_pq")(spark, sf)
+      .select("vec_id", "adc_micro").as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }

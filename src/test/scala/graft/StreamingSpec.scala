@@ -263,4 +263,22 @@ class StreamingSpec extends SparkSpec {
           s"only-batch=${batchKept -- streamKept}")
     } finally q.stop()
   }
+
+  test("stream-static join replay equals the batch join, segment for segment") {
+    val got = StreamingOps.replayStreamStaticJoin(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.load(spark, sf, "events")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
 }
