@@ -32,7 +32,12 @@ object Bench {
 
     runFull("r_inner_join") // warmup: JIT + parquet footer caches
 
-    val names = SparkEntry.queries.keySet.toSeq.sorted.filterNot(_ == "r_catalog")
+    // optional arg: comma-separated query-name filter (dev loop only —
+    // the driver always runs the full set with no args)
+    val only = args.headOption.map(_.split(',').toSet)
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+      .filterNot(_ == "r_catalog")
+      .filter(n => only.forall(_.contains(n)))
     // One untimed warmup pass per query (plan compilation, codegen,
     // offline index/closure builds), then three timed passes run
     // INTERLEAVED (pass-major order). The host shows sustained

@@ -418,13 +418,22 @@ object SimilarityOps {
   def semDedup(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau): DataFrame = {
     val assigned = buildIvfIndex(spark, dir).assigned
+    // stage norms per SIDE (the knnJoin move): each vector's norm is
+    // computed once before the join instead of twice per PAIR — at
+    // Σ|cell|² pairs that is the dominant cost, not the dot product
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-      col("embedding").as("a_vec"))
+      col("embedding").as("a_vec"),
+      VectorOps.l2Norm(col("embedding")).as("a_norm"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
-      col("embedding").as("b_vec"))
+      col("embedding").as("b_vec"),
+      VectorOps.l2Norm(col("embedding")).as("b_norm"))
+    // same arithmetic sequence as VectorOps.cosine: dot / (normA*normB)
+    val nrm = col("a_norm") * col("b_norm")
+    val cos = when(nrm === 0.0, lit(0.0))
+      .otherwise(VectorOps.dot(col("a_vec"), col("b_vec")) / nrm)
     val dups = a.join(b, Seq("cell"))
       .where(col("a_id") < col("b_id"))
-      .where(round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6) >= tau)
+      .where(round(cos, 6) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
     assigned.select("vec_id", "cell")
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
