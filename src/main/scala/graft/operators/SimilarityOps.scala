@@ -436,7 +436,8 @@ object SimilarityOps {
       .where(round(cos, 6) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
     assigned.select("vec_id", "cell")
-      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+      .join(broadcast(dups.withColumn("dup", lit(true))), Seq("vec_id"),
+        "left_outer")
       .select(col("vec_id"), col("cell"),
         coalesce(col("dup"), lit(false)) === lit(false) as "kept")
       .orderBy("vec_id")
@@ -502,10 +503,13 @@ object SimilarityOps {
     * JIT limits, while the UDF's integer output keeps it
     * oracle-replayable.
     */
-  def pqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val cb = pqCodebooks(spark, dir)
-    val q = vectorOf(spark, dir, 0L).toArray
-    // query-side ADC table, micro-quantized like the corpus side
+  /** Encode-and-ADC-score column for a query vector: codes via argmin
+    * micro-L2² (ties → lower code), ADC total from the query's
+    * micro-quantized distance table. One scalar UDF holding the
+    * codebook matrix — the [[cellUdf]] precedent.
+    */
+  private def pqAdcColumn(cb: Array[Array[Array[Double]]],
+      q: Array[Double]): Column = {
     val dt: Array[Array[Long]] = Array.tabulate(PqM, PqK) { (m, c) =>
       l2MicroSq(q.slice(m * PqSubDim, (m + 1) * PqSubDim), cb(m)(c))
     }
@@ -528,9 +532,15 @@ object SimilarityOps {
       }
       total
     }
+    adc(col("embedding"))
+  }
+
+  def pqTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val q = vectorOf(spark, dir, 0L).toArray
     Tables.load(spark, dir, "embeddings")
       .where(col("vec_id") =!= 0L)
-      .select(col("vec_id"), adc(col("embedding")).as("adc_micro"),
+      .select(col("vec_id"), pqAdcColumn(cb, q).as("adc_micro"),
         round(VectorOps.cosineConst(col("embedding"), q.toSeq), 6)
           .as("cos_sim"))
       .orderBy(col("adc_micro").asc, col("vec_id").asc)
@@ -539,11 +549,43 @@ object SimilarityOps {
 
   private val annPq: Q = (spark, dir) => pqTopk(spark, dir)
 
+  /** IVF + PQ — the production vector-search composition (the FAISS
+    * IVFADC layout, Jégou et al. 2011): the coarse quantizer prunes the
+    * corpus to nprobe cells, and ONLY those cells' vectors are scored,
+    * by ADC table lookups instead of full-dimension arithmetic. At
+    * 100 TB this is the plan that makes a probe's cost independent of
+    * corpus size twice over: partition pruning bounds the bytes read
+    * (nprobe/nlist of the data), PQ bounds the per-vector work (m adds)
+    * and the index's storage (m bytes per vector instead of 4·dim).
+    * Shares both proven quantizers — the IVF cells from
+    * [[buildIvfIndex]] and the PQ codebooks from [[pqCodebooks]] — so
+    * the oracle composes their two already-proven replays.
+    */
+  def ivfPqTopk(spark: SparkSession, dir: String, nprobe: Int = 4,
+      k: Int = 10): DataFrame = {
+    val idx = buildIvfIndex(spark, dir)
+    val cb = pqCodebooks(spark, dir)
+    val q = vectorOf(spark, dir, 0L)
+    val probeCells = idx.centroids
+      .map { case (i, c) => (i, VectorOps.cosineSeq(q, c)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    idx.assigned
+      .where(col("vec_id") =!= 0L)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), pqAdcColumn(cb, q.toArray).as("adc_micro"),
+        round(VectorOps.cosineConst(col("embedding"), q), 6).as("cos_sim"))
+      .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  private val annIvfPq: Q = (spark, dir) => ivfPqTopk(spark, dir)
+
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
     "e_ann_ivf_persisted" -> annIvfPersisted,
     "e_ann_pq" -> annPq,
+    "e_ann_ivfpq" -> annIvfPq,
     "e_ann_recall" -> annRecall,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
@@ -606,39 +648,28 @@ object SimilarityOps {
     // path (cos_sim is audit-only and rounds like e_similarity_topk).
     "e_ann_pq" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cw AS (
-         |  SELECT s.vec_id::INT AS code, gs.m AS sub,
-         |    s.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS c
-         |  FROM vecs s CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
-         |  WHERE s.vec_id < $PqK
-         |),
-         |subv AS (
-         |  SELECT e.vec_id, gs.m AS sub,
-         |    e.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS sv
-         |  FROM vecs e CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
-         |),
-         |dist AS (
-         |  SELECT subv.vec_id, subv.sub, cw.code,
-         |    CAST(floor(list_sum([ (subv.sv[i]-cw.c[i])*(subv.sv[i]-cw.c[i])
-         |      for i in range(1, ${PqSubDim + 1}) ]) * 1000000 + 0.5) AS BIGINT)
-         |      AS dmicro
-         |  FROM subv JOIN cw ON subv.sub = cw.sub
-         |),
-         |codes AS (
-         |  SELECT vec_id, sub, code FROM dist
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-         |    ORDER BY dmicro ASC, code ASC) = 1
-         |),
-         |qdt AS (SELECT sub, code, dmicro FROM dist WHERE vec_id = 0),
-         |adc AS (
-         |  SELECT c.vec_id, sum(q.dmicro)::BIGINT AS adc_micro
-         |  FROM codes c JOIN qdt q ON c.sub = q.sub AND c.code = q.code
-         |  GROUP BY c.vec_id
-         |)
+         |$pqCtes
          |SELECT a.vec_id, a.adc_micro,
          |  round(list_cosine_similarity(v.v,
          |    (SELECT v FROM vecs WHERE vec_id = 0)), 6) AS cos_sim
          |FROM adc a JOIN vecs v USING (vec_id) WHERE a.vec_id <> 0
+         |ORDER BY adc_micro ASC, vec_id LIMIT 10""".stripMargin,
+    // IVF+PQ: the quantizer-assignment replay, the probe-cell ranking,
+    // and the PQ chain — all three already proven individually above —
+    // composed exactly as the engine composes them.
+    "e_ann_ivfpq" ->
+      s"""WITH ${assignmentPrefix(16, 2, 64)},
+         |qv AS (SELECT v FROM vecs WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT c.cell FROM c2 c CROSS JOIN qv
+         |  ORDER BY ${cosSql("qv.v", "c.c")} DESC, c.cell ASC LIMIT 4
+         |),
+         |$pqCtes
+         |SELECT a.vec_id, ad.adc_micro,
+         |  round(list_cosine_similarity(a.v, (SELECT v FROM qv)), 6)
+         |    AS cos_sim
+         |FROM afinal a JOIN adc ad USING (vec_id)
+         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
          |ORDER BY adc_micro ASC, vec_id LIMIT 10""".stripMargin,
     // recall = |ivf top-10 ∩ exact top-10| / 10, composed from the two
     // oracles already proven above (CTE-in-subquery is legal DuckDB)
@@ -746,6 +777,42 @@ object SimilarityOps {
        |$rounds,
        |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
+
+  /** PQ CTE chain (codebooks → subvectors → micro distances → argmin
+    * codes → query distance table → ADC totals); assumes a
+    * `vecs(vec_id, v DOUBLE[])` CTE is in scope. Shared by the e_ann_pq
+    * and e_ann_ivfpq oracles.
+    */
+  private def pqCtes: String =
+    s"""cw AS (
+       |  SELECT s.vec_id::INT AS code, gs.m AS sub,
+       |    s.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS c
+       |  FROM vecs s CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
+       |  WHERE s.vec_id < $PqK
+       |),
+       |subv AS (
+       |  SELECT e.vec_id, gs.m AS sub,
+       |    e.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS sv
+       |  FROM vecs e CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
+       |),
+       |dist AS (
+       |  SELECT subv.vec_id, subv.sub, cw.code,
+       |    CAST(floor(list_sum([ (subv.sv[i]-cw.c[i])*(subv.sv[i]-cw.c[i])
+       |      for i in range(1, ${PqSubDim + 1}) ]) * 1000000 + 0.5) AS BIGINT)
+       |      AS dmicro
+       |  FROM subv JOIN cw ON subv.sub = cw.sub
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM dist
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY dmicro ASC, code ASC) = 1
+       |),
+       |qdt AS (SELECT sub, code, dmicro FROM dist WHERE vec_id = 0),
+       |adc AS (
+       |  SELECT c.vec_id, sum(q.dmicro)::BIGINT AS adc_micro
+       |  FROM codes c JOIN qdt q ON c.sub = q.sub AND c.code = q.code
+       |  GROUP BY c.vec_id
+       |)""".stripMargin
 
   private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
       k: Int = 10, dim: Int = 64): String = {

@@ -209,4 +209,28 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "adc_micro").as[(Long, Long)].collect().toSeq
     assert(got == expected)
   }
+
+  test("IVF+PQ scores only the probed cells and agrees with full PQ there") {
+    val idx = SimilarityOps.buildIvfIndex(spark, sf)
+    val q = emb0(spark)
+    val probeCells = idx.centroids
+      .map { case (i, c) => (i, VectorOps.cosineSeq(q, c)) }
+      .sortBy(-_._2).take(4).map(_._1).toSet
+    val cellOf = idx.assigned.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val got = SimilarityOps.queries("e_ann_ivfpq")(spark, sf)
+      .select("vec_id", "adc_micro").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (id, _) => probeCells.contains(cellOf(id)) },
+      "every hit must come from a probed cell")
+    // within the probed cells, the ranking must equal the full-PQ scan
+    val fullPq = SimilarityOps.pqTopk(spark, sf, k = 5000)
+      .select("vec_id", "adc_micro").as[(Long, Long)].collect()
+      .filter { case (id, _) => probeCells.contains(cellOf(id)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(got == fullPq)
+  }
+
+  private def emb0(spark: org.apache.spark.sql.SparkSession): Seq[Double] =
+    SimilarityOps.vectorOf(spark, sf, 0L)
 }
