@@ -103,6 +103,7 @@ object SparkEntry {
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_ann_ivf_persisted', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_ann_ivfpq', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
+        |  ('e_ann_ivfpq_persisted', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
         |  ('e_ann_pq', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
         |  ('e_ann_recall', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
         |  ('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),

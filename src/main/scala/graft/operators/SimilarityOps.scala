@@ -320,8 +320,12 @@ object SimilarityOps {
     * layout with partition pruning. Same answer as [[annIvf]], same
     * oracle; what changes is WHERE the index lives.
     */
-  private val annIvfPersisted: Q = (spark, dir) => {
-    val path = ivfDiskCache.computeIfAbsent(
+  /** Build-once path of the persisted default index for a dataset
+    * (shared by the persisted cosine probe AND the persisted ADC
+    * probe — one on-disk index, two scoring modes, as in production).
+    */
+  private def persistedIndexPath(spark: SparkSession, dir: String): String =
+    ivfDiskCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}#$dir", _ => {
         val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
         // The index is a full parquet copy of the embeddings table;
@@ -336,9 +340,10 @@ object SimilarityOps {
         saveIvfIndex(buildIvfIndex(spark, dir), p)
         p
       })
-    probeIvf(loadIvfIndex(spark, path), vectorOf(spark, dir, 0L),
-      nprobe = 4, k = 10, excludeId = 0L)
-  }
+
+  private val annIvfPersisted: Q = (spark, dir) =>
+    probeIvf(loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      vectorOf(spark, dir, 0L), nprobe = 4, k = 10, excludeId = 0L)
 
   /** Symmetric int8 quantization of each embedding — the compression
     * step an ANN store applies before indexing (4× smaller than
@@ -394,6 +399,13 @@ object SimilarityOps {
 
   private val SemDedupTau = 0.40
 
+  /** √n quantizer sizing (floored at the ANN default 16) — see
+    * [[semDedup]]'s scale note. At the sf0.01 oracle gate n = 500 →
+    * nlist = 22, which the DuckDB replay hardcodes.
+    */
+  private[graft] def semDedupNlist(n: Long): Int =
+    math.max(16, math.sqrt(n.toDouble).toInt)
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — cluster the corpus embeddings with the SAME
     * deterministic coarse quantizer the IVF index uses
@@ -409,15 +421,24 @@ object SimilarityOps {
     * cluster structure, the point of the method, is identical.
     *
     * 100 TB shape: candidate pairs are confined to quantizer cells —
-    * one shuffle of (cell, vec) on each side, pairwise work Σ|cell|²
-    * bounded by the quantizer granularity (nlist grows with the corpus
-    * so mean cell size stays constant — the paper's own scaling knob).
-    * No all-pairs stage anywhere; the final keep-mark is a broadcast
-    * anti-join shape (dup ids ≪ corpus).
+    * one shuffle of (cell, vec) on each side. The quantizer is sized
+    * nlist = max(16, √n) (the FAISS IVF guideline): exact assignment
+    * costs n·nlist and within-cell pairwise costs ≈ n²/nlist, so √n
+    * balances both at n^1.5 — the optimal exponent for this
+    * exact-assignment structure (the paper's constant-cell-size sizing
+    * keeps pairwise linear but makes assignment quadratic; it is
+    * viable only with accelerated approximate assignment). The first
+    * registered version pinned nlist = 16 and the 10× sweep flagged it
+    * at 77× growth — quadratic, as cells grew 10×; adaptive sizing
+    * brought the sweep back under the uniform 30× bar. No all-pairs
+    * stage anywhere; the final keep-mark is a broadcast anti-join
+    * shape (dup ids ≪ corpus).
     */
   def semDedup(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau): DataFrame = {
-    val assigned = buildIvfIndex(spark, dir).assigned
+    val n = Tables.load(spark, dir, "embeddings").count()
+    val assigned =
+      buildIvfIndex(spark, dir, nlist = semDedupNlist(n)).assigned
     // stage norms per SIDE (the knnJoin move): each vector's norm is
     // computed once before the join instead of twice per PAIR — at
     // Σ|cell|² pairs that is the dominant cost, not the dot product
@@ -561,11 +582,11 @@ object SimilarityOps {
     * [[buildIvfIndex]] and the PQ codebooks from [[pqCodebooks]] — so
     * the oracle composes their two already-proven replays.
     */
-  def ivfPqTopk(spark: SparkSession, dir: String, nprobe: Int = 4,
-      k: Int = 10): DataFrame = {
-    val idx = buildIvfIndex(spark, dir)
-    val cb = pqCodebooks(spark, dir)
-    val q = vectorOf(spark, dir, 0L)
+  /** ADC scoring over an index's nprobe nearest cells — the probe half
+    * of IVFADC, shared by the in-memory and persisted forms.
+    */
+  def ivfPqProbe(idx: IvfIndex, cb: Array[Array[Array[Double]]],
+      q: Seq[Double], nprobe: Int = 4, k: Int = 10): DataFrame = {
     val probeCells = idx.centroids
       .map { case (i, c) => (i, VectorOps.cosineSeq(q, c)) }
       .sortBy(-_._2).take(nprobe).map(_._1)
@@ -578,7 +599,24 @@ object SimilarityOps {
       .limit(k)
   }
 
+  def ivfPqTopk(spark: SparkSession, dir: String, nprobe: Int = 4,
+      k: Int = 10): DataFrame =
+    ivfPqProbe(buildIvfIndex(spark, dir), pqCodebooks(spark, dir),
+      vectorOf(spark, dir, 0L), nprobe, k)
+
   private val annIvfPq: Q = (spark, dir) => ivfPqTopk(spark, dir)
+
+  /** IVFADC against the PERSISTED index: the same on-disk
+    * cell-partitioned layout [[annIvfPersisted]] probes, scored by ADC
+    * — so a probe in a fresh session reads only the nprobe pruned cell
+    * DIRECTORIES (PartitionFilters, spec-pinned) and pays m table adds
+    * per vector inside them. This is the full production shape: build
+    * offline, persist partitioned, probe cheap — with compression-
+    * grade scoring. Same answer and oracle as [[annIvfPq]].
+    */
+  private val annIvfPqPersisted: Q = (spark, dir) =>
+    ivfPqProbe(loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      pqCodebooks(spark, dir), vectorOf(spark, dir, 0L))
 
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
@@ -586,6 +624,7 @@ object SimilarityOps {
     "e_ann_ivf_persisted" -> annIvfPersisted,
     "e_ann_pq" -> annPq,
     "e_ann_ivfpq" -> annIvfPq,
+    "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
     "e_ann_recall" -> annRecall,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
@@ -627,11 +666,12 @@ object SimilarityOps {
     "e_ann_ivf" -> ivfOracle(),
     // identical oracle: persistence must not change the answer
     "e_ann_ivf_persisted" -> ivfOracle(),
-    // SemDeDup: quantizer-assignment replay (same prefix the IVF
-    // oracle proves), then the within-cell a<b pair scan at
-    // round(cos,6) >= tau and the keep-mark left join.
+    // SemDeDup: quantizer-assignment replay (same CTE machinery the
+    // IVF oracle proves) at the √n-sized nlist — 22 for the sf0.01
+    // gate's 500 vectors ([[semDedupNlist]]) — then the within-cell
+    // a<b pair scan at round(cos,6) >= tau and the keep-mark left join.
     "e_semdedup" ->
-      s"""WITH ${assignmentPrefix(16, 2, 64)},
+      s"""WITH ${assignmentPrefix(22, 2, 64)},
          |dups AS (
          |  SELECT DISTINCT y.vec_id
          |  FROM afinal x JOIN afinal y
@@ -657,20 +697,10 @@ object SimilarityOps {
     // IVF+PQ: the quantizer-assignment replay, the probe-cell ranking,
     // and the PQ chain — all three already proven individually above —
     // composed exactly as the engine composes them.
-    "e_ann_ivfpq" ->
-      s"""WITH ${assignmentPrefix(16, 2, 64)},
-         |qv AS (SELECT v FROM vecs WHERE vec_id = 0),
-         |probe AS (
-         |  SELECT c.cell FROM c2 c CROSS JOIN qv
-         |  ORDER BY ${cosSql("qv.v", "c.c")} DESC, c.cell ASC LIMIT 4
-         |),
-         |$pqCtes
-         |SELECT a.vec_id, ad.adc_micro,
-         |  round(list_cosine_similarity(a.v, (SELECT v FROM qv)), 6)
-         |    AS cos_sim
-         |FROM afinal a JOIN adc ad USING (vec_id)
-         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
-         |ORDER BY adc_micro ASC, vec_id LIMIT 10""".stripMargin,
+    "e_ann_ivfpq" -> ivfPqOracle,
+    // persistence must not change the answer (same contract as the
+    // e_ann_ivf / e_ann_ivf_persisted pair)
+    "e_ann_ivfpq_persisted" -> ivfPqOracle,
     // recall = |ivf top-10 ∩ exact top-10| / 10, composed from the two
     // oracles already proven above (CTE-in-subquery is legal DuckDB)
     "e_ann_recall" ->
@@ -813,6 +843,22 @@ object SimilarityOps {
        |  FROM codes c JOIN qdt q ON c.sub = q.sub AND c.code = q.code
        |  GROUP BY c.vec_id
        |)""".stripMargin
+
+  /** Shared by e_ann_ivfpq and e_ann_ivfpq_persisted. */
+  private def ivfPqOracle: String =
+    s"""WITH ${assignmentPrefix(16, 2, 64)},
+       |qv AS (SELECT v FROM vecs WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell FROM c2 c CROSS JOIN qv
+       |  ORDER BY ${cosSql("qv.v", "c.c")} DESC, c.cell ASC LIMIT 4
+       |),
+       |$pqCtes
+       |SELECT a.vec_id, ad.adc_micro,
+       |  round(list_cosine_similarity(a.v, (SELECT v FROM qv)), 6)
+       |    AS cos_sim
+       |FROM afinal a JOIN adc ad USING (vec_id)
+       |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+       |ORDER BY adc_micro ASC, vec_id LIMIT 10""".stripMargin
 
   private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
       k: Int = 10, dim: Int = 64): String = {

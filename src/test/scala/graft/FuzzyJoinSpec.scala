@@ -54,6 +54,22 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.nonEmpty) // the fixture's near-dup texts must surface
   }
 
+  test("seeded fuzz: PassJoin equals brute force on random mixed-length strings") {
+    // small alphabet + lengths straddling the lane boundary (0..14)
+    // makes matches dense and exercises every geometry branch:
+    // degenerate segments, |Δlen| ∈ {0,1,2}, probe-window clamping
+    val rnd = new scala.util.Random(20260814L)
+    val titles = (1L to 80L).map { i =>
+      i -> Seq.fill(rnd.nextInt(15))("abc" (rnd.nextInt(3))).mkString
+    }
+    val got = FuzzyJoinOps.fuzzyJoin(titles.toDF("id", "title"))
+      .as[(Long, Long, Int)].collect().toSet
+    val exp = brute(titles, 2)
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} spurious=${(got -- exp).take(5)}")
+    assert(exp.nonEmpty)
+  }
+
   test("candidate lanes partition the pair space (no duplicate pairs)") {
     val titles = (1L to 40L).map(i => i -> ("t" * (i % 12).toInt))
     val out = FuzzyJoinOps.fuzzyJoin(titles.toDF("id", "title"))

@@ -164,7 +164,10 @@ class SimilaritySpec extends SparkSpec {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("semdedup drops exactly the vectors with a lower-id within-cell twin") {
-    val assigned = SimilarityOps.buildIvfIndex(spark, sf).assigned
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val assigned = SimilarityOps
+      .buildIvfIndex(spark, sf, nlist = SimilarityOps.semDedupNlist(n))
+      .assigned
       .select("vec_id", "cell", "embedding").collect()
       .map { case Row(id: Long, cell: Int, v: scala.collection.Seq[_]) =>
         (id, cell, v.asInstanceOf[scala.collection.Seq[Float]].map(_.toDouble).toSeq)
@@ -233,4 +236,14 @@ class SimilaritySpec extends SparkSpec {
 
   private def emb0(spark: org.apache.spark.sql.SparkSession): Seq[Double] =
     SimilarityOps.vectorOf(spark, sf, 0L)
+
+  test("persisted IVF+PQ answers like the in-memory one, with pruned scan") {
+    val mem = SimilarityOps.queries("e_ann_ivfpq")(spark, sf)
+    val disk = SimilarityOps.queries("e_ann_ivfpq_persisted")(spark, sf)
+    assert(disk.collect().toSeq == mem.collect().toSeq,
+      "persistence must not change the ADC answer")
+    val audit = graft.engine.PlanAudit.audit(disk)
+    assert(audit.partitionPrunedScans == 1,
+      s"the ADC probe must prune cell partitions: ${audit.render}")
+  }
 }
