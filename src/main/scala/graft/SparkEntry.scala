@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, DedupOps, EventAnalytics, FuzzyJoinOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -27,7 +27,8 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
-      LayoutOps.queries ++ FuzzyJoinOps.queries
+      LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
+      CdcOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -70,7 +71,8 @@ object SparkEntry {
       DedupOps.oracles ++ SimilarityOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
-      LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ Map(
+      LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
+      CdcOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -111,6 +113,7 @@ object SparkEntry {
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
+        |  ('e_bpe_pairs', 3, 'pair:string,cnt:bigint,pair_rank:int'),
         |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
         |  ('e_char_diversity', 3, 'doc_id:bigint,n_letters:bigint,gini:double'),
         |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
@@ -132,6 +135,7 @@ object SparkEntry {
         |  ('e_dedup_ngram_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
+        |  ('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_embedding_quantize', 4, 'vec_id:bigint,scale_r:double,q_checksum:bigint,q_max:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),
@@ -161,6 +165,7 @@ object SparkEntry {
         |  ('e_markov', 4, 'from_type:string,to_type:string,cnt:bigint,p:double'),
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_median_hist', 3, 'event_type:string,n:bigint,median_hist:double'),
+        |  ('e_merge_upsert', 4, 'o_orderkey:bigint,o_orderstatus:string,o_totalprice:double,row_src:string'),
         |  ('e_minmax_norm', 3, 'event_id:bigint,event_type:string,v_norm:double'),
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
@@ -202,6 +207,7 @@ object SparkEntry {
         |  ('e_similarity_topk', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_skew_salted', 3, 'c_nationkey:int,n_orders:bigint,revenue:double'),
         |  ('e_sliding_batch', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
+        |  ('e_snapshot_diff', 3, 'diff_kind:string,n_rows:bigint,key_fp:bigint'),
         |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
         |  ('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level duplication and vocabulary operators — the two
+  * position-aware text passes a training-data pipeline runs that the
+  * doc-level dedup family (DedupOps) cannot express:
+  *
+  *  - duplicated-PASSAGE detection (Lee et al., "Deduplicating Training
+  *    Data Makes Language Models Better", ACL 2022): the unit of
+  *    duplication is a substring span, not a whole document. The paper
+  *    builds a suffix array; the Spark-native shape is a positional
+  *    gram pipeline — same detected spans for a fixed match length,
+  *    but expressed as two hash-partitioned shuffles instead of a
+  *    global suffix sort, so it parallelizes over the corpus with no
+  *    driver-side structure.
+  *  - BPE pair counting: the inner statistic of byte-pair-encoding
+  *    vocabulary induction (one merge round = "count every adjacent
+  *    token pair, take the most frequent"). Map-side pair generation +
+  *    one hash aggregation; the reference has no tokenizer surface at
+  *    all, so this is pure extension territory (SURVEY §2.2).
+  *
+  * 100 TB shape, dedupSpans: gram generation is map-side (explode over
+  * positions, substring in the same codegen stage — no shuffle until
+  * the gram aggregation). Two shuffles keyed by gram: the distinct-doc
+  * count and the semi-join back to positions; both linear in corpus
+  * chars. At 100 TB the gram STRINGS dominate shuffle width — the
+  * production variant hashes each gram to 128 bits map-side first
+  * (collision odds ~n²/2^129) and shuffles the hash; here the exact
+  * text is shuffled so the DuckDB oracle replays the semantics
+  * verbatim. The island merge is a per-doc window — partitioned by
+  * doc_id, bounded by doc length, no global sort anywhere.
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Minimum exact-match run (chars) that counts as a duplicated
+    * passage. The paper uses 50 BPE tokens; 20 chars is the same idea
+    * scaled to the fixture's ~300-char documents.
+    */
+  val GramLen = 20
+
+  private val TopPairs = 20
+
+  /** Per-document duplicated-passage report over `docs(doc_id, text,
+    * n_chars)`: how many maximal duplicated spans the document carries,
+    * how many of its characters sit inside one, and the duplicated
+    * fraction.
+    *
+    * A position p is "duplicated" iff the k-gram text[p, p+k) occurs in
+    * at least one OTHER document (cross-corpus df ≥ 2 by distinct
+    * doc_id — a gram repeated only within one document does not count).
+    * Runs of duplicated positions whose coverage overlaps or touches
+    * (gap ≤ k) merge into one span covering [min_pos, max_pos + k - 1].
+    */
+  def dedupSpans(docs: DataFrame, k: Int = GramLen): DataFrame = {
+    // map-side: every gram start position, then the gram text — the
+    // explode and the substring stay in one whole-stage-codegen span
+    val grams = docs
+      .where(col("n_chars") >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1L), col("n_chars") - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, CAST(pos AS INT), $k)").as("gram"))
+    // shuffle 1: cross-document frequency per gram (distinct doc_ids)
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select("gram")
+    // shuffle 2: keep only duplicated positions (semi-join on gram)
+    val pos = grams.join(dup, Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    // island merge per doc: a new span starts when the gap to the
+    // previous duplicated position exceeds k (coverage no longer
+    // touches); default window frame = running sum of the boundaries
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = pos
+      .withColumn("ni",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("isl", sum("ni").over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + k).as("dup_chars"))
+    // every document appears in the report, zero-span docs included
+    docs.select("doc_id", "n_chars")
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("n_chars"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** One BPE merge round over `docs(text)`: count every adjacent
+    * whitespace-token pair (lowercased, same pre-tokenization as
+    * TextOps) and return the top `TopPairs` by count with a total-order
+    * tie-break on the pair text. Pair generation is a zip of the token
+    * array with its own tail — fully map-side; the only shuffle is the
+    * pair-count hash aggregation (map-side partials), and the top-k is
+    * a TakeOrdered, not a global sort.
+    */
+  def bpePairs(docs: DataFrame): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    val n = greatest(size(t) - 1, lit(0))
+    val pairs = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    val top = docs
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(TopPairs)
+    // rank the 20 survivors; the window runs on a 20-row frame AFTER
+    // the TakeOrdered, so the "no partition spec" plan is bounded
+    top
+      .withColumn("pair_rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+      .orderBy(col("cnt").desc, col("pair"))
+  }
+
+  private val dedupSpansQ: Q = (spark, dir) =>
+    dedupSpans(Tables.load(spark, dir, "documents"))
+
+  private val bpePairsQ: Q = (spark, dir) =>
+    bpePairs(Tables.load(spark, dir, "documents"))
+
+  val queries: Map[String, Q] = Map(
+    "e_dedup_spans" -> dedupSpansQ,
+    "e_bpe_pairs" -> bpePairsQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_dedup_spans" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i AS pos,
+         |    substr(text, CAST(i AS INT), $GramLen) AS gram
+         |  FROM documents,
+         |    unnest(generate_series(1, CAST(n_chars AS INT) - ${GramLen - 1}))
+         |      AS t(i)
+         |  WHERE n_chars >= $GramLen
+         |),
+         |d AS (SELECT gram FROM g GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) > $GramLen
+         |    THEN 1 ELSE 0 END AS ni
+         |  FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM isl),
+         |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) AS e
+         |       FROM isl2 GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s + $GramLen) AS BIGINT) AS dup_chars
+         |  FROM sp GROUP BY 1)
+         |SELECT doc.doc_id AS doc_id,
+         |  COALESCE(agg.n_spans, 0) AS n_spans,
+         |  COALESCE(agg.dup_chars, 0) AS dup_chars,
+         |  round(CAST(COALESCE(agg.dup_chars, 0) AS DOUBLE) / doc.n_chars, 4)
+         |    AS dup_frac
+         |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "e_bpe_pairs" ->
+      s"""WITH toked AS (SELECT string_split(lower(text), ' ') AS l
+         |               FROM documents),
+         |p AS (
+         |  SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair
+         |  FROM toked, unnest(generate_series(1, len(l) - 1)) AS s(i)
+         |),
+         |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM p GROUP BY pair)
+         |SELECT pair, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+         |    AS pair_rank
+         |FROM c ORDER BY cnt DESC, pair LIMIT $TopPairs""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** dedupSpans and bpePairs against hand-computed fixtures — span
+  * boundaries, island merging, zero-span docs, and pair-count ties are
+  * all asserted exactly.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("dedupSpans finds a shared passage and merges touching grams") {
+    // docs 1 and 2 share a 30-char passage; doc 3 is unrelated.
+    // no shared boundary chars around the passage (an adjacent shared
+    // space would legitimately extend the detected span by one)
+    val shared = "the quick brown fox jumps over"
+    val d = docsDf(
+      1L -> s"AAAA${shared}BBBBBBBBBBBB",
+      2L -> s"CCCCCCCC${shared}DDDD",
+      3L -> "completely unrelated filler text with no duplicate runs")
+    val r = CorpusOps.dedupSpans(d, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // the shared passage is 30 chars: positions p..p+10 all duplicated
+    // (11 grams of length 20), one island, covering exactly 30 chars
+    assert(r === List((1L, 1L, 30L), (2L, 1L, 30L), (3L, 0L, 0L)))
+  }
+
+  test("dedupSpans splits islands when the gap exceeds k") {
+    // two shared 20-char passages separated by >20 distinct chars on
+    // each side — must come out as TWO spans of 20 chars each
+    val p1 = "aaaaaaaaaabbbbbbbbbb" // 20 chars
+    val p2 = "ccccccccccdddddddddd" // 20 chars
+    val d = docsDf(
+      1L -> s"${p1}_markerone_is_long_enough_x$p2",
+      2L -> s"${p1}~markertwo~entirely~other~y$p2")
+    val r = CorpusOps.dedupSpans(d, k = 20)
+      .where(col("doc_id") === 1L).collect()
+    assert(r.head.getLong(1) === 2L) // n_spans
+    assert(r.head.getLong(2) === 40L) // dup_chars
+  }
+
+  test("dedupSpans counts cross-doc duplication only") {
+    // a passage repeated TWICE within one doc but nowhere else must
+    // not count (df is distinct doc_ids, not occurrences)
+    val p = "zzzzzzzzzzyyyyyyyyyy"
+    val d = docsDf(
+      1L -> s"$p-some-filler-in-between-$p",
+      2L -> "no shared content here at all whatsoever okay")
+    val r = CorpusOps.dedupSpans(d, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("dedupSpans dup_frac is the covered fraction") {
+    val shared = "0123456789012345678901234" // 25 chars
+    val d = docsDf(1L -> shared, 2L -> (shared + shared)) // 25 / 50
+    val r = CorpusOps.dedupSpans(d, k = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(r(1L) === 1.0)
+    assert(r(2L) === 1.0) // grams tile the doubled text end to end
+  }
+
+  test("bpePairs counts adjacent pairs with deterministic tie order") {
+    val d = Seq(
+      1L -> "a b a b c",
+      2L -> "a b x",
+      3L -> "single").toDF("doc_id", "text")
+    val r = CorpusOps.bpePairs(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList
+    // "a b" appears 3x (twice in doc1, once in doc2); then ties at 1
+    // resolve lexicographically
+    assert(r.head === ("a b", 3L, 1))
+    assert(r.map(_._1) === r.map(_._1).distinct)
+    val ones = r.filter(_._2 == 1L).map(_._1)
+    assert(ones === ones.sorted)
+    assert(ones.toSet === Set("b a", "b c", "b x"))
+    // ranks are dense 1..n in output order
+    assert(r.map(_._3) === (1 to r.length).toList)
+  }
+
+  test("bpePairs survives single-token and empty-ish docs") {
+    val d = Seq(1L -> "only", 2L -> "", 3L -> "x y").toDF("doc_id", "text")
+    val r = CorpusOps.bpePairs(d).collect()
+    assert(r.map(_.getString(0)).toList === List("x y"))
+  }
+
+  test("dedupSpans plan: no shuffle wider than the gram stages") {
+    // the gate pins counts via e_plan_audit for other queries; here we
+    // just assert the span pipeline stays at 4 exchanges (gram agg,
+    // semi-join, per-doc window, final left join) — a regression that
+    // adds a global sort or an extra join side would show up
+    val d = Tables.load(spark, sf, "documents")
+    val plan = CorpusOps.dedupSpans(d).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 6, s"unexpected exchange count:\n$plan")
+  }
+}
