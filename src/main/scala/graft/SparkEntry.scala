@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -28,7 +28,7 @@ object SparkEntry {
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
-      CdcOps.queries
+      CdcOps.queries ++ GraphOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -72,7 +72,7 @@ object SparkEntry {
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
       LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
-      CdcOps.oracles ++ Map(
+      CdcOps.oracles ++ GraphOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -217,6 +217,7 @@ object SparkEntry {
         |  ('e_stream_sliding_replay', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_stream_static_replay', 3, 'c_mktsegment:string,n_events:bigint,sum_value:double'),
         |  ('e_stream_tumbling_replay', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
+        |  ('e_stream_upsert_replay', 4, 'o_custkey:bigint,last_orderkey:bigint,last_price:double,n_upserts:bigint'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
         |  ('e_tfidf', 6, 'doc_id:bigint,term:string,tf:bigint,df:bigint,score:double,term_rank:int'),
         |  ('e_token_count', 4, 'doc_id:bigint,ws_tokens:bigint,re_tokens:bigint,chars_per_token:double'),
@@ -227,6 +228,7 @@ object SparkEntry {
         |  ('e_tpch_q18', 4, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,total_qty:double'),
         |  ('e_tpch_q3', 3, 'l_orderkey:bigint,revenue:double,o_orderdate:timestamp_ntz'),
         |  ('e_tpch_q5', 2, 'n_name:string,revenue:double'),
+        |  ('e_triangles', 4, 'n_vertices:bigint,n_edges:bigint,n_wedges:bigint,n_triangles:bigint'),
         |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
         |  ('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),

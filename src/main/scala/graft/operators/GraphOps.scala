@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph-shape analytics over relational co-occurrence — triangle /
+  * wedge census of the co-purchase graph. Connected components
+  * (DedupOps.e_dedup_cc) covers reachability; this covers local
+  * density, the other graph statistic a data-curation pipeline
+  * actually computes (e.g. community sanity checks on an entity graph
+  * before collapsing it).
+  *
+  * Algorithm: the degree-ordered edge orientation of Suri &
+  * Vassilvitskii ("Counting Triangles and the Curse of the Last
+  * Reducer", WWW 2011). Orient every undirected edge from its
+  * lower-(degree, id) endpoint to its higher one; every triangle then
+  * has exactly ONE wedge whose center out-edges both leave the
+  * lowest-ranked vertex, so `paths ⋈ oriented-edges` counts each
+  * triangle once. The orientation bounds out-degree by O(√m) on ANY
+  * degree distribution — on a skewed graph the naive "join on the
+  * lower vertex id" plan dies on the hub vertex (the titular last
+  * reducer), while the degree-ordered plan's per-key fan-out stays
+  * balanced. That is the 100 TB design: two hash-partitioned
+  * equi-joins, no broadcast of the edge set, skew bounded by
+  * construction (plus AQE skew-split as the backstop).
+  *
+  * Edge derivation: parts co-occurring in an order (distinct pairs).
+  * Pair generation is quadratic in basket size — bounded here (TPC-H
+  * baskets ≤ 7 lines); a heavy-tailed basket corpus would cap or
+  * sample per basket before pairing. The deterministic quarter-part
+  * sample (l_partkey % 4 = 0) bounds the FIXTURE cost — the algorithm
+  * itself never materializes more than O(m^1.5) path rows.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Undirected distinct edges (u < v) between parts sharing an order. */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a").join(items.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  /** One-row census: vertices, edges, wedges, triangles — all exact
+    * integers (the wedge count uses d(d-1)/2 which is always even
+    * before the halving, so integer division is exact).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // rank = (degree, id); orient low → high. Both endpoint degrees
+    // arrive by joining the degree table twice (shuffle on node).
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    // wedge at the lowest-ranked vertex a: a→b, b→c; closing it with
+    // the (unique) oriented edge a→c counts each triangle exactly once
+    val paths = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+    val triCount = paths
+      .join(oriented.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val vw = deg.agg(count(lit(1)).as("n_vertices"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    vw.crossJoin(ne).crossJoin(triCount)
+      .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
+  }
+
+  private val trianglesQ: Q = (spark, dir) =>
+    triangleStats(coPurchaseEdges(Tables.load(spark, dir, "lineitem")))
+
+  val queries: Map[String, Q] = Map(
+    "e_triangles" -> trianglesQ,
+  )
+
+  /** The oracle counts triangles WITHOUT the orientation machinery
+    * (plain u<v<w closure) — the degree-ordered plan must be invisible
+    * in the result.
+    */
+  val oracles: Map[String, String] = Map(
+    "e_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 4 = 0
+        |),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |),
+        |deg AS (
+        |  SELECT x AS node, count(*) AS d
+        |  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY x
+        |),
+        |tri AS (
+        |  SELECT count(*) AS t
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+        |         AS n_wedges,
+        |       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+  )
+}

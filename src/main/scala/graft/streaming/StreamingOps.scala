@@ -390,8 +390,70 @@ object StreamingOps {
       .orderBy("c_mktsegment")
   }
 
+  /** CDC log compaction as a real stream — the Kafka-compacted-topic
+    * consumer pattern: an unbounded upsert log keyed by entity, state
+    * holds only the LATEST record per key (plus a fold counter proving
+    * every event passed through the state function). This is the
+    * arbitrary-stateful lane (`mapGroupsWithState`) rather than a
+    * windowed aggregation: no event-time, no watermark — state is
+    * bounded by |keys|, not by time, exactly like the upstream
+    * compacted topic it mirrors. Recency = max o_orderkey (a monotone
+    * writer-side sequence, the usual CDC LSN stand-in), so the fold is
+    * order-insensitive and replay-deterministic.
+    *
+    * 100 TB shape: state is one (key, latest, count) triple per
+    * entity, hash-partitioned across executors; each micro-batch
+    * touches only arriving keys. The oracle is the batch equivalent —
+    * last row per key by sequence — which the drained stream must
+    * reproduce exactly.
+    */
+  /** The compaction transform itself — (key, seq, value) upserts in,
+    * one (key, latest-seq, latest-value, fold-count) row out per key
+    * per batch the key appears in. Shared by the registered replay and
+    * the multi-batch state-carry spec.
+    */
+  def compactUpserts(upserts: org.apache.spark.sql.Dataset[(Long, Long, Double)])
+      : DataFrame = {
+    import upserts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    upserts
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Long), (Long, Long, Double, Long)](
+        GroupStateTimeout.NoTimeout) { case (cust, rows, state) =>
+        var (bestKey, bestPrice, n) =
+          state.getOption.getOrElse((Long.MinValue, 0.0, 0L))
+        rows.foreach { case (_, k, p) =>
+          n += 1
+          if (k > bestKey) { bestKey = k; bestPrice = p }
+        }
+        state.update((bestKey, bestPrice, n))
+        (cust, bestKey, bestPrice, n)
+      }
+      .toDF("o_custkey", "last_orderkey", "last_price", "n_upserts")
+  }
+
+  def replayUpsertStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageReplay(dir, "orders.parquet")
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val compacted = compactUpserts(spark.readStream
+      .schema(schema).format("parquet").load(staged.toString)
+      .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"),
+        col("o_totalprice").cast("double"))
+      .as[(Long, Long, Double)])
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = compacted.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropReplayDir(staged)
+    }
+    spark.table(name).orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_stream_session" -> streamSession,
+    "e_stream_upsert_replay" -> (replayUpsertStream(_, _)),
     "e_stream_static_replay" -> (replayStreamStaticJoin(_, _)),
     "e_stream_session_replay" -> (replaySessionStream(_, _)),
     "e_stream_tumbling_replay" -> (replayTumblingStream(_, _)),
@@ -468,6 +530,18 @@ object StreamingOps {
 
   val oracles: Map[String, String] = Map(
     "e_quality_gate" -> qualityGateOracle,
+    // batch form of the compaction: last row per key by the monotone
+    // sequence column, plus the per-key upsert count
+    "e_stream_upsert_replay" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey,
+        |  o_totalprice AS last_price, CAST(n AS BIGINT) AS n_upserts
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey DESC) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "e_stream_quality_replay" -> qualityGateOracle,
     "e_stream_session_replay" -> sessionOracle,
     "e_stream_session" -> sessionOracle,
