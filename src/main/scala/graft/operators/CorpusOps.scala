@@ -57,21 +57,26 @@ object CorpusOps {
     * (gap ≤ k) merge into one span covering [min_pos, max_pos + k - 1].
     */
   def dedupSpans(docs: DataFrame, k: Int = GramLen): DataFrame = {
-    // map-side: every gram start position, then the gram text — the
-    // explode and the substring stay in one whole-stage-codegen span
+    // map-side: one-pass positional gram array (CharGrams — a single
+    // byte scan per doc, not O(len²) repeated substr walks), exploded
+    // with its index so pos comes for free
     val grams = docs
       .where(col("n_chars") >= k)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1L), col("n_chars") - (k - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, CAST(pos AS INT), $k)").as("gram"))
-    // shuffle 1: cross-document frequency per gram (distinct doc_ids)
-    val dup = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .where(col("df") >= 2)
-      .select("gram")
-    // shuffle 2: keep only duplicated positions (semi-join on gram)
-    val pos = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharGrams.charGrams(
+          docs.sparkSession, col("text"), k)).as(Seq("idx", "gram")))
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
+        col("gram"))
+    // the ONLY corpus-wide shuffle: partition by gram, keep positions
+    // whose gram occurs in ≥2 DISTINCT docs (min≠max over the gram
+    // partition ⟺ countDistinct ≥ 2). A window instead of an
+    // aggregate-then-join-back: the gram rows are generated once and
+    // shuffled once, not rebuilt for a probe side
+    val wg = Window.partitionBy("gram")
+    val pos = grams
+      .withColumn("lo", min("doc_id").over(wg))
+      .withColumn("hi", max("doc_id").over(wg))
+      .where(col("lo") =!= col("hi"))
       .select("doc_id", "pos")
     // island merge per doc: a new span starts when the gap to the
     // previous duplicated position exceeds k (coverage no longer
