@@ -39,10 +39,11 @@ object SparkEntry {
     * broadcasts are explicit hints, not stats decisions).
     */
   private val planAuditTargets = Seq("e_ann_ivf_persisted",
-    "e_bucketed_join", "e_dedup_exact",
-    "e_join_broadcast", "e_partition_prune", "e_pii_redact", "e_tfidf",
-    "e_topk", "e_tpch_q3", "e_window_running", "r_jdbc_two_backends",
-    "r_soql_proj")
+    "e_bucketed_join", "e_collapse_repeats", "e_dedup_exact",
+    "e_dedup_spans", "e_join_broadcast", "e_merge_upsert",
+    "e_partition_prune", "e_pii_redact", "e_tfidf",
+    "e_topk", "e_tpch_q3", "e_triangles", "e_window_running",
+    "r_jdbc_two_backends", "r_soql_proj")
 
   private def planAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -83,13 +84,17 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
         |  ('e_bucketed_join', 2, 0, 0, 2, 0),
+        |  ('e_collapse_repeats', 1, 0, 0, 1, 0),
         |  ('e_dedup_exact', 2, 0, 1, 1, 0),
+        |  ('e_dedup_spans', 3, 1, 3, 2, 0),
         |  ('e_join_broadcast', 1, 1, 0, 2, 0),
+        |  ('e_merge_upsert', 1, 1, 0, 3, 0),
         |  ('e_partition_prune', 2, 0, 0, 1, 1),
         |  ('e_pii_redact', 1, 0, 0, 1, 0),
         |  ('e_tfidf', 5, 1, 1, 2, 0),
         |  ('e_topk', 0, 0, 0, 1, 0),
         |  ('e_tpch_q3', 1, 2, 0, 3, 0),
+        |  ('e_triangles', 8, 2, 0, 0, 0),
         |  ('e_window_running', 2, 0, 1, 1, 0),
         |  ('r_jdbc_two_backends', 2, 2, 0, 1, 0),
         |  ('r_soql_proj', 1, 0, 0, 1, 0)
@@ -118,6 +123,7 @@ object SparkEntry {
         |  ('e_char_diversity', 3, 'doc_id:bigint,n_letters:bigint,gini:double'),
         |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
         |  ('e_cohort_retention', 3, 'cohort_week:timestamp,week_offset:bigint,n_active:bigint'),
+        |  ('e_collapse_repeats', 4, 'doc_id:bigint,n_before:bigint,n_after:bigint,collapsed_fp:string'),
         |  ('e_compact', 4, 'lang:string,n_docs:bigint,sum_chars:bigint,fp:bigint'),
         |  ('e_corr_matrix', 3, 'x:string,y:string,r:double'),
         |  ('e_date_funcs', 5, 'o_orderkey:bigint,yr:bigint,mo:bigint,month_start:timestamp,days_since:bigint'),

@@ -129,8 +129,36 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("pair"))
   }
 
+  /** Repetition removal (the Gopher/MassiveText cleaning rule's
+    * simplest form): drop each token that immediately repeats its
+    * predecessor, and report per doc the before/after token counts
+    * plus an md5 fingerprint of the collapsed text — the fingerprint
+    * makes the TRANSFORM itself (not just the counts) oracle-checked.
+    * Entirely map-side: one HOF filter per row, no shuffle anywhere
+    * but the presentation sort. The `when` guard is load-bearing:
+    * CaseWhen evaluates branches lazily, so element_at never sees
+    * index 0 (ANSI mode would throw).
+    */
+  def collapseRepeats(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_before"),
+        filter(col("t"), (x, i) =>
+          when(i === 0, lit(true))
+            .otherwise(x =!= element_at(col("t"), i))).as("kept"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("collapsed_fp"))
+      .orderBy("doc_id")
+  }
+
   private val dedupSpansQ: Q = (spark, dir) =>
     dedupSpans(Tables.load(spark, dir, "documents"))
+
+  private val collapseRepeatsQ: Q = (spark, dir) =>
+    collapseRepeats(Tables.load(spark, dir, "documents"))
 
   private val bpePairsQ: Q = (spark, dir) =>
     bpePairs(Tables.load(spark, dir, "documents"))
@@ -138,6 +166,7 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "e_dedup_spans" -> dedupSpansQ,
     "e_bpe_pairs" -> bpePairsQ,
+    "e_collapse_repeats" -> collapseRepeatsQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,5 +215,18 @@ object CorpusOps {
          |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
          |    AS pair_rank
          |FROM c ORDER BY cnt DESC, pair LIMIT $TopPairs""".stripMargin,
+    "e_collapse_repeats" ->
+      """WITH toked AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+        |),
+        |kept AS (
+        |  SELECT doc_id, i, l[CAST(i AS INT)] AS tok, len(l) AS n0
+        |  FROM toked, unnest(generate_series(1, len(l))) AS t(i)
+        |  WHERE i = 1 OR l[CAST(i AS INT)] <> l[CAST(i AS INT) - 1]
+        |)
+        |SELECT doc_id, CAST(max(n0) AS BIGINT) AS n_before,
+        |  CAST(count(*) AS BIGINT) AS n_after,
+        |  md5(string_agg(tok, ' ' ORDER BY i)) AS collapsed_fp
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -51,7 +51,17 @@ object GraphOps {
     * integers (the wedge count uses d(d-1)/2 which is always even
     * before the halving, so integer division is exact).
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(rawEdges: DataFrame): DataFrame = {
+    // The edge set is referenced five times (degree×2, orientation,
+    // census) and the oriented set three times (both path legs + the
+    // closing probe). Without materialization Catalyst re-derives the
+    // WHOLE edge pipeline per reference — measured 36 parquet scans /
+    // 74 shuffles on the registered query. Eager localCheckpoint (the
+    // same idiom as the CC loop in DedupOps) computes each once;
+    // downstream plans read the cached partitions with zero rescans.
+    // Cleanup is the ContextCleaner's: once the returned frame's RDDs
+    // are unreferenced, the checkpointed blocks are GC-evicted.
+    val edges = rawEdges.localCheckpoint(true)
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -65,6 +75,7 @@ object GraphOps {
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
     // wedge at the lowest-ranked vertex a: a→b, b→c; closing it with
     // the (unique) oriented edge a→c counts each triangle exactly once
     val paths = oriented.select(col("src").as("a"), col("dst").as("b"))

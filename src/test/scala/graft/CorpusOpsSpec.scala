@@ -90,6 +90,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.map(_.getString(0)).toList === List("x y"))
   }
 
+  test("collapseRepeats drops immediate repeats only, runs collapse to one") {
+    val d = Seq(
+      1L -> "aaa aaa bbb aaa", // adjacent dup drops; non-adjacent stays
+      2L -> "x x x y",         // run of 3 -> one survivor
+      3L -> "no repeats here").toDF("doc_id", "text")
+    val r = CorpusOps.collapseRepeats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0) === ((1L, 4L, 3L, fp("aaa bbb aaa"))))
+    assert(r(1) === ((2L, 4L, 2L, fp("x y"))))
+    assert(r(2) === ((3L, 3L, 3L, fp("no repeats here"))))
+  }
+
   test("dedupSpans plan: no shuffle wider than the gram stages") {
     // the gate pins counts via e_plan_audit for other queries; here we
     // just assert the span pipeline stays at 4 exchanges (gram agg,
