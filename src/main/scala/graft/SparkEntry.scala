@@ -164,6 +164,7 @@ object SparkEntry {
         |  ('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_knn_join', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
+        |  ('e_lang_confusion', 3, 'lang:string,pred_lang:string,n_docs:bigint'),
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
         |  ('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),
         |  ('e_lm_score', 3, 'doc_id:bigint,n_bigrams:bigint,lm_score:double'),
@@ -226,6 +227,7 @@ object SparkEntry {
         |  ('e_stream_upsert_replay', 4, 'o_custkey:bigint,last_orderkey:bigint,last_price:double,n_upserts:bigint'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
         |  ('e_tfidf', 6, 'doc_id:bigint,term:string,tf:bigint,df:bigint,score:double,term_rank:int'),
+        |  ('e_token_budget', 3, 'lang:string,n_sel:bigint,chars_sel:bigint'),
         |  ('e_token_count', 4, 'doc_id:bigint,ws_tokens:bigint,re_tokens:bigint,chars_per_token:double'),
         |  ('e_top_terms', 4, 'lang:string,term:string,cnt:bigint,term_rank:int'),
         |  ('e_topk', 3, 'l_orderkey:bigint,l_linenumber:int,l_extendedprice:double'),

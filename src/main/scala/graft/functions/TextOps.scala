@@ -72,22 +72,42 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "un", "una"),
     "fr" -> Seq("le", "la", "les", "et", "est", "en", "que", "un", "une", "pour"))
 
-  def langIdOver(docs: DataFrame): DataFrame = {
+  private def langScores: Seq[(String, Column)] = {
     val t = toks(col("text"))
-    val scores = LangStops.map { case (lang, stops) =>
+    LangStops.map { case (lang, stops) =>
       lang -> size(filter(t, x => x.isin(stops: _*))).cast("long")
     }
+  }
+
+  /** Argmax over the per-language scores; when-chain in list order so
+    * earlier languages win ties (en first), matching the oracle's CASE
+    * evaluation order.
+    */
+  private def predLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // when-chain in list order: earlier languages win ties (en first),
-    // matching the oracle's CASE evaluation order
-    val pred = scores.foldLeft(Option.empty[Column]) { case (acc, (lang, s)) =>
+    scores.foldLeft(Option.empty[Column]) { case (acc, (lang, s)) =>
       Some(acc.fold(when(s === best && s > 0, lit(lang)))(
         c => c.when(s === best && s > 0, lit(lang))))
     }.get.otherwise(lit("unknown"))
+  }
+
+  def langIdOver(docs: DataFrame): DataFrame = {
+    val scores = langScores
     docs.select(
       (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
-        pred.as("pred_lang"): _*)
+        predLang(scores).as("pred_lang"): _*)
   }
+
+  /** Confusion matrix of the language-ID heuristic against the fixture
+    * labels — the evaluation every classifier-driven curation step
+    * ships next to its filter. Map-side scoring, one |langs|²-bounded
+    * hash aggregation.
+    */
+  def langConfusionOver(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), predLang(langScores).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
 
   private val langId: Q = (spark, dir) =>
     langIdOver(Tables.load(spark, dir, "documents")).orderBy("doc_id")
@@ -420,6 +440,8 @@ object TextOps {
     "e_token_count" -> tokenCount,
     "e_quality_score" -> qualityScore,
     "e_lang_id" -> langId,
+    "e_lang_confusion" -> ((spark, dir) =>
+      langConfusionOver(Tables.load(spark, dir, "documents"))),
     "e_repetition" -> repetition,
     "e_fingerprint" -> fingerprint,
     "e_fingerprint_rolling" -> fingerprintRolling,
@@ -588,6 +610,19 @@ object TextOps {
       s"""SELECT doc_id, ${LangStops.map(_._1).map(l => s"score_$l").mkString(", ")},
          |CASE $caseExpr ELSE 'unknown' END AS pred_lang FROM (
          |SELECT doc_id, $scoreExprs FROM documents) t ORDER BY doc_id""".stripMargin
+    },
+    "e_lang_confusion" -> {
+      val scoreExprs = LangStops.map { case (lang, stops) =>
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (${sqlStops(stops)}))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n")
+      val bestExpr = "GREATEST(" +
+        LangStops.map(_._1).map(l => s"score_$l").mkString(", ") + ")"
+      val caseExpr = LangStops.map(_._1).map(l =>
+        s"WHEN score_$l = $bestExpr AND score_$l > 0 THEN '$l'").mkString(" ")
+      s"""SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |SELECT lang, CASE $caseExpr ELSE 'unknown' END AS pred_lang FROM (
+         |SELECT lang, $scoreExprs FROM documents) t) s
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
     },
     "e_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id",

@@ -154,8 +154,60 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Character budget for [[tokenBudgetSelect]]'s registered query —
+    * an ABSOLUTE budget (like a real training-token target), so the
+    * selected set is scale-invariant once the corpus exceeds it.
+    */
+  val CharBudget = 100000L
+
+  /** Select documents greedily by (n_chars DESC, doc_id ASC) until the
+    * running total exceeds the budget — "take the longest docs until
+    * the token budget is spent", the standard corpus-subsetting rule —
+    * WITHOUT a corpus-wide sort. The naive formulation is a global
+    * running sum over the fully sorted corpus (a single-partition
+    * window: one task owns 100 TB). Here the heavy data never sorts:
+    *  1. histogram per distinct length (one hash aggregation; ~|lengths|
+    *     rows — hundreds, not billions),
+    *  2. running totals + per-length take-counts over that TINY
+    *     histogram (the only unpartitioned window, bounded by
+    *     |distinct lengths|),
+    *  3. one partitioned window ranks docs inside their length group
+    *     (by doc_id) and keeps rank ≤ take_n.
+    * Exactly equivalent to the row-greedy rule: within the boundary
+    * length L the j-th doc fits iff cum_before + j·L ≤ B ⟺
+    * j ≤ ⌊(B − cum_before)/L⌋.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long = CharBudget)
+      : DataFrame = {
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("chars_len", col("n_chars") * col("cnt"))
+    // tiny window: one row per distinct length
+    val wl = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lens = hist
+      .withColumn("cum_before", coalesce(sum("chars_len").over(wl), lit(0L)))
+      .withColumn("take_n",
+        when(col("cum_before") + col("chars_len") <= budget, col("cnt"))
+          .otherwise(greatest(
+            floor((lit(budget) - col("cum_before")) / col("n_chars"))
+              .cast("long"), lit(0L))))
+      .where(col("take_n") > 0)
+      .select("n_chars", "take_n")
+    // partitioned window: rank within a length group only
+    val wd = Window.partitionBy("n_chars").orderBy("doc_id")
+    docs.join(lens, Seq("n_chars"))
+      .withColumn("rn", row_number().over(wd))
+      .where(col("rn") <= col("take_n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sel"), sum("n_chars").as("chars_sel"))
+      .orderBy("lang")
+  }
+
   private val dedupSpansQ: Q = (spark, dir) =>
     dedupSpans(Tables.load(spark, dir, "documents"))
+
+  private val tokenBudgetQ: Q = (spark, dir) =>
+    tokenBudgetSelect(Tables.load(spark, dir, "documents"))
 
   private val collapseRepeatsQ: Q = (spark, dir) =>
     collapseRepeats(Tables.load(spark, dir, "documents"))
@@ -167,6 +219,7 @@ object CorpusOps {
     "e_dedup_spans" -> dedupSpansQ,
     "e_bpe_pairs" -> bpePairsQ,
     "e_collapse_repeats" -> collapseRepeatsQ,
+    "e_token_budget" -> tokenBudgetQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +281,18 @@ object CorpusOps {
         |  CAST(count(*) AS BIGINT) AS n_after,
         |  md5(string_agg(tok, ' ' ORDER BY i)) AS collapsed_fp
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // brute-force equivalent: the global row-greedy running sum the
+    // scalable two-pass plan must reproduce exactly
+    "e_token_budget" ->
+      s"""WITH ordered AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sel
+         |FROM ordered WHERE cum <= $CharBudget
+         |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -104,6 +104,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2) === ((3L, 3L, 3L, fp("no repeats here"))))
   }
 
+  test("tokenBudgetSelect equals the row-greedy rule, boundary ties included") {
+    // lengths engineered so the budget lands MID-GROUP: docs of length
+    // 10 (x6, ids 1..6), budget 45 -> 4 full fit, boundary takes
+    // floor(45/10)=4 -> ids 1..4 selected; length-5 docs never reached
+    val docs = ((1L to 6L).map(i => (i, "en", 10L)) ++
+      Seq((7L, "de", 5L), (8L, "de", 5L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = CorpusOps.tokenBudgetSelect(docs, budget = 45L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(r === List(("en", 4L, 40L)))
+  }
+
+  test("tokenBudgetSelect matches a brute-force greedy on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 200L).map(i =>
+        (i, if (rnd.nextBoolean()) "en" else "de", (rnd.nextInt(20) + 1).toLong))
+      val budget = 400L + trial * 137L
+      // brute: sort by (len desc, id), running sum <= budget
+      val sel = docs.sortBy { case (id, _, n) => (-n, id) }
+        .scanLeft((0L, Option.empty[(Long, String, Long)])) {
+          case ((acc, _), d) => (acc + d._3, Some(d)) }
+        .drop(1).takeWhile(_._1 <= budget).flatMap(_._2)
+      val want = sel.groupBy(_._2).map { case (l, ds) =>
+        (l, ds.size.toLong, ds.map(_._3).sum) }.toList.sortBy(_._1)
+      val got = CorpusOps.tokenBudgetSelect(
+        docs.toDF("doc_id", "lang", "n_chars"), budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      assert(got === want, s"trial $trial budget $budget")
+    }
+  }
+
   test("dedupSpans plan: no shuffle wider than the gram stages") {
     // the gate pins counts via e_plan_audit for other queries; here we
     // just assert the span pipeline stays at 4 exchanges (gram agg,

@@ -105,4 +105,18 @@ class TextAndHashSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(cg.isEmpty)
   }
+
+  test("langConfusion diagonal dominates and totals equal the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val cm = graft.functions.TextOps.langConfusionOver(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cm.map(_._3).sum === docs.count())
+    // the heuristic should agree with the label more often than any
+    // single off-diagonal cell, per labeled language present
+    for (l <- cm.map(_._1).distinct if cm.exists(c => c._1 == l && c._2 == l)) {
+      val diag = cm.collectFirst { case (`l`, `l`, n) => n }.get
+      val offMax = cm.collect { case (`l`, p, n) if p != l => n }
+      assert(offMax.forall(_ <= diag), s"lang $l: $diag vs ${offMax.toList}")
+    }
+  }
 }
