@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SetJoinOps, SimilarityOps, SkewOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -28,7 +28,7 @@ object SparkEntry {
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
-      CdcOps.queries ++ GraphOps.queries
+      CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -73,7 +73,7 @@ object SparkEntry {
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
       LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
-      CdcOps.oracles ++ GraphOps.oracles ++ Map(
+      CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -153,6 +153,7 @@ object SparkEntry {
         |  ('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
         |  ('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
+        |  ('e_jaccard_join', 3, 'id_a:bigint,id_b:bigint,jacc:double'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_join_bloom', 3, 'l_returnflag:string,n_items:bigint,revenue:double'),
         |  ('e_join_broadcast', 3, 'n_nationkey:int,n_name:string,r_name:string'),
