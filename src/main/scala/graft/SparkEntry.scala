@@ -174,6 +174,7 @@ object SparkEntry {
         |  ('e_math_funcs', 6, 'l_orderkey:bigint,l_linenumber:int,price_r:double,disc_dev:double,qty_floor:bigint,pk_mod:bigint'),
         |  ('e_median_hist', 3, 'event_type:string,n:bigint,median_hist:double'),
         |  ('e_merge_upsert', 4, 'o_orderkey:bigint,o_orderstatus:string,o_totalprice:double,row_src:string'),
+        |  ('e_minhash_recall', 3, 'n_exact:bigint,n_found:bigint,recall:double'),
         |  ('e_minmax_norm', 3, 'event_id:bigint,event_type:string,v_norm:double'),
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),

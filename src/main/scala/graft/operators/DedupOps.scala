@@ -184,16 +184,26 @@ object DedupOps {
       .distinct()
   }
 
+  /** Candidate pairs that survive an exact-Jaccard verify on the
+    * feature sets — the LSH family's TRUE-pair output, shared by the
+    * dedup anti-join and the recall metric.
+    */
+  private def verifiedPairs(feats: DataFrame, pairs: DataFrame,
+      threshold: Double): DataFrame = {
+    val fa = feats.select(col("doc_id").as("id_a"), col("feat").as("feat_a"))
+    val fb = feats.select(col("doc_id").as("id_b"), col("feat").as("feat_b"))
+    pairs.join(fa, "id_a").join(fb, "id_b")
+      .where(TS.jaccard(col("feat_a"), col("feat_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Verify candidate pairs with an exact Jaccard on the feature sets,
     * then drop the larger id of every pair above the threshold.
     */
   private def survivors(
       docs: DataFrame, feats: DataFrame, pairs: DataFrame,
       threshold: Double): DataFrame = {
-    val fa = feats.select(col("doc_id").as("id_a"), col("feat").as("feat_a"))
-    val fb = feats.select(col("doc_id").as("id_b"), col("feat").as("feat_b"))
-    val dups = pairs.join(fa, "id_a").join(fb, "id_b")
-      .where(TS.jaccard(col("feat_a"), col("feat_b")) >= threshold)
+    val dups = verifiedPairs(feats, pairs, threshold)
       .select(col("id_b").as("doc_id")).distinct()
     docs.join(dups, Seq("doc_id"), "left_anti")
   }
@@ -420,6 +430,38 @@ object DedupOps {
     minhashMd5Dedup(Tables.load(spark, dir, "documents"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+
+  /** LSH recall ON THE GATE: the fraction of TRUE J ≥ 0.8 pairs the
+    * banded MinHash actually surfaces, as one hash-checked row — the
+    * e_ann_recall pattern applied to the dedup family. Ground truth is
+    * the EXACT prefix-filter join ([[SetJoinOps.jaccardJoin]] —
+    * guaranteed complete); the found set is the md5-LSH candidate
+    * pipeline verified at the same threshold over the SAME feature
+    * family, so found ⊆ exact by construction (precision 1) and the
+    * single number is recall. The theoretical expectation for 4 bands
+    * × 4 rows at s = 0.8 is 1 − (1 − s⁴)⁴ ≈ 0.88 at the threshold and
+    * higher above it; a silent banding/bucketing regression (lost
+    * band, broken key, over-eager cap) drags the ratio down and turns
+    * the gate row red.
+    */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exact = SetJoinOps.jaccardJoin(SetJoinOps.stagedFeats(spark, dir))
+      .select("id_a", "id_b")
+    val staged = persistOnce(docs
+      .select(col("doc_id"),
+        array_distinct(transform(TS.wordShingles(col("text"), 3),
+          s => TS.md5Hash60(s))).as("feat")))
+    val found = verifiedPairs(staged,
+      bandPairs(sigBands(staged, 16, 7L, 4, 4, TS.bandKeysMd5), "doc_id"),
+      0.8).distinct()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    nExact.crossJoin(nFound)
+      .select(col("n_exact"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
 
   /** 64-bit SimHash (Charikar'02 / Manku WWW'07): per-token hash votes
     * on each bit; near-dups have small Hamming distance. Bit loop is
@@ -769,6 +811,7 @@ object DedupOps {
     "e_dedup_minhash_md5" -> dedupMinhashMd5,
     "e_dedup_simhash_md5" -> dedupSimhashMd5,
     "e_dedup_ngram_md5" -> dedupNgramMd5,
+    "e_minhash_recall" -> (minhashRecall(_, _)),
   )
 
   /** Shared CC-closure oracle base: the chain-pair graph and the
@@ -919,6 +962,60 @@ object DedupOps {
       |  FROM lowed
       |)""".stripMargin
 
+  /** DuckDB replay of [[minhashRecall]]: the found set is the full
+    * md5-LSH pipeline (shingle → minhash → band → bucket-cap →
+    * verified pairs, identical CTEs to the minhash-md5 dedup oracle);
+    * the ground truth is a brute-force all-pairs Jaccard with no
+    * candidate machinery. Integer cross-multiplied threshold on both —
+    * equivalent to the ≥ 0.8 double compare for set sizes ≤ 5·10³
+    * (the ratio gap at the boundary is ≥ 1/(5·|union|), far above one
+    * double ulp), and immune to the ⌈⌉/rounding traps.
+    */
+  private def minhashRecallOracle: String = {
+    val p = 2147483647L
+    val params = TS.hashParams(16, 7L)
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"    list_min(list_transform(feat, h -> (h % $p * $a + $b) % $p)) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"m${j * 4 + r}").mkString(", ")
+      s"  SELECT doc_id, $j AS band, ('0x' || substr(md5(array_to_string([$cols], ',')), 1, 15))::BIGINT AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $shingleFeatsCte, sigs AS (
+       |  SELECT doc_id,
+       |$minExprs
+       |  FROM feats WHERE len(feat) > 0
+       |), bands AS (
+       |$bandSelects
+       |), okbuckets AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+       |), cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM okbuckets a JOIN okbuckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), vpairs AS (
+       |  SELECT DISTINCT p.id_a, p.id_b
+       |  FROM cpairs p
+       |  JOIN feats fa ON fa.doc_id = p.id_a
+       |  JOIN feats fb ON fb.doc_id = p.id_b
+       |  WHERE len(list_intersect(fa.feat, fb.feat)) * 5 >=
+       |    len(list_distinct(fa.feat || fb.feat)) * 4
+       |), fne AS (
+       |  SELECT doc_id, feat FROM feats WHERE len(feat) > 0
+       |), epairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fne a JOIN fne b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.feat, b.feat)) * 5 >=
+       |    (len(a.feat) + len(b.feat)
+       |     - len(list_intersect(a.feat, b.feat))) * 4
+       |)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM epairs) AS n_exact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM vpairs) AS n_found,
+       |  round((SELECT count(*) FROM vpairs)::DOUBLE
+       |    / (SELECT count(*) FROM epairs), 4) AS recall""".stripMargin
+  }
+
   private def minhashMd5Oracle: String =
     lshMd5Oracle(shingleFeatsCte, 16, 7L, 4, 4, 0.8)
 
@@ -1008,6 +1105,7 @@ object DedupOps {
     "e_dedup_minhash_md5" -> minhashMd5Oracle,
     "e_dedup_simhash_md5" -> simhashMd5Oracle,
     "e_dedup_ngram_md5" -> ngramMd5Oracle,
+    "e_minhash_recall" -> minhashRecallOracle,
     "e_dedup_embedding" -> embeddingOracle,
   )
 

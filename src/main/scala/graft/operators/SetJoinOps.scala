@@ -103,7 +103,7 @@ object SetJoinOps {
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def stagedFeats(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def stagedFeats(spark: SparkSession, dir: String): DataFrame =
     stagedCache.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir",
       _ => shingleFeats(Tables.load(spark, dir, "documents")).persist())
 

@@ -54,6 +54,15 @@ class SetJoinSpec extends SparkSpec {
     }
   }
 
+  test("minhash recall: found is a subset of exact, ratio in (0.5, 1]") {
+    val r = graft.operators.DedupOps.minhashRecall(spark, sf).collect().head
+    val (nExact, nFound, recall) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nExact > 0, "fixture must contain exact pairs")
+    assert(nFound <= nExact) // verified candidates can never exceed truth
+    assert(recall > 0.5 && recall <= 1.0, s"recall $recall")
+  }
+
   test("shingle features match doc-level Jaccard expectations on the fixture") {
     val feats = SetJoinOps.shingleFeats(Tables.load(spark, sf, "documents"))
     val pairs = SetJoinOps.jaccardJoin(feats).collect()
