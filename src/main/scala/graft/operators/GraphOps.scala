@@ -35,13 +35,31 @@ import graft.Tables
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Largest basket that contributes pairs. Pair generation is
+    * quadratic in basket size, so ONE heavy-tailed basket can emit
+    * more pairs than the rest of the corpus combined — the round-9
+    * skew sweep caught exactly that: a Zipfian fixture holding ~10% of
+    * lineitem under one orderkey turns the within-basket self-join
+    * into ~10¹² rows and a never-finishing straggler. Dropping
+    * degenerate mega-baskets is the standard co-occurrence-mining
+    * guard (they carry no pairwise signal — every part "co-occurs"
+    * with every other); TPC-H baskets hold ≤ 7 items, so the cap is
+    * inert on the uniform fixtures and the oracle result is unchanged.
+    */
+  val MaxBasket = 30L
+
   /** Undirected distinct edges (u < v) between parts sharing an order. */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val items = lineitem
       .where(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
       .distinct()
-    items.as("a").join(items.as("b"),
+    val bounded = items.join(
+      items.groupBy("k").agg(count(lit(1)).as("bs"))
+        .where(col("bs") <= MaxBasket)
+        .select("k"),
+      Seq("k"), "left_semi")
+    bounded.as("a").join(bounded.as("b"),
         col("a.k") === col("b.k") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
@@ -104,9 +122,16 @@ object GraphOps {
     */
   val oracles: Map[String, String] = Map(
     "e_triangles" ->
-      """WITH items AS (
+      s"""WITH items0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |  WHERE l_partkey % 4 = 0
+        |),
+        |ok AS (
+        |  SELECT l_orderkey FROM items0 GROUP BY l_orderkey
+        |  HAVING count(*) <= $MaxBasket
+        |),
+        |items AS (
+        |  SELECT i.l_orderkey, i.l_partkey FROM items0 i JOIN ok USING (l_orderkey)
         |),
         |edges AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

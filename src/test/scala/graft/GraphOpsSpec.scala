@@ -36,6 +36,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(3) === 2L)
   }
 
+  test("mega-baskets are dropped before pair generation") {
+    // order 1: 40 sampled parts (over MaxBasket) -> contributes NOTHING;
+    // order 2: parts {4, 8, 12} -> exactly 3 edges
+    val li = ((1 to 40).map(i => (1L, i * 4L)) ++
+      Seq((2L, 4L), (2L, 8L), (2L, 12L)))
+      .toDF("l_orderkey", "l_partkey")
+    val es = GraphOps.coPurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es === Set((4L, 8L), (4L, 12L), (8L, 12L)))
+  }
+
   test("degree-ordered count equals brute-force closure on the fixture graph") {
     val edges = GraphOps.coPurchaseEdges(Tables.load(spark, sf, "lineitem"))
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
