@@ -234,10 +234,12 @@ object SparkEntry {
         |  ('e_top_terms', 4, 'lang:string,term:string,cnt:bigint,term_rank:int'),
         |  ('e_topk', 3, 'l_orderkey:bigint,l_linenumber:int,l_extendedprice:double'),
         |  ('e_topk_per_key', 3, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double'),
+        |  ('e_tpch_q10', 5, 'c_custkey:bigint,c_name:string,revenue:double,c_acctbal:double,n_name:string'),
         |  ('e_tpch_q13', 2, 'c_count:bigint,custdist:bigint'),
         |  ('e_tpch_q18', 4, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,total_qty:double'),
         |  ('e_tpch_q3', 3, 'l_orderkey:bigint,revenue:double,o_orderdate:timestamp_ntz'),
         |  ('e_tpch_q5', 2, 'n_name:string,revenue:double'),
+        |  ('e_tpch_q7', 4, 'supp_nation:string,cust_nation:string,l_year:bigint,revenue:double'),
         |  ('e_triangles', 4, 'n_vertices:bigint,n_edges:bigint,n_wedges:bigint,n_triangles:bigint'),
         |  ('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),

@@ -224,6 +224,64 @@ object RelationalOps {
     * 0), then the distribution of those counts — a two-level
     * aggregation, both keyed, all-integer output.
     */
+  /** TPC-H Q10 shape (returned-item reporting): three fact-side joins
+    * shuffle on their keys, the nation dim broadcasts, grouped revenue
+    * per customer with the customer attributes riding the group key,
+    * global top 20 via TakeOrdered — the canonical "who returned the
+    * most merchandise this quarter" report.
+    */
+  private val tpchQ10: Q = (spark, dir) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1996-07-01").cast("timestamp_ntz")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(discRevenue)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q7 shape (volume shipping): bidirectional nation-pair flow
+    * — supplier nation × customer nation via two broadcast copies of
+    * the nation dim, shipdate-windowed, revenue per (direction, year).
+    */
+  private val tpchQ7: Q = (spark, dir) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-01-01").cast("timestamp_ntz")
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation").select("n_nationkey", "n_name")
+    val n1 = n.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(discRevenue)
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   private val tpchQ13: Q = (spark, dir) => {
     val c = Tables.load(spark, dir, "customer").select("c_custkey")
     val o = Tables.load(spark, dir, "orders")
@@ -723,6 +781,8 @@ object RelationalOps {
     "e_argmax" -> argmax,
     "e_tpch_q3" -> tpchQ3,
     "e_tpch_q5" -> tpchQ5,
+    "e_tpch_q7" -> tpchQ7,
+    "e_tpch_q10" -> tpchQ10,
     "e_tpch_q13" -> tpchQ13,
     "e_tpch_q18" -> tpchQ18,
     "e_share_of_total" -> shareOfTotal,
@@ -902,6 +962,34 @@ object RelationalOps {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "e_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |  AS DOUBLE) AS revenue, c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "e_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+        |         (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) t GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "e_tpch_q5" ->
       """SELECT n_name,
         |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
