@@ -50,10 +50,13 @@ object SetJoinOps {
     */
   def jaccardJoin(feats: DataFrame): DataFrame = {
     val ex = feats.select(col("doc_id"), explode(col("feat")).as("h"))
-    // global document frequency per shingle: the canonical-order key
-    val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    // global document frequency per shingle (the canonical-order key)
+    // as a WINDOW over the h-partition rather than aggregate+join-back:
+    // one shuffle on h, one on doc_id — the exploded table is never
+    // rebuilt for a probe side
     val wDoc = Window.partitionBy("doc_id")
-    val ranked = ex.join(dfs, Seq("h"))
+    val ranked = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .withColumn("rnk",
         row_number().over(wDoc.orderBy(col("df"), col("h"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
