@@ -97,8 +97,11 @@ object CorpusOps {
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
-          col("n_chars"), 4).as("dup_frac"))
+        // empty docs define dup_frac = 0 (the guard matters under ANSI
+        // mode, where the bare division would throw — property-tested)
+        when(col("n_chars") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+            col("n_chars"), 4)).otherwise(lit(0.0)).as("dup_frac"))
       .orderBy("doc_id")
   }
 
@@ -251,8 +254,9 @@ object CorpusOps {
          |SELECT doc.doc_id AS doc_id,
          |  COALESCE(agg.n_spans, 0) AS n_spans,
          |  COALESCE(agg.dup_chars, 0) AS dup_chars,
-         |  round(CAST(COALESCE(agg.dup_chars, 0) AS DOUBLE) / doc.n_chars, 4)
-         |    AS dup_frac
+         |  CASE WHEN doc.n_chars > 0 THEN
+         |    round(CAST(COALESCE(agg.dup_chars, 0) AS DOUBLE) / doc.n_chars, 4)
+         |  ELSE 0.0 END AS dup_frac
          |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
          |ORDER BY doc_id""".stripMargin,
     "e_bpe_pairs" ->
