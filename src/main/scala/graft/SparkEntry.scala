@@ -164,6 +164,7 @@ object SparkEntry {
         |  ('e_k_anonymity', 5, 'lang:string,len_bucket:bigint,published:boolean,n_docs:bigint,sum_chars:bigint'),
         |  ('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |  ('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
+        |  ('e_kmv_setops', 5, 'exact_union:bigint,exact_inter:bigint,est_union:bigint,est_inter:bigint,jacc_est:double'),
         |  ('e_knn_join', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
         |  ('e_lang_confusion', 3, 'lang:string,pred_lang:string,n_docs:bigint'),
         |  ('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),

@@ -716,6 +716,68 @@ object RelationalOps {
     * (k−1)/(kth/2^60). The internal-XXH64 variant stays the production
     * path; this one proves the sketch against an external engine.
     */
+  /** KMV sketch SET OPERATIONS (Beyer et al., SIGMOD 2007): estimate
+    * the union size, intersection size, and Jaccard of two corpus
+    * slices' vocabularies from two k-minimum-value sketches — the
+    * sketch-algebra capability that distinct-COUNTING alone (HLL, the
+    * kmv_distinct pair) cannot express, and the way a 100 TB pipeline
+    * answers "how much vocabulary do these two sources share" without
+    * ever joining the full term sets: each slice is reduced map-side
+    * to its k smallest term hashes (constant memory), and every
+    * estimate below derives from those 2k values. The EXACT union/
+    * intersection ride along as columns, so the gate row pins both the
+    * estimator's determinism and its accuracy on the fixture. All
+    * hashes are md5-derived (60-bit domain) so DuckDB replays the
+    * sketches bit-for-bit.
+    */
+  private val KmvSetK = 256
+
+  private val kmvSetOps: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    // word BIGRAMS, not tokens: the fixture's unigram vocabulary is a
+    // deliberate 31 words, which never fills a k=256 sketch — bigrams
+    // (~900 distinct per slice) actually exercise the estimator
+    val t = graft.functions.TextShingles.tokens(col("text"))
+    val n = greatest(size(t) - 1, lit(0))
+    val bigrams = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    val terms = docs
+      .select(when(col("doc_id") % 2 === 0, "a").otherwise("b").as("slice"),
+        explode(bigrams).as("term"))
+      .distinct()
+    val hashed = terms
+      .select(col("slice"),
+        graft.functions.TextShingles.md5Hash60(col("term")).as("h"))
+      .distinct()
+    val sk = hashed
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("slice").orderBy("h")))
+      .where(col("rn") <= KmvSetK)
+    // combined sketch: the k smallest across both slices (k rows total)
+    val uni = sk.select("h").distinct().orderBy("h").limit(KmvSetK)
+    val uniAgg = uni.agg(count(lit(1)).as("n_uni"), max(col("h")).as("kth"))
+    val inBoth = uni
+      .join(sk.groupBy("h").agg(countDistinct(col("slice")).as("ns")),
+        Seq("h"))
+      .where(col("ns") === 2)
+      .agg(count(lit(1)).as("k_int"))
+    val exact = terms.groupBy("term")
+      .agg(countDistinct(col("slice")).as("ns"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    // (k-1)/F(kth) with F over the 60-bit md5 domain; exact when the
+    // combined sketch is not full
+    val estUnionRaw = when(col("n_uni") < KmvSetK, col("n_uni").cast("double"))
+      .otherwise(round(lit((KmvSetK - 1).toDouble) * pow(lit(2.0), lit(60))
+        / col("kth")))
+    exact.crossJoin(uniAgg).crossJoin(inBoth)
+      .select(col("exact_union"), col("exact_inter"),
+        estUnionRaw.cast("long").as("est_union"),
+        round(col("k_int").cast("double") / col("n_uni") * estUnionRaw)
+          .cast("long").as("est_inter"),
+        round(col("k_int").cast("double") / col("n_uni"), 4).as("jacc_est"))
+  }
+
   private val kmvDistinctMd5Q: Q = (spark, dir) =>
     Tables.load(spark, dir, "lineitem")
       // distinct-first (see [[aggApprox]]): the md5 derivation — the
@@ -761,6 +823,7 @@ object RelationalOps {
     "e_agg_approx" -> aggApprox,
     "e_kmv_distinct" -> kmvDistinctQ,
     "e_kmv_distinct_md5" -> kmvDistinctMd5Q,
+    "e_kmv_setops" -> kmvSetOps,
     "e_agg_cube" -> aggCube,
     "e_pivot" -> pivot,
     "e_gap_fill" -> gapFill,
@@ -804,6 +867,47 @@ object RelationalOps {
     // Replays the KMV estimator on the same md5-derived 60-bit hashes:
     // kth-smallest distinct hash per group, (k-1)/(kth/2^60), exact
     // count below k. 1152921504606846976 = 2^60.
+    "e_kmv_setops" ->
+      s"""WITH t0 AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS slice,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks
+         |  FROM documents
+         |), big AS (
+         |  SELECT slice, toks[i] || ' ' || toks[i+1] AS term
+         |  FROM t0, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+         |), terms AS (SELECT DISTINCT slice, term FROM big),
+         |hashed AS (
+         |  SELECT DISTINCT slice,
+         |    ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+         |  FROM terms
+         |), sk AS (
+         |  SELECT slice, h FROM (
+         |    SELECT slice, h,
+         |      row_number() OVER (PARTITION BY slice ORDER BY h) AS rn
+         |    FROM hashed) WHERE rn <= $KmvSetK
+         |), uni AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT $KmvSetK),
+         |uniagg AS (SELECT count(*) AS n_uni, max(h) AS kth FROM uni),
+         |bothsk AS (
+         |  SELECT count(*) AS k_int FROM uni
+         |  JOIN (SELECT h FROM sk GROUP BY h
+         |        HAVING count(DISTINCT slice) = 2) b USING (h)
+         |), ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS exact_inter
+         |  FROM (SELECT term, count(DISTINCT slice) AS ns
+         |        FROM terms GROUP BY term)
+         |)
+         |SELECT exact_union, exact_inter,
+         |  CAST((CASE WHEN n_uni < $KmvSetK THEN CAST(n_uni AS DOUBLE)
+         |    ELSE round(${KmvSetK - 1}.0 * pow(2.0, 60) / kth) END)
+         |    AS BIGINT) AS est_union,
+         |  CAST(round(CAST(k_int AS DOUBLE) / n_uni *
+         |    (CASE WHEN n_uni < $KmvSetK THEN CAST(n_uni AS DOUBLE)
+         |     ELSE round(${KmvSetK - 1}.0 * pow(2.0, 60) / kth) END))
+         |    AS BIGINT) AS est_inter,
+         |  round(CAST(k_int AS DOUBLE) / n_uni, 4) AS jacc_est
+         |FROM ex, uniagg, bothsk""".stripMargin,
     "e_kmv_distinct_md5" ->
       """WITH hashed AS (
         |  SELECT DISTINCT l_returnflag,

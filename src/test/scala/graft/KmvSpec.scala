@@ -53,4 +53,16 @@ class KmvSpec extends SparkSpec {
     // 500 distinct > k=256, so this is an estimate; KMV rel-err ~1/sqrt(k)
     assert(math.abs(est - 500.0) / 500.0 < 0.2, s"500 distinct texts, got $est")
   }
+
+  test("kmv set-operation estimates land near exact on the fixture") {
+    val r = graft.SparkEntry.queries("e_kmv_setops")(spark, sf)
+      .collect().head
+    val (exU, exI, esU, esI, j) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(exU > 0 && exI > 0)
+    // k=256 over a few-hundred-element universe: tight estimates
+    assert(math.abs(esU - exU).toDouble / exU < 0.2, s"union $esU vs $exU")
+    assert(math.abs(esI - exI).toDouble / exI < 0.2, s"inter $esI vs $exI")
+    assert(j > 0.0 && j <= 1.0)
+  }
 }
