@@ -113,6 +113,7 @@ object SparkEntry {
         |  ('e_ann_ivfpq_persisted', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
         |  ('e_ann_pq', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
         |  ('e_ann_recall', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
+        |  ('e_ann_recall_pq', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
         |  ('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),
         |  ('e_argmax', 3, 'c_nationkey:int,best_acctbal:double,best_custkey:bigint'),
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
@@ -220,6 +221,7 @@ object SparkEntry {
         |  ('e_snapshot_diff', 3, 'diff_kind:string,n_rows:bigint,key_fp:bigint'),
         |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
+        |  ('e_stream_dedup_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |  ('e_stream_quality_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),

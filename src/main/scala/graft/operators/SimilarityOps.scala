@@ -606,6 +606,31 @@ object SimilarityOps {
 
   private val annIvfPq: Q = (spark, dir) => ivfPqTopk(spark, dir)
 
+  /** Recall of the COMPRESSED path on the gate: IVFADC's top-10 vs the
+    * uncompressed brute-force top-10 — the same tripwire as
+    * [[annRecall]] but for the PQ/ADC scorer, pinning the quality cost
+    * of quantization itself (codebook drift, a broken subspace slice,
+    * or an ADC table regression shows up here while the
+    * self-consistent e_ann_ivfpq row stays green).
+    *
+    * The pinned value on this fixture is LOW (0.2) and that is the
+    * honest reading: the synthetic embeddings are near-unstructured,
+    * the brute-force top-10 are separated by ~10⁻³ cosine, and an
+    * 8×8-codebook ADC cannot preserve an ordering that fine — exactly
+    * the regime where PQ is known to trade ranking fidelity for 16×
+    * compression (real embedding corpora have cluster structure PQ
+    * exploits). The gate pins the number so quantizer DRIFT is
+    * visible; it is not a quality floor.
+    */
+  private val annRecallPq: Q = (spark, dir) => {
+    val adc = ivfPqTopk(spark, dir).select("vec_id")
+    val exact = similarityTopk(spark, dir).select("vec_id")
+    adc.join(exact, Seq("vec_id"))
+      .agg(count(lit(1L)).as("n_hits"))
+      .select(lit(10).as("k"), col("n_hits"),
+        round(col("n_hits") / lit(10.0), 2).as("recall_at_k"))
+  }
+
   /** IVFADC against the PERSISTED index: the same on-disk
     * cell-partitioned layout [[annIvfPersisted]] probes, scored by ADC
     * — so a probe in a fresh session reads only the nprobe pruned cell
@@ -626,6 +651,7 @@ object SimilarityOps {
     "e_ann_ivfpq" -> annIvfPq,
     "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
     "e_ann_recall" -> annRecall,
+    "e_ann_recall_pq" -> annRecallPq,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
     "e_embedding_quantize" -> embQuantize,
@@ -714,6 +740,19 @@ object SimilarityOps {
          |SELECT 10 AS k, count(*)::BIGINT AS n_hits,
          |round(count(*) / 10.0, 2) AS recall_at_k
          |FROM ivf JOIN exact USING (vec_id)""".stripMargin,
+    // same composition for the COMPRESSED path: IVFADC top-10 vs the
+    // uncompressed brute force
+    "e_ann_recall_pq" ->
+      s"""WITH adc AS (SELECT vec_id FROM ($ivfPqOracle) t),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+         |    6) DESC, vec_id LIMIT 10
+         |)
+         |SELECT 10 AS k, count(*)::BIGINT AS n_hits,
+         |round(count(*) / 10.0, 2) AS recall_at_k
+         |FROM adc JOIN exact USING (vec_id)""".stripMargin,
     "e_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec

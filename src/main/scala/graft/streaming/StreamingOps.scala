@@ -451,8 +451,43 @@ object StreamingOps {
     spark.table(name).orderBy("o_custkey")
   }
 
+  /** The flatMapGroupsWithState first-seen dedup executed as a REAL
+    * stream on the driver gate: the documents file arrives through a
+    * file source, every row maps to a (fingerprint, doc_id, text)
+    * event with an md5-derived 60-bit fingerprint (so the ORACLE can
+    * replay the keying), and [[StreamingDedup.firstSeenOnly]] keeps
+    * the minimum doc_id per fingerprint. Drained output joined back to
+    * the corpus must equal the BATCH exact-dedup answer — the same
+    * oracle SQL as e_dedup_exact, which is precisely the claim: the
+    * stateful streaming path and the batch path implement one
+    * semantics.
+    */
+  def replayDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageReplay(dir, "documents.parquet")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val events = spark.readStream
+      .schema(schema).format("parquet").load(staged.toString)
+      .select(graft.functions.TextShingles.md5Hash60(col("text"))
+        .as("fingerprint"), col("doc_id"), col("text"))
+      .as[DocEvent]
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = StreamingDedup.firstSeenOnly(events).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropReplayDir(staged)
+    }
+    spark.table(name).select("doc_id")
+      .join(Tables.load(spark, dir, "documents"), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_stream_session" -> streamSession,
+    "e_stream_dedup_replay" -> (replayDedupStream(_, _)),
     "e_stream_upsert_replay" -> (replayUpsertStream(_, _)),
     "e_stream_static_replay" -> (replayStreamStaticJoin(_, _)),
     "e_stream_session_replay" -> (replaySessionStream(_, _)),
@@ -530,6 +565,13 @@ object StreamingOps {
 
   val oracles: Map[String, String] = Map(
     "e_quality_gate" -> qualityGateOracle,
+    // the batch exact-dedup answer — the streaming stateful path must
+    // reproduce it exactly (same SQL as e_dedup_exact)
+    "e_stream_dedup_replay" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |SELECT doc_id, lang, source, n_chars,
+        |ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // batch form of the compaction: last row per key by the monotone
     // sequence column, plus the per-key upsert count
     "e_stream_upsert_replay" ->
