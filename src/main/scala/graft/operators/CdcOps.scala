@@ -44,8 +44,16 @@ object CdcOps {
   def changeBatch(orders: DataFrame): DataFrame = orders
     .where(col("o_orderkey") % 10 <= 3)
     .select(
+      // Disjointness guard: at TPC-H SF >= ~2 orderkeys pass 10M and the
+      // inserted range would collide with the snapshot; assert_true turns
+      // that silent degeneracy into a loud failure (NULL + 0 otherwise,
+      // so the key arithmetic is byte-identical to the oracle's replay).
       when(col("o_orderkey") % 10 === 3,
-        col("o_orderkey") + InsertOffset)
+        col("o_orderkey") + InsertOffset
+          + coalesce(assert_true(col("o_orderkey") < lit(InsertOffset),
+              lit(s"o_orderkey >= $InsertOffset: insert range collides " +
+                "with snapshot keys; raise InsertOffset")).cast("long"),
+            lit(0L)))
         .otherwise(col("o_orderkey")).as("key"),
       when(col("o_orderkey") % 10 <= 1, lit("U"))
         .when(col("o_orderkey") % 10 === 2, lit("D"))

@@ -191,9 +191,14 @@ object CorpusOps {
       .withColumn("cum_before", coalesce(sum("chars_len").over(wl), lit(0L)))
       .withColumn("take_n",
         when(col("cum_before") + col("chars_len") <= budget, col("cnt"))
-          .otherwise(greatest(
+          // n_chars = 0 never reaches the division: a zero-length group has
+          // chars_len = 0, so it lands in the branch above whenever
+          // cum_before <= budget and contributes nothing otherwise.  The
+          // explicit guard keeps ANSI mode from raising DIVIDE_BY_ZERO on
+          // the (dead at runtime, still codegen'd) otherwise expression.
+          .otherwise(when(col("n_chars") > 0, greatest(
             floor((lit(budget) - col("cum_before")) / col("n_chars"))
-              .cast("long"), lit(0L))))
+              .cast("long"), lit(0L))).otherwise(lit(0L))))
       .where(col("take_n") > 0)
       .select("n_chars", "take_n")
     // partitioned window: rank within a length group only

@@ -459,8 +459,11 @@ object DedupOps {
     val nFound = found.agg(count(lit(1)).as("n_found"))
     nExact.crossJoin(nFound)
       .select(col("n_exact"), col("n_found"),
-        round(col("n_found").cast("double") / col("n_exact"), 4)
-          .as("recall"))
+        // Vacuous recall = 1.0 when the corpus has no true J>=0.8 pairs;
+        // the unguarded division would raise DIVIDE_BY_ZERO under ANSI.
+        when(col("n_exact") > 0,
+          round(col("n_found").cast("double") / col("n_exact"), 4))
+          .otherwise(lit(1.0)).as("recall"))
   }
 
   /** 64-bit SimHash (Charikar'02 / Manku WWW'07): per-token hash votes
@@ -1012,8 +1015,10 @@ object DedupOps {
        |)
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM epairs) AS n_exact,
        |  (SELECT CAST(count(*) AS BIGINT) FROM vpairs) AS n_found,
-       |  round((SELECT count(*) FROM vpairs)::DOUBLE
-       |    / (SELECT count(*) FROM epairs), 4) AS recall""".stripMargin
+       |  CASE WHEN (SELECT count(*) FROM epairs) > 0
+       |    THEN round((SELECT count(*) FROM vpairs)::DOUBLE
+       |      / (SELECT count(*) FROM epairs), 4)
+       |    ELSE 1.0 END AS recall""".stripMargin
   }
 
   private def minhashMd5Oracle: String =

@@ -60,8 +60,10 @@ object SetJoinOps {
       .withColumn("rnk",
         row_number().over(wDoc.orderBy(col("df"), col("h"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
-    // prefix length |X| − ⌈τ|X|⌉ + 1, ceil in exact integer arithmetic
-    val alpha = (col("sz") * TauNum + (TauDen - 1)) .divide(TauDen).cast("long")
+    // prefix length |X| − ⌈τ|X|⌉ + 1, ceil in exact integer arithmetic:
+    // SQL `div` is true long floor-division — Column.divide would round
+    // through double and only stay exact below 2^52
+    val alpha = expr(s"(sz * $TauNum + ${TauDen - 1}) div $TauDen")
     val prefix = ranked
       .where(col("rnk") <= col("sz") - alpha + 1)
       .select(col("doc_id"), col("h"), col("sz"))

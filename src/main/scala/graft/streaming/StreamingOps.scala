@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -448,7 +449,15 @@ object StreamingOps {
       q.stop()
       dropReplayDir(staged)
     }
-    spark.table(name).orderBy("o_custkey")
+    // Update-mode memory sink appends one row per (key, batch); keep the
+    // LAST state per key (fold count is monotone within a key), so the
+    // result is correct whatever micro-batch count the file source picks.
+    val wLast = Window.partitionBy("o_custkey")
+      .orderBy(col("n_upserts").desc)
+    spark.table(name)
+      .withColumn("rn_last", row_number().over(wLast))
+      .where(col("rn_last") === 1).drop("rn_last")
+      .orderBy("o_custkey")
   }
 
   /** The flatMapGroupsWithState first-seen dedup executed as a REAL
