@@ -252,6 +252,7 @@ object SparkEntry {
         |  ('e_window_rank', 4, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,rn:int'),
         |  ('e_window_running', 3, 'o_custkey:bigint,o_orderkey:bigint,running_total:double'),
         |  ('e_zorder', 2, 'o_orderkey:bigint,zval:bigint'),
+        |  ('r_config_boot', 3, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double'),
         |  ('r_desc_table', 3, 'col_name:string,data_type:string,nullable:boolean'),
         |  ('r_dynamic_proj', 1, 'c_name:string'),
         |  ('r_filter_eq_date', 6, 'o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string'),

@@ -1,0 +1,146 @@
+package graft.engine
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Declarative catalog boot — the reference's startup path: a
+  * `config.json` whose `databases[]` each carry a `queries{}` map of
+  * named SQL templates, every one of which is registered into the
+  * query namespace at boot (/root/reference/index.js:31,106-127,
+  * config.json:11-40). Two parameter kinds per template, exactly as
+  * the reference's examiner classifies them:
+  *
+  *  - positional `?` markers, arity inferred by counting
+  *    (examiner.js:66-68); bound as Catalyst parameterized-SQL args —
+  *    never rendered into text
+  *  - named `$var` markers (examiner.js:197-199, regex `\$(\w+)`),
+  *    validated through the examiner's three gates (required /
+  *    comment-ban / alphanumeric-or-UUID, examiner.js:162-196) and
+  *    then rendered into the template (tmplify, examiner.js:206-208)
+  *    — the reference's handlebars render, reproduced with the same
+  *    validation preconditions so the splice is inert
+  *
+  * The parsed catalog registers through [[Namespaces.register]], so a
+  * config-declared query resolves at BOTH route shapes the reference
+  * mounts per query — `/q/<db>/<qname>/p1/…` and legacy
+  * `/query/<qname>/p1/…` (index.js:318-324) — with the same
+  * last-writer-wins bare-name behavior.
+  *
+  * Scale note: boot is driver-side metadata only (a few hundred
+  * registry entries); execution of each template is an ordinary
+  * Catalyst plan over the shared fixture views, so a config-declared
+  * query gets the identical pushdown/pruning/broadcast treatment as a
+  * code-registered one — there is no interpretation overhead at run
+  * time beyond one regex render.
+  */
+object ConfigBoot {
+
+  final case class ConfigQuery(name: String, template: String)
+  final case class ConfigDatabase(
+      name: String, dbType: String, queries: Seq[ConfigQuery])
+  final case class ConfigCatalog(databases: Seq[ConfigDatabase])
+
+  private val mapper = new ObjectMapper
+
+  /** Parse the `databases[].queries{}` shape of a config.json text.
+    * Unknown keys (ssl, externalServices, plugins, …) are ignored —
+    * the engine scope is the query surface (SURVEY §1.4).
+    */
+  def parse(jsonText: String): ConfigCatalog = {
+    val root = mapper.readTree(jsonText)
+    val dbs = Option(root.get("databases")).map(_.elements.asScala.toSeq)
+      .getOrElse(Seq.empty)
+      .map { db =>
+        val queries = Option(db.get("queries"))
+          .map(q => q.properties.asScala.toSeq.map(e =>
+            ConfigQuery(e.getKey, e.getValue.asText)))
+          .getOrElse(Seq.empty)
+        ConfigDatabase(
+          name = db.get("name").asText,
+          dbType = Option(db.get("type")).map(_.asText).getOrElse(""),
+          queries = queries)
+      }
+    ConfigCatalog(dbs)
+  }
+
+  /** Register every config-declared query into a [[Namespaces]]
+    * registry — the engine analog of the reference's boot loop
+    * (index.js:106-127: `examineQuery` + `makeQueryRoute` per entry).
+    * The zero-args `build` covers parameterless templates; templated
+    * dispatch with args goes through [[Router.dispatch]] → [[run]].
+    */
+  def register(ns: Namespaces, cat: ConfigCatalog): Unit =
+    for (db <- cat.databases; q <- db.queries)
+      ns.register(db.name, NamedQuery(
+        q.name,
+        (s, d) => run(s, d, q.template, Seq.empty, Map.empty),
+        None,
+        template = Some(q.template)))
+
+  /** Parse + register + return, the whole boot in one call. */
+  def boot(jsonText: String): Namespaces = {
+    val ns = new Namespaces
+    register(ns, parse(jsonText))
+    ns
+  }
+
+  // examiner.js:36-41 — the reference's validation regexes, verbatim.
+  private val AlphaNumeric = "^[\\sA-Za-z0-9_\\-.]+$".r
+  private val Uuid = ("^[A-Fa-f0-9]{8}-?[A-Fa-f0-9]{4}-?[A-Fa-f0-9]{4}" +
+    "-?[A-Fa-f0-9]{4}-?[A-Fa-f0-9]{12}$").r
+  private val SqlComment = "--+".r
+  private val QueryVar = "\\$(\\w+)".r
+
+  /** `$var` extraction — examiner.findQvars (examiner.js:197-199).
+    * Duplicates preserved as the reference's `match` returns them;
+    * validation iterates the distinct set.
+    */
+  def findQvars(template: String): Seq[String] =
+    QueryVar.findAllMatchIn(template).map(_.group(1)).toSeq
+
+  /** The examiner's three-gate variable check with its exact fail
+    * strings and accumulate-then-join behavior
+    * (validateQueryVars, examiner.js:162-196).
+    */
+  def validateQueryVars(qvars: Seq[String],
+      provided: Map[String, String]): Either[String, Map[String, String]] = {
+    val fail = scala.collection.mutable.ListBuffer.empty[String]
+    val ok = scala.collection.mutable.Map.empty[String, String]
+    qvars.distinct.foreach { qv =>
+      provided.get(qv).filter(_.nonEmpty) match {
+        case None => fail += s"""Parameter "$qv" is required!\n"""
+        case Some(v) if SqlComment.findFirstIn(v).isDefined =>
+          fail += "SQL comments are forbidden as inputs."
+        case Some(v)
+            if !(Uuid.matches(v) || AlphaNumeric.matches(v)) =>
+          fail += "Query parameters must be alphanumeric."
+        case Some(v) => ok(qv) = v
+      }
+    }
+    if (fail.nonEmpty) Left(fail.mkString("\n")) else Right(ok.toMap)
+  }
+
+  /** Execute one config template: validate + render `$var`s
+    * (reference handler, index.js:277-303), then bind `?` positions
+    * through Catalyst's parameterized SQL ([[SqlTemplates.positional]]
+    * — which raises the reference's `Missing parameter: pN` shape on
+    * underflow, index.js:294-296).
+    */
+  def run(spark: SparkSession, dir: String, template: String,
+      args: Seq[Any], vars: Map[String, String]): DataFrame = {
+    val qvars = findQvars(template)
+    val rendered =
+      if (qvars.isEmpty) template
+      else validateQueryVars(qvars, vars) match {
+        case Left(err) => throw new IllegalArgumentException(err)
+        case Right(vals) =>
+          QueryVar.replaceAllIn(template,
+            m => java.util.regex.Matcher.quoteReplacement(vals(m.group(1))))
+      }
+    SqlTemplates.positional(spark, dir, rendered, args)
+  }
+}

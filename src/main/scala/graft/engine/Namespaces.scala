@@ -73,19 +73,34 @@ object Namespaces {
   * index.js:608).
   */
 object Router {
-  def dispatch(ns: Namespaces, path: String)(
+  /** Trailing path segments are positional `?` args (`/:p1/:p2/…`,
+    * index.js:270-272) and `vars` carries `$var` values (the
+    * reference's request params, index.js:279) — both only meaningful
+    * for template-backed (config-declared) queries; extra segments on
+    * a code-registered query fall through to the 404 analog.
+    */
+  def dispatch(ns: Namespaces, path: String,
+      vars: Map[String, String] = Map.empty)(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Either[String, org.apache.spark.sql.DataFrame] =
+      dir: String): Either[String, org.apache.spark.sql.DataFrame] = {
+    def runQ(q: NamedQuery, args: List[String]) = q.template match {
+      case Some(t) =>
+        SqlTemplates.tryQuery(ConfigBoot.run(spark, dir, t, args, vars))
+      case None if args.isEmpty =>
+        SqlTemplates.tryQuery(q.build(spark, dir))
+      case None => Left("Route not found.")
+    }
     path.split("/").filter(_.nonEmpty).toList match {
-      case "q" :: db :: qname :: Nil =>
+      case "q" :: db :: qname :: rest =>
         if (!ns.databases.contains(db)) Left("Database not found.")
         else ns.lookup(db, qname)
           .toRight(s"""Query "$qname" not found.""")
-          .flatMap(q => SqlTemplates.tryQuery(q.build(spark, dir)))
-      case "query" :: qname :: Nil =>
+          .flatMap(runQ(_, rest))
+      case "query" :: qname :: rest =>
         ns.lookupLegacy(qname)
           .toRight(s"""Query "$qname" not found.""")
-          .flatMap(q => SqlTemplates.tryQuery(q.build(spark, dir)))
+          .flatMap(runQ(_, rest))
       case _ => Left("Route not found.")
     }
+  }
 }

@@ -43,7 +43,13 @@ object Validate {
 final case class NamedQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Set for config-declared queries ([[ConfigBoot]]): the raw SQL
+      * template, so [[Router.dispatch]] can bind `?`/`$var` params at
+      * request time — the reference's makeQueryRoute handler closure
+      * (index.js:264-325).
+      */
+    template: Option[String] = None)
 
 object QueryRegistry {
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.engine.{QueryRegistry, SqlTemplates}
+import graft.engine.{ConfigBoot, QueryRegistry, Router, SqlTemplates}
 
 /** Reference-parity queries (SURVEY §2.3 `r_*`) — the full relational
   * surface the reference declares or generates, re-expressed Spark-first.
@@ -131,6 +131,39 @@ object ReferenceOps {
         |ORDER BY o_orderkey""".stripMargin,
       Map("status" -> "F", "minp" -> 400000.0))
 
+  /** Fixture catalog in the reference's exact config.json shape
+    * (config.json:11-40): one `databases[]` entry whose `queries{}`
+    * mixes positional `?` and named `$var` params, like `invoices` /
+    * `getXfromYwhereZisQ` do. Declared as data, not code — the whole
+    * point of A-family boot (index.js:106-127).
+    */
+  private[graft] val FixtureConfig =
+    """{
+      |  "databases": [
+      |    {
+      |      "name": "billing",
+      |      "type": "pg",
+      |      "queries": {
+      |        "orders_big": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = ? AND o_totalprice > $minp ORDER BY o_orderkey",
+      |        "regions": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      |      }
+      |    }
+      |  ]
+      |}""".stripMargin
+
+  /** A-family — config-driven declarative boot: the catalog above is
+    * parsed and registered at "startup", then dispatched through the
+    * ROUTE path with one positional arg ('F') and one `$var`
+    * (minp=400000.0), exactly the reference's per-request flow
+    * (makeQueryRoute handler, index.js:277-317). The result must
+    * hash-match its code-registered twin `r_sql_template` — proving a
+    * config-declared template and the code path are one semantics.
+    */
+  private val rConfigBoot: Q = (spark, dir) =>
+    Router.dispatch(ConfigBoot.boot(FixtureConfig),
+      "/q/billing/orders_big/F", Map("minp" -> "400000.0"))(spark, dir)
+      .fold(e => throw new IllegalStateException(e), identity)
+
   /** A1/A2 — live heterogeneous federation: the reference's core
     * identity is pg + mysql under one namespace (index.js:230-252,
     * config.json:11-40). The `nation` dim lives in a REAL second
@@ -182,6 +215,7 @@ object ReferenceOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "r_config_boot" -> rConfigBoot,
     "r_sql_template" -> rSqlTemplate,
     "r_jdbc_scan" -> rJdbcScan,
     "r_jdbc_join" -> rJdbcJoin,
@@ -219,6 +253,12 @@ object ReferenceOps {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin,
     "r_sql_template" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    // identical SQL by design: the config-boot result must hash-match
+    // the code-registered twin
+    "r_config_boot" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0
         |ORDER BY o_orderkey""".stripMargin,

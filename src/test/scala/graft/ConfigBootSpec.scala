@@ -1,0 +1,94 @@
+package graft
+
+import graft.engine.{ConfigBoot, Namespaces, Router}
+import graft.operators.ReferenceOps
+
+/** Declarative boot (reference index.js:106-127): a config.json-shaped
+  * catalog registers into Namespaces at startup; dispatch binds `?`
+  * positionals from the route and `$var`s from request params, with
+  * the examiner's exact fail strings (examiner.js:162-196).
+  */
+class ConfigBootSpec extends SparkSpec {
+
+  private val cat = ConfigBoot.parse(ReferenceOps.FixtureConfig)
+
+  test("parse extracts databases and their query templates") {
+    assert(cat.databases.map(_.name) == Seq("billing"))
+    assert(cat.databases.head.dbType == "pg")
+    assert(cat.databases.head.queries.map(_.name).sorted ==
+      Seq("orders_big", "regions"))
+  }
+
+  test("boot registers every declared query at both route shapes") {
+    val ns = ConfigBoot.boot(ReferenceOps.FixtureConfig)
+    assert(ns.databases == Set("billing"))
+    assert(ns.names("billing") == Set("orders_big", "regions"))
+    // parameterless template runs at the namespaced AND legacy path
+    val viaNs = Router.dispatch(ns, "/q/billing/regions")(spark, sf)
+    val viaLegacy = Router.dispatch(ns, "/query/regions")(spark, sf)
+    assert(viaNs.toOption.get.count() == 5)
+    assert(viaLegacy.toOption.get.count() == 5)
+  }
+
+  test("config-declared template matches its code-registered twin") {
+    val ns = ConfigBoot.boot(ReferenceOps.FixtureConfig)
+    val conf = Router.dispatch(ns, "/q/billing/orders_big/F",
+      Map("minp" -> "400000.0"))(spark, sf).toOption.get.collect()
+    val code = ReferenceOps.queries("r_sql_template")(spark, sf).collect()
+    assert(conf.toSeq == code.toSeq)
+  }
+
+  test("positional underflow uses the reference's Missing parameter shape") {
+    val ns = ConfigBoot.boot(ReferenceOps.FixtureConfig)
+    assert(Router.dispatch(ns, "/q/billing/orders_big",
+      Map("minp" -> "400000.0"))(spark, sf) == Left("Missing parameter: p1"))
+  }
+
+  test("$var validation byte-matches the examiner fail strings") {
+    val ns = ConfigBoot.boot(ReferenceOps.FixtureConfig)
+    // missing var — examiner.js:173 (note the embedded newline)
+    assert(Router.dispatch(ns, "/q/billing/orders_big/F")(spark, sf) ==
+      Left("Parameter \"minp\" is required!\n"))
+    // SQL comment ban — examiner.js:178
+    assert(Router.dispatch(ns, "/q/billing/orders_big/F",
+      Map("minp" -> "1--2"))(spark, sf) ==
+      Left("SQL comments are forbidden as inputs."))
+    // alphanumeric/UUID gate — examiner.js:183
+    assert(Router.dispatch(ns, "/q/billing/orders_big/F",
+      Map("minp" -> "1;drop"))(spark, sf) ==
+      Left("Query parameters must be alphanumeric."))
+    // UUIDs pass the gate (examiner.js:74-76) even where the value is
+    // then semantically wrong for the column — validation is syntactic
+    assert(ConfigBoot.validateQueryVars(Seq("v"),
+      Map("v" -> "2fd61f6c-1d4f-4a0e-9b0a-123456789abc")).isRight)
+  }
+
+  test("multiple failing vars accumulate joined by newline") {
+    val r = ConfigBoot.validateQueryVars(Seq("a", "b"),
+      Map("a" -> "x--y", "b" -> ";"))
+    assert(r == Left(
+      "SQL comments are forbidden as inputs.\n" +
+        "Query parameters must be alphanumeric."))
+  }
+
+  test("args on a non-template query fall through to route-not-found") {
+    val ns = Namespaces.of("spark", SparkEntry.queries)
+    assert(Router.dispatch(ns, "/q/spark/r_scan_all/extra")(spark, sf) ==
+      Left("Route not found."))
+  }
+
+  test("last-writer-wins bare-name aliasing across config databases") {
+    val two =
+      """{"databases": [
+        |  {"name": "d1", "type": "pg", "queries":
+        |    {"q": "SELECT 1 AS one"}},
+        |  {"name": "d2", "type": "mysql", "queries":
+        |    {"q": "SELECT 2 AS one"}}
+        |]}""".stripMargin
+    val ns = ConfigBoot.boot(two)
+    assert(Router.dispatch(ns, "/q/d1/q")(spark, sf)
+      .toOption.get.head().getInt(0) == 1)
+    assert(Router.dispatch(ns, "/query/q")(spark, sf)
+      .toOption.get.head().getInt(0) == 2)
+  }
+}
