@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SetJoinOps, SimilarityOps, SkewOps}
+import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SetJoinOps, SimilarityOps, SkewOps, SubqueryOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -28,7 +28,8 @@ object SparkEntry {
       MultimodalOps.queries ++ StreamingOps.queries ++ SkewOps.queries ++
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
-      CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries
+      CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries ++
+      SubqueryOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -73,7 +74,8 @@ object SparkEntry {
       MultimodalOps.oracles ++ StreamingOps.oracles ++ SkewOps.oracles ++
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
       LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
-      CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++ Map(
+      CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++
+      SubqueryOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -230,6 +232,7 @@ object SparkEntry {
         |  ('e_stream_static_replay', 3, 'c_mktsegment:string,n_events:bigint,sum_value:double'),
         |  ('e_stream_tumbling_replay', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_stream_upsert_replay', 4, 'o_custkey:bigint,last_orderkey:bigint,last_price:double,n_upserts:bigint'),
+        |  ('e_subq_in', 2, 'o_orderpriority:string,n_orders:bigint'),
         |  ('e_text_stats', 4, 'lang:string,n_docs:bigint,avg_chars:double,n_sources:bigint'),
         |  ('e_tfidf', 6, 'doc_id:bigint,term:string,tf:bigint,df:bigint,score:double,term_rank:int'),
         |  ('e_token_budget', 3, 'lang:string,n_sel:bigint,chars_sel:bigint'),
@@ -239,8 +242,12 @@ object SparkEntry {
         |  ('e_topk_per_key', 3, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double'),
         |  ('e_tpch_q10', 5, 'c_custkey:bigint,c_name:string,revenue:double,c_acctbal:double,n_name:string'),
         |  ('e_tpch_q13', 2, 'c_count:bigint,custdist:bigint'),
+        |  ('e_tpch_q17', 2, 'sum_small_rev:double,n_small:bigint'),
         |  ('e_tpch_q18', 4, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,total_qty:double'),
+        |  ('e_tpch_q21', 2, 's_name:string,numwait:bigint'),
+        |  ('e_tpch_q22', 3, 'cntrycode:int,numcust:bigint,totacctbal:double'),
         |  ('e_tpch_q3', 3, 'l_orderkey:bigint,revenue:double,o_orderdate:timestamp_ntz'),
+        |  ('e_tpch_q4', 2, 'o_orderpriority:string,order_count:bigint'),
         |  ('e_tpch_q5', 2, 'n_name:string,revenue:double'),
         |  ('e_tpch_q7', 4, 'supp_nation:string,cust_nation:string,l_year:bigint,revenue:double'),
         |  ('e_triangles', 4, 'n_vertices:bigint,n_edges:bigint,n_wedges:bigint,n_triangles:bigint'),

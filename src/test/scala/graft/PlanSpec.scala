@@ -246,6 +246,31 @@ class PlanSpec extends SparkSpec {
       s"shingle HOF re-inlined into a filter:\n$plan")
   }
 
+  test("correlated subqueries decorrelate to joins, never nested loops") {
+    // EXISTS/IN → LeftSemi, NOT EXISTS/NOT IN → LeftAnti, correlated
+    // scalar agg → aggregate + equi-join. None may survive as a
+    // nested-loop or cartesian plan: at 100 TB a nested-loop subquery
+    // is a full fact-table rescan per outer row.
+    for (q <- Seq("e_tpch_q4", "e_tpch_q17", "e_tpch_q21", "e_tpch_q22",
+        "e_subq_in")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // Q21's <>-correlated EXISTS legitimately broadcasts a nested
+      // loop over the tiny per-order build side? No — the equality on
+      // l_orderkey dominates, so even there a hash join must carry it.
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q decorrelated to a nested loop:\n$p")
+      assert(p.contains("Join") || p.contains("Semi") || p.contains("Anti"),
+        s"$q shows no join after decorrelation:\n$p")
+    }
+    // the predicate forms land as semi/anti hash joins specifically
+    assert(plan("e_subq_in").contains("LeftSemi") &&
+      plan("e_subq_in").contains("LeftAnti"))
+    assert(plan("e_tpch_q4").contains("LeftSemi"))
+    assert(plan("e_tpch_q21").contains("LeftAnti"))
+    assert(plan("e_tpch_q22").contains("LeftAnti"))
+  }
+
   test("IVF probe scans the cached assignment table, not raw parquet") {
     val df = graft.operators.SimilarityOps
       .probeIvf(graft.operators.SimilarityOps.buildIvfIndex(spark, sf),
