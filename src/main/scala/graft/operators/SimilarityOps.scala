@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
@@ -399,12 +400,61 @@ object SimilarityOps {
 
   private val SemDedupTau = 0.40
 
-  /** √n quantizer sizing (floored at the ANN default 16) — see
-    * [[semDedup]]'s scale note. At the sf0.01 oracle gate n = 500 →
-    * nlist = 22, which the DuckDB replay hardcodes.
+  /** Cluster-size cap for the within-cell pairwise stage, branching
+    * factor per split, label mixer (> any nlist and > Branch, so
+    * composite labels never collide), and the static split depth.
     */
-  private[graft] def semDedupNlist(n: Long): Int =
-    math.max(16, math.sqrt(n.toDouble).toInt)
+  private[graft] val SemDedupCap = 64
+  private[graft] val SemDedupBranch = 4
+  private[graft] val SemDedupLabelBase = 131
+  private[graft] val SemDedupLevels = 2
+
+  /** Recursive split of oversized quantizer cells through frozen
+    * sub-quantizers — the fix for the former n^1.5 term (the r9 sweep
+    * story: a √n-sized top quantizer balanced n·nlist assignment
+    * against n²/nlist pairwise at n^1.5 total; capping cells kills
+    * both). Each level: cells above [[SemDedupCap]] seed a
+    * [[SemDedupBranch]]-way sub-quantizer with their lowest-vec_id
+    * members (seeding frozen at the cell's own data, no Lloyd rounds)
+    * and re-assign members by the SAME argmax-cosine / higher-label
+    * tie-break rule the top-level quantizer uses. Labels compose as
+    * cell·131 + seedRank + 1, so every path through the split tree is
+    * a distinct INT and unsplit cells keep their ids.
+    *
+    * Cost: each level is one window pass (size + seed rank) and one
+    * ≤Branch-wide join on oversized cells only — O(n·Branch) per
+    * level, [[SemDedupLevels]] levels, so assignment stays linear and
+    * pairwise is bounded by n·Cap per cell tree; worst-case residual
+    * skew (a cell still > Cap after max depth) degrades gracefully to
+    * that cell's local cost instead of resizing the whole quantizer.
+    */
+  private[graft] def splitOversized(assigned: DataFrame): DataFrame = {
+    var cur = assigned.select(col("vec_id"), col("embedding"),
+      col("cell").cast("int").as("cell"))
+    for (_ <- 1 to SemDedupLevels) {
+      val wCell = Window.partitionBy("cell")
+      val sized = cur
+        .withColumn("csize", count(lit(1)).over(wCell))
+        .withColumn("srank", row_number().over(wCell.orderBy("vec_id")))
+      val small = sized.where(col("csize") <= SemDedupCap)
+        .select("vec_id", "embedding", "cell")
+      val overs = sized.where(col("csize") > SemDedupCap)
+      val seeds = overs.where(col("srank") <= SemDedupBranch)
+        .select(col("cell"), (col("srank") - 1).as("sr"),
+          col("embedding").as("seed_v"))
+      val re = overs.join(seeds, Seq("cell"))
+        .withColumn("scos", VectorOps.cosine(col("embedding"), col("seed_v")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cell", "vec_id")
+            .orderBy(col("scos").desc, col("sr").desc)))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"),
+          (col("cell") * SemDedupLabelBase + col("sr") + 1)
+            .cast("int").as("cell"))
+      cur = small.unionByName(re)
+    }
+    cur
+  }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — cluster the corpus embeddings with the SAME
@@ -436,16 +486,16 @@ object SimilarityOps {
     */
   def semDedup(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau): DataFrame = {
-    val n = Tables.load(spark, dir, "embeddings").count()
-    val assigned =
-      buildIvfIndex(spark, dir, nlist = semDedupNlist(n)).assigned
+    // reuse the ONE cached ANN quantizer (constant nlist — assignment
+    // stays linear; skew is handled by the capped split, not sizing)
+    val cells = splitOversized(buildIvfIndex(spark, dir).assigned)
     // stage norms per SIDE (the knnJoin move): each vector's norm is
     // computed once before the join instead of twice per PAIR — at
     // Σ|cell|² pairs that is the dominant cost, not the dot product
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"),
       VectorOps.l2Norm(col("embedding")).as("a_norm"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("b_vec"),
       VectorOps.l2Norm(col("embedding")).as("b_norm"))
     // same arithmetic sequence as VectorOps.cosine: dot / (normA*normB)
@@ -456,7 +506,7 @@ object SimilarityOps {
       .where(col("a_id") < col("b_id"))
       .where(round(cos, 6) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
-    assigned.select("vec_id", "cell")
+    cells.select("vec_id", "cell")
       .join(broadcast(dups.withColumn("dup", lit(true))), Seq("vec_id"),
         "left_outer")
       .select(col("vec_id"), col("cell"),
@@ -693,19 +743,24 @@ object SimilarityOps {
     // identical oracle: persistence must not change the answer
     "e_ann_ivf_persisted" -> ivfOracle(),
     // SemDeDup: quantizer-assignment replay (same CTE machinery the
-    // IVF oracle proves) at the √n-sized nlist — 22 for the sf0.01
-    // gate's 500 vectors ([[semDedupNlist]]) — then the within-cell
-    // a<b pair scan at round(cos,6) >= tau and the keep-mark left join.
+    // IVF oracle proves) at the shared nlist=16 index, then the two
+    // unrolled capped-split levels ([[splitOversized]]: oversized
+    // cells seed a Branch-way sub-quantizer with their lowest-id
+    // members, argmax-cosine / higher-seed tie-break, composite
+    // cell·131+r+1 labels), then the within-cell a<b pair scan at
+    // round(cos,6) >= tau and the keep-mark left join.
     "e_semdedup" ->
-      s"""WITH ${assignmentPrefix(22, 2, 64)},
+      s"""WITH ${assignmentPrefix(16, 2, 64)},
+         |${splitCte("s1", "afinal")},
+         |${splitCte("s2", "s1")},
          |dups AS (
          |  SELECT DISTINCT y.vec_id
-         |  FROM afinal x JOIN afinal y
+         |  FROM s2 x JOIN s2 y
          |    ON x.cell = y.cell AND x.vec_id < y.vec_id
          |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $SemDedupTau
          |)
          |SELECT f.vec_id, f.cell, (d.vec_id IS NULL) AS kept
-         |FROM afinal f LEFT JOIN dups d USING (vec_id)
+         |FROM s2 f LEFT JOIN dups d USING (vec_id)
          |ORDER BY f.vec_id""".stripMargin,
     // PQ/ADC replay: seed codebooks are list slices of the first PqK
     // vectors; every distance is micro-quantized (floor(x*1e6 + 0.5))
@@ -814,6 +869,37 @@ object SimilarityOps {
     * rounds, `afinal`) — shared by [[ivfOracle]] and the SemDeDup
     * oracle, so both replay the ONE quantizer [[buildIvfIndex]] caches.
     */
+  /** One capped-split level as CTEs: replays [[splitOversized]]'s
+    * window pass (size + seed rank by vec_id), the ≤Branch seed join
+    * on oversized cells, the argmax-cosine / higher-seed tie-break,
+    * and the composite cell·131+r+1 relabel. `src` must expose
+    * (vec_id, v, cell).
+    */
+  private def splitCte(name: String, src: String): String =
+    s"""${name}sized AS (
+       |  SELECT vec_id, v, cell,
+       |    count(*) OVER (PARTITION BY cell) AS csize,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS srank
+       |  FROM $src
+       |),
+       |${name}seeds AS (
+       |  SELECT cell, srank - 1 AS sr, v AS sv FROM ${name}sized
+       |  WHERE csize > $SemDedupCap AND srank <= $SemDedupBranch
+       |),
+       |$name AS (
+       |  SELECT vec_id, v, cell FROM ${name}sized WHERE csize <= $SemDedupCap
+       |  UNION ALL
+       |  SELECT vec_id, v,
+       |    CAST(cell * $SemDedupLabelBase + sr + 1 AS INT) AS cell
+       |  FROM (
+       |    SELECT o.vec_id, o.v, o.cell, s.sr
+       |    FROM ${name}sized o JOIN ${name}seeds s USING (cell)
+       |    WHERE o.csize > $SemDedupCap
+       |    QUALIFY row_number() OVER (PARTITION BY o.cell, o.vec_id
+       |      ORDER BY ${cosSql("o.v", "s.sv")} DESC, s.sr DESC) = 1
+       |  )
+       |)""".stripMargin
+
   private def assignmentPrefix(nlist: Int, iters: Int, dim: Int): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (

@@ -164,10 +164,8 @@ class SimilaritySpec extends SparkSpec {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("semdedup drops exactly the vectors with a lower-id within-cell twin") {
-    val n = Tables.load(spark, sf, "embeddings").count()
     val assigned = SimilarityOps
-      .buildIvfIndex(spark, sf, nlist = SimilarityOps.semDedupNlist(n))
-      .assigned
+      .splitOversized(SimilarityOps.buildIvfIndex(spark, sf).assigned)
       .select("vec_id", "cell", "embedding").collect()
       .map { case Row(id: Long, cell: Int, v: scala.collection.Seq[_]) =>
         (id, cell, v.asInstanceOf[scala.collection.Seq[Float]].map(_.toDouble).toSeq)
@@ -182,6 +180,22 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "kept").as[(Long, Boolean)].collect()
     assert(out.length == assigned.length, "one verdict per vector")
     assert(out.filterNot(_._2).map(_._1).toSet == expectedDropped)
+  }
+
+  test("capped split bounds every splittable cell and keeps labels unique") {
+    val cells = SimilarityOps
+      .splitOversized(SimilarityOps.buildIvfIndex(spark, sf).assigned)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    // at max depth a residual cell may legitimately exceed the cap if
+    // its seeds tie; at fixture scale two levels must fully bound it
+    assert(cells.forall(_._2 <= SimilarityOps.SemDedupCap),
+      s"oversized cell survived the split: ${cells.filter(_._2 > SimilarityOps.SemDedupCap).toSeq}")
+    // composite labels never collide across split levels
+    assert(cells.map(_._1).distinct.length == cells.length)
+    // the split only relabels — membership is a permutation of input
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(cells.map(_._2).sum == n)
   }
 
   test("PQ ADC distances equal a driver-side recomputation, top-10 order and all") {
