@@ -32,6 +32,21 @@ object Bench {
 
     runFull("r_inner_join") // warmup: JIT + parquet footer caches
 
+    // Host-calibration probe: a FIXED-COST in-memory job (hash + sort
+    // 8M longs, no I/O, no data dependency) timed min-of-3. Its
+    // wall-clock depends only on the host, so total/calibration-ratio
+    // separates engine regressions from neighbor contention — the
+    // recorded calm-host probe value lives in BASELINE.md and
+    // inflation is a measured ratio, not an inference from totals.
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h").orderBy("h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calPre = calibrate()
+
     // optional arg: comma-separated query-name filter (dev loop only —
     // the driver always runs the full set with no args)
     val only = args.headOption.map(_.split(',').toSet)
@@ -72,7 +87,12 @@ object Bench {
     val qs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // probe again after the run: a contention window DURING the suite
+    // shows up as max(calPre, calPost) even if the start was calm
+    val calPost = calibrate()
+    val cal = f"""{"pre":$calPre%.3f,"post":$calPost%.3f}"""
+    System.err.println(f"[bench] calibration pre=$calPre%.3f s post=$calPost%.3f s")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$cal,"queries":$qs,"sf":"$sfDir"}""")
     // The full line above is ~6 KB at 129 queries; a tail-limited capture
     // (last ~2000 chars) loses its leading "metric"/"value" keys. Repeat
     // the totals WITHOUT the per-query map as the FINAL line so any
@@ -80,7 +100,7 @@ object Bench {
     // parseable total record. Distinct metric name ("total_tail", same
     // value fields) so a consumer collecting every metric=="total"
     // record doesn't double-count the run; contract noted in BASELINE.md.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","calibration":$cal,"queries":{},"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }
