@@ -29,7 +29,7 @@ object SparkEntry {
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
       CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries ++
-      SubqueryOps.queries
+      SubqueryOps.queries ++ graft.sources.AtomicPublish.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -75,7 +75,7 @@ object SparkEntry {
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
       LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
       CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++
-      SubqueryOps.oracles ++ Map(
+      SubqueryOps.oracles ++ graft.sources.AtomicPublish.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -197,6 +197,7 @@ object SparkEntry {
         |  ('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),
         |  ('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),
         |  ('e_profile', 5, 'column_name:string,n_nulls:bigint,n_distinct:bigint,min_len:bigint,max_len:bigint'),
+        |  ('e_publish_roundtrip', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_quality_gate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
         |  ('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
