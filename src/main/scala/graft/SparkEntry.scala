@@ -266,6 +266,7 @@ object SparkEntry {
         |  ('r_filter_eq_date', 6, 'o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string'),
         |  ('r_fk_lookup', 11, 'l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz'),
         |  ('r_inner_join', 12, 'o_orderkey:bigint,l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz'),
+        |  ('r_jdbc_agg', 4, 'n_regionkey:int,n_nations:bigint,max_key:int,min_key:int'),
         |  ('r_jdbc_join', 4, 'n_nationkey:int,n_name:string,n_suppliers:bigint,sum_acctbal:double'),
         |  ('r_jdbc_scan', 3, 'n_nationkey:int,n_name:string,n_regionkey:int'),
         |  ('r_jdbc_two_backends', 4, 'r_regionkey:int,r_name:string,n_customers:bigint,sum_acctbal:double'),

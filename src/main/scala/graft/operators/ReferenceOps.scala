@@ -194,6 +194,23 @@ object ReferenceOps {
       .orderBy("n_nationkey")
   }
 
+  /** A1/A2 — aggregate pushed INTO the remote engine: the DSv2 JDBC
+    * catalog path ([[graft.sources.JdbcFederation.readTableV2]]) with
+    * pushDownAggregate on, so this GROUP BY compiles into the
+    * backend's own SQL (PushedAggregates on the scan — pinned by
+    * JdbcFederationSpec) and the RDBMS ships 5 summary rows, not 25
+    * dim rows. AVG deliberately avoided: Spark only pushes it when the
+    * remote result is final (no partial re-merge), so MIN/MAX/COUNT
+    * keep the pushdown unconditional.
+    */
+  private val rJdbcAgg: Q = (spark, dir) =>
+    graft.sources.JdbcFederation.readTableV2(spark, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        max(col("n_nationkey")).as("max_key"),
+        min(col("n_nationkey")).as("min_key"))
+      .orderBy("n_regionkey")
+
   /** A1+A2 together — THREE engines in one plan: `nation` from the
     * first JDBC backend (pgmain), `region` from the second (mysqlmain),
     * the `customer` fact from parquet. This is the reference's whole
@@ -218,6 +235,7 @@ object ReferenceOps {
     "r_config_boot" -> rConfigBoot,
     "r_sql_template" -> rSqlTemplate,
     "r_jdbc_scan" -> rJdbcScan,
+    "r_jdbc_agg" -> rJdbcAgg,
     "r_jdbc_join" -> rJdbcJoin,
     "r_jdbc_two_backends" -> rJdbcTwoBackends,
     "r_scan_all" -> rScanAll,
@@ -241,6 +259,10 @@ object ReferenceOps {
     "r_jdbc_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin,
+    "r_jdbc_agg" ->
+      """SELECT n_regionkey, count(*)::BIGINT AS n_nations,
+        |max(n_nationkey) AS max_key, min(n_nationkey) AS min_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "r_jdbc_join" ->
       """SELECT n_nationkey, n_name, count(*)::BIGINT AS n_suppliers,
         |(sum(CAST(s_acctbal AS DECIMAL(18,2))))::DOUBLE AS sum_acctbal

@@ -163,6 +163,35 @@ object JdbcFederation {
 
   private val maxReconnects = 2
 
+  /** The same federated dim through Spark's DSv2 JDBC TABLE CATALOG —
+    * the path that adds AGGREGATE pushdown to the filter/projection
+    * pushdown the classic relation already has. One catalog per
+    * backend (`graft_pgmain` / `graft_mysqlmain`), each with
+    * `pushDownAggregate`/`pushDownLimit` on, so a grouped aggregate
+    * over a remote dim compiles into the backend's SQL (MIN/MAX/
+    * COUNT/SUM via the per-backend dialect's compileAggregate) and
+    * only |groups| rows cross the wire — `PushedAggregates` on the
+    * scan is the proof, pinned by JdbcFederationSpec. At 100 TB this
+    * is the difference between shipping a dimension's rows to the
+    * cluster and shipping its SUMMARY: the RDBMS answers the aggregate
+    * itself, exactly as the reference's pg did for its config-declared
+    * GROUP BY templates.
+    */
+  def readTableV2(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val u = ensureLoaded(spark, dir, table)
+    val cat = s"graft_${backendOf(table)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", u)
+    spark.conf.set(s"spark.sql.catalog.$cat.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$cat.pushDownLimit", "true")
+    // Derby creates quoted-lowercase tables under the default APP
+    // schema; the V2 identifier parts pass through to the dialect's
+    // quoted "APP"."<table>" lookup unchanged
+    spark.table(s"$cat.APP.$table")
+  }
+
   /** Observability: total reconnects performed this JVM (the spec
     * asserts exactly one for one killed connection).
     */

@@ -159,6 +159,37 @@ class JdbcFederationSpec extends SparkSpec {
     assert(after == before, "post-reconnect rows must be identical")
   }
 
+  test("grouped aggregate pushes into the remote engine (DSv2 catalog)") {
+    val df = JdbcFederation.readTableV2(spark, sf, "nation")
+      .groupBy(org.apache.spark.sql.functions.col("n_regionkey"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_nations"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("n_nationkey")).as("max_key"))
+    val p = df.queryExecution.executedPlan.toString
+    // the scan node itself advertises the compiled remote aggregate —
+    // the backend ships |groups| summary rows, not the dim
+    assert(p.contains("PushedAggregates"),
+      s"expected a pushed aggregate on the JDBC scan:\n$p")
+    assert(p.contains("MAX") && p.contains("COUNT"),
+      s"expected MAX/COUNT compiled into the remote SQL:\n$p")
+    assert(p.contains("PushedGroupByExpressions") ||
+      p.contains("n_regionkey"),
+      s"expected the group key pushed with the aggregate:\n$p")
+    // and the answer equals the parquet truth
+    val viaJdbc = df.orderBy("n_regionkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    val truth = Tables.load(spark, sf, "nation")
+      .groupBy("n_regionkey")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_nations"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("n_nationkey")).as("max_key"))
+      .orderBy("n_regionkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(viaJdbc == truth)
+  }
+
   test("K3: non-connection errors propagate without any reconnect") {
     val n0 = JdbcFederation.reconnectCount.get()
     intercept[IllegalArgumentException] {
