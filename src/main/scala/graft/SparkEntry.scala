@@ -116,6 +116,7 @@ object SparkEntry {
         |  ('e_ann_pq', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
         |  ('e_ann_recall', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
         |  ('e_ann_recall_pq', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
+        |  ('e_ann_recall_pq_structured', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
         |  ('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),
         |  ('e_argmax', 3, 'c_nationkey:int,best_acctbal:double,best_custkey:bigint'),
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),

@@ -681,6 +681,80 @@ object SimilarityOps {
         round(col("n_hits") / lit(10.0), 2).as("recall_at_k"))
   }
 
+  // ---------------------------------------------------------------
+  // Structured-embedding lane: the PQ recall TRIPWIRE
+  // ---------------------------------------------------------------
+
+  /** Deterministic CLUSTERED variant of the embeddings fixture: each
+    * vector becomes its cluster PROTOTYPE — 8.0 on dims
+    * [8c, 8c+8) for c = vec_id mod 8, zero elsewhere. Eight exactly
+    * orthogonal cones; within a cluster every vector is identical, so
+    * BOTH the exact ranking and the ADC ranking break ties by vec_id
+    * and the two top-10s must coincide. That is the point: the row
+    * pins PQ's actual deliverable — cluster discrimination — at
+    * recall 1.0, where any codebook slicing / ADC-table / probe bug
+    * mixes clusters and visibly drops it, while the unstructured
+    * `e_ann_recall_pq` row (0.2) keeps documenting the fidelity limit
+    * on jitter-ranked data that no correct PQ can beat.
+    */
+  private[graft] def structuredEmbeddings(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(floor(i / lit(8.0)).cast("long") === col("vec_id") % 8L,
+          lit(8.0f)).otherwise(lit(0.0f)))
+        .as("embedding"))
+
+  /** One structured index per (app, dir): the persisted clustered
+    * frame, its IVF assignment (same kmeans/assign code as the real
+    * index), and the query vector — built once, reused by every pass.
+    */
+  private val structuredCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (IvfIndex, Seq[Double])]()
+
+  private def structuredLane(spark: SparkSession,
+      dir: String): (IvfIndex, Seq[Double]) =
+    structuredCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val sv = structuredEmbeddings(spark, dir).persist()
+        val cents = kmeansCentroids(sv, 16, 2)
+        val assigned = sv.withColumn("cell", assignCell(cents)).persist()
+        assigned.count()
+        val q = sv.where(col("vec_id") === 0L).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble).toSeq
+        (IvfIndex(cents, assigned), q)
+      })
+
+  /** The SAME IVFADC path ([[ivfPqProbe]], [[pqAdcColumn]], seed-slice
+    * codebooks) over the clustered lane, where recall MUST be high:
+    * the spec floors it at 0.8, and the gate pins the exact value — a
+    * codebook slicing bug, a broken ADC table, or a probe regression
+    * that [[annRecallPq]]'s 0.2-on-unstructured-data can hide drops
+    * this row visibly. Complements, not replaces, the unstructured row
+    * (which documents PQ's fidelity trade in the regime without
+    * cluster structure).
+    */
+  private val annRecallPqStructured: Q = (spark, dir) => {
+    val (idx, q) = structuredLane(spark, dir)
+    val seeds = idx.assigned.where(col("vec_id") < PqK.toLong)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cb = Array.tabulate(PqM, PqK) { (m, c) =>
+      seeds(c).slice(m * PqSubDim, (m + 1) * PqSubDim)
+    }
+    val adc = ivfPqProbe(idx, cb, q).select("vec_id")
+    val exact = idx.assigned
+      .where(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        round(VectorOps.cosineConst(col("embedding"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10).select("vec_id")
+    adc.join(exact, Seq("vec_id"))
+      .agg(count(lit(1L)).as("n_hits"))
+      .select(lit(10).as("k"), col("n_hits"),
+        round(col("n_hits") / lit(10.0), 2).as("recall_at_k"))
+  }
+
   /** IVFADC against the PERSISTED index: the same on-disk
     * cell-partitioned layout [[annIvfPersisted]] probes, scored by ADC
     * — so a probe in a fresh session reads only the nprobe pruned cell
@@ -702,6 +776,7 @@ object SimilarityOps {
     "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
     "e_ann_recall" -> annRecall,
     "e_ann_recall_pq" -> annRecallPq,
+    "e_ann_recall_pq_structured" -> annRecallPqStructured,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
     "e_embedding_quantize" -> embQuantize,
@@ -797,6 +872,21 @@ object SimilarityOps {
          |FROM ivf JOIN exact USING (vec_id)""".stripMargin,
     // same composition for the COMPRESSED path: IVFADC top-10 vs the
     // uncompressed brute force
+    // same tripwire on the CLUSTERED lane, where recall must be high
+    // (spec floors it at 0.8); vecs redefined to the structured
+    // transform, everything downstream (assignment, PQ chain, probe,
+    // brute force) is the identical proven machinery
+    "e_ann_recall_pq_structured" ->
+      s"""WITH adc AS (SELECT vec_id FROM (${ivfPqOracleWith(StructuredVecsSql)}) t),
+         |exact AS (
+         |  SELECT vec_id FROM ($StructuredVecsSql) sv WHERE vec_id <> 0
+         |  ORDER BY round(list_cosine_similarity(sv.v,
+         |    (SELECT v FROM ($StructuredVecsSql) q WHERE vec_id = 0)),
+         |    6) DESC, vec_id LIMIT 10
+         |)
+         |SELECT 10 AS k, count(*)::BIGINT AS n_hits,
+         |round(count(*) / 10.0, 2) AS recall_at_k
+         |FROM adc JOIN exact USING (vec_id)""".stripMargin,
     "e_ann_recall_pq" ->
       s"""WITH adc AS (SELECT vec_id FROM ($ivfPqOracle) t),
          |exact AS (
@@ -900,7 +990,22 @@ object SimilarityOps {
        |  )
        |)""".stripMargin
 
-  private def assignmentPrefix(nlist: Int, iters: Int, dim: Int): String = {
+  private def DefaultVecsSql: String =
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+  /** DuckDB replay of [[structuredEmbeddings]]: same per-element CASE,
+    * same double arithmetic, same FLOAT round-trip.
+    */
+  private def StructuredVecsSql: String =
+    """SELECT vec_id,
+      |    [CAST(CASE WHEN (i-1)//8 = vec_id % 8
+      |        THEN 8.0 ELSE 0.0 END AS DOUBLE)
+      |      for i in range(1, 65)] AS v
+      |  FROM embeddings"""
+      .stripMargin
+
+  private def assignmentPrefix(nlist: Int, iters: Int, dim: Int,
+      vecsSql: String = DefaultVecsSql): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT e.vec_id, e.v, c.cell FROM vecs e CROSS JOIN $cents c
@@ -925,7 +1030,7 @@ object SimilarityOps {
         centCte(s"c$r", s"c${r - 1}", s"m$r"))
     }.mkString(",\n")
     s"""vecs AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  $vecsSql
        |), c0 AS (
        |  SELECT vec_id::INT AS cell, v AS c FROM vecs WHERE vec_id < $nlist
        |),
@@ -970,8 +1075,10 @@ object SimilarityOps {
        |)""".stripMargin
 
   /** Shared by e_ann_ivfpq and e_ann_ivfpq_persisted. */
-  private def ivfPqOracle: String =
-    s"""WITH ${assignmentPrefix(16, 2, 64)},
+  private def ivfPqOracle: String = ivfPqOracleWith(DefaultVecsSql)
+
+  private def ivfPqOracleWith(vecsSql: String): String =
+    s"""WITH ${assignmentPrefix(16, 2, 64, vecsSql)},
        |qv AS (SELECT v FROM vecs WHERE vec_id = 0),
        |probe AS (
        |  SELECT c.cell FROM c2 c CROSS JOIN qv

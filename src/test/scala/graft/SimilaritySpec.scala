@@ -182,6 +182,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filterNot(_._2).map(_._1).toSet == expectedDropped)
   }
 
+  test("structured-lane PQ recall is a real tripwire (floor 0.8)") {
+    // on the clustered lane the IVFADC path MUST rank well; 0.8 is the
+    // quality floor, the gate pins the exact value
+    val r = SimilarityOps.queries("e_ann_recall_pq_structured")(spark, sf)
+      .head()
+    assert(r.getLong(1) >= 8L,
+      s"structured PQ recall ${r.getDouble(2)} below the 0.8 floor")
+    // and the lane really is clustered: the query's top-10 exact
+    // neighbors all share its vec_id%8 cluster
+    val sv = SimilarityOps.structuredEmbeddings(spark, sf)
+    val q = sv.where($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val top = sv.where($"vec_id" =!= 0L)
+      .select($"vec_id",
+        graft.functions.VectorOps.cosineConst($"embedding", q).as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0))
+    assert(top.forall(_ % 8 == 0L),
+      s"exact top-10 crossed clusters: ${top.toSeq}")
+  }
+
   test("capped split bounds every splittable cell and keeps labels unique") {
     val cells = SimilarityOps
       .splitOversized(SimilarityOps.buildIvfIndex(spark, sf).assigned)
