@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Three-point growth curvature for the sweep's top growers: time each
+  * target at 1×/3×/10× of sf0.1 and FIT the scaling exponent b of
+  * t = a·n^b by least squares on log-log — two scale points cannot
+  * distinguish linear from quadratic (a 10× ratio of 16 is b≈1.2 OR a
+  * big constant over linear work; curvature separates them). Flags
+  * b > [[Bar]]: a linear-in-data operator with fixed overhead fits
+  * b ≤ 1 (overhead flattens the curve), so anything clearly above 1
+  * is genuine superlinearity, with 1.3 as the noise margin.
+  *
+  * Targets default to the recorded top growers of SWEEP.json (judge
+  * round 9 §4); args override. Output: one JSON line per query with
+  * the three times and the fitted exponent, then a summary line —
+  * also written to SWEEP_CURVE.json.
+  *
+  * Run: `sbt "runMain graft.SweepCurve"` (3× fixture generated into
+  * /tmp on first use, reused after).
+  */
+object SweepCurve {
+  private val Bar = 1.3
+
+  private val DefaultTargets = Seq(
+    "e_semdedup", "e_lang_id", "e_lang_confusion", "e_heavy_hitters",
+    "e_multimodal_png", "e_pii_redact", "e_fuzzy_join", "e_repetition",
+    "e_kmv_setops", "e_quality_score", "e_dedup_spans",
+    "e_collapse_repeats")
+
+  /** Least-squares slope of log t over log n. */
+  private def fitExponent(points: Seq[(Double, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1))
+    val ys = points.map(p => math.log(p._2))
+    val n = points.size
+    val mx = xs.sum / n
+    val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val varx = xs.map(x => (x - mx) * (x - mx)).sum
+    cov / varx
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val synth3 = "/tmp/graft_sf03_synth"
+    val synth10 = "/tmp/graft_sf1_synth"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.sources.SyntheticScale.ensure(spark, base, synth3, replicas = 3)
+    graft.sources.SyntheticScale.ensure(spark, base, synth10, replicas = 10)
+
+    val targets =
+      if (args.nonEmpty) args.toSeq else DefaultTargets
+    val unknown = targets.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    def runFull(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    // min-of-2 at every scale: first pass pays memoized builds (IVF
+    // index, staged features) exactly like ScaleSweep
+    def timed(name: String, dir: String): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      runFull(name, dir)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    runFull("r_inner_join", base)
+    runFull("r_inner_join", synth3)
+    runFull("r_inner_join", synth10)
+
+    val out = new StringBuilder
+    val flagged = scala.collection.mutable.ListBuffer.empty[String]
+    targets.foreach { name =>
+      val t1 = timed(name, base)
+      val t3 = timed(name, synth3)
+      val t10 = timed(name, synth10)
+      val b = fitExponent(Seq((1.0, t1), (3.0, t3), (10.0, t10)))
+      if (b > Bar) flagged += name
+      val line = f"""{"query":"$name","t1_sec":${t1}%.3f,"t3_sec":${t3}%.3f,"t10_sec":${t10}%.3f,"exponent":${b}%.3f}"""
+      System.err.println(
+        f"[curve] $name%-24s 1x=$t1%6.2f s  3x=$t3%6.2f s  10x=$t10%6.2f s  b=$b%5.2f")
+      println(line)
+      out.append(line).append('\n')
+    }
+    val summary =
+      s"""{"metric":"sweep_curve","bar":$Bar,"n_queries":${targets.size},"flagged":[${
+        flagged.map("\"" + _ + "\"").mkString(",")}]}"""
+    println(summary)
+    out.append(summary).append('\n')
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/SWEEP_CURVE.json"),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
