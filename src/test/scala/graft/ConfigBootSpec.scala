@@ -77,6 +77,42 @@ class ConfigBootSpec extends SparkSpec {
       Left("Route not found."))
   }
 
+  test("validateQueryVars properties mirror the examiner gates") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], i: Int): A =
+      g.pureApply(Gen.Parameters.default, Seed(i.toLong))
+    val okChars = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('_', '.', ' ', '-'))).map(_.mkString)
+    (0 until 60).foreach { i =>
+      val v = sample(okChars, i)
+      val r = ConfigBoot.validateQueryVars(Seq("x"), Map("x" -> v))
+      if (v.contains("--"))
+        assert(r == Left("SQL comments are forbidden as inputs."))
+      else assert(r == Right(Map("x" -> v)))
+    }
+    // out-of-domain characters always fail the alphanumeric gate
+    val bad = Gen.oneOf(';', '\'', '"', '%', '(', ')', '=', '$')
+    (0 until 60).foreach { i =>
+      val v = sample(okChars, i).filterNot(_ == '-') + sample(bad, 999 + i)
+      assert(ConfigBoot.validateQueryVars(Seq("x"), Map("x" -> v)) ==
+        Left("Query parameters must be alphanumeric."))
+    }
+    // rendered templates never contain an unvalidated $var: for any
+    // validated assignment, rendering is exact substitution
+    (0 until 40).foreach { i =>
+      val v = sample(okChars, i)
+      if (!v.contains("--")) {
+        val ns = ConfigBoot.boot(
+          s"""{"databases":[{"name":"d","type":"pg","queries":
+             |{"q":"SELECT '$$a' AS echoed"}}]}""".stripMargin)
+        val out = Router.dispatch(ns, "/q/d/q", Map("a" -> v))(spark, sf)
+        assert(out.isRight, s"render failed for ${v.take(40)}: $out")
+        assert(out.toOption.get.head().getString(0) == v)
+      }
+    }
+  }
+
   test("last-writer-wins bare-name aliasing across config databases") {
     val two =
       """{"databases": [
