@@ -31,9 +31,14 @@ object CdcOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Inserted keys land above every snapshot key (fixture keys are
-    * dense from 0; the offset keeps the two ranges disjoint).
+    * dense from 0; the offset keeps the two ranges disjoint). 10^10
+    * clears every reachable key range — TPC-H orderkeys stay below
+    * 6M·SF and the 10× synthetic sweep shifts replicas by i·10M (max
+    * ~10^8); the assert_true in [[changeBatch]] still fails loudly if
+    * a corpus ever crosses it (the r10 spill rehearsal caught exactly
+    * that with the old 10M offset at the synthetic 10×).
     */
-  private val InsertOffset = 10000000L
+  private val InsertOffset = 10000000000L
 
   /** Deterministic change batch derived from the snapshot itself:
     * keys ≡ 0,1 (mod 10) get an update (+1000.0 — exact double
@@ -121,7 +126,7 @@ object CdcOps {
 
   private val changesCte: String =
     """changes AS (
-      |  SELECT CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey + 10000000
+      |  SELECT CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey + 10000000000
       |              ELSE o_orderkey END AS key,
       |         CASE WHEN o_orderkey % 10 IN (0, 1) THEN 'U'
       |              WHEN o_orderkey % 10 = 2 THEN 'D'

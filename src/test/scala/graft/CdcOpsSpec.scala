@@ -31,7 +31,7 @@ class CdcOpsSpec extends SparkSpec {
       (13L, "F", 130.0, "kept"), // the insert-source row itself survives
       (14L, "P", 140.0, "kept"),
       (19L, "P", 190.0, "kept"),
-      (10000013L, "I", 1130.0, "inserted")))
+      (10000000013L, "I", 1130.0, "inserted")))
   }
 
   test("mergeUpsert output keys are unique") {
@@ -44,7 +44,7 @@ class CdcOpsSpec extends SparkSpec {
     val r = CdcOps.snapshotDiff(snapshot, after).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
     assert(r === List(
-      ("added", 1L, 10000013L),
+      ("added", 1L, 10000000013L),
       ("changed", 2L, 21L),
       ("removed", 1L, 12L),
       ("unchanged", 3L, 13L + 14L + 19L)))
