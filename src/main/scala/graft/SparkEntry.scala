@@ -244,8 +244,11 @@ object SparkEntry {
         |  ('e_topk_per_key', 3, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double'),
         |  ('e_tpch_q10', 5, 'c_custkey:bigint,c_name:string,revenue:double,c_acctbal:double,n_name:string'),
         |  ('e_tpch_q13', 2, 'c_count:bigint,custdist:bigint'),
+        |  ('e_tpch_q14', 3, 'promo_pct:double,promo_rev:double,total_rev:double'),
+        |  ('e_tpch_q16', 4, 'p_brand:string,p_type:string,p_size:int,supplier_cnt:bigint'),
         |  ('e_tpch_q17', 2, 'sum_small_rev:double,n_small:bigint'),
         |  ('e_tpch_q18', 4, 'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,total_qty:double'),
+        |  ('e_tpch_q19', 2, 'revenue:double,n_items:bigint'),
         |  ('e_tpch_q21', 2, 's_name:string,numwait:bigint'),
         |  ('e_tpch_q22', 3, 'cntrycode:int,numcust:bigint,totacctbal:double'),
         |  ('e_tpch_q3', 3, 'l_orderkey:bigint,revenue:double,o_orderdate:timestamp_ntz'),

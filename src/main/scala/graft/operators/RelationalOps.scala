@@ -193,6 +193,51 @@ object RelationalOps {
       .limit(10)
   }
 
+  /** TPC-H Q14 shape (promotion effect): conditional aggregation over
+    * a fact⋈dim join — CASE inside the sum, one pass, dim broadcast.
+    * Both branches sum in DECIMAL(18,6) (associative, partial-agg
+    * safe); the ratio divides two exactly-representable doubles.
+    */
+  private val tpchQ14: Q = (spark, dir) => {
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp_ntz"))
+    val p = Tables.load(spark, dir, "part")
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 6))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(18, 6)))).as("promo"),
+        sum(rev).as("total"))
+      .select(
+        round(lit(100.0) * col("promo").cast("double") /
+          col("total").cast("double"), 6).as("promo_pct"),
+        col("promo").cast("double").as("promo_rev"),
+        col("total").cast("double").as("total_rev"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    * OR-of-ANDs join filter that exercises CNF extraction — Catalyst
+    * pushes the common conjuncts it can derive (p_size lower bound,
+    * quantity range hull) to the scans and evaluates the disjunction
+    * post-join; the brand/size dim side broadcasts.
+    */
+  private val tpchQ19: Q = (spark, dir) => {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(cond)
+      .agg(discRevenue, count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q5 shape (local-supplier volume): the six-way join — fact
     * tables shuffle on their keys, the three dims (supplier, nation,
     * region) broadcast — with the local-supplier constraint
@@ -847,6 +892,8 @@ object RelationalOps {
     "e_tpch_q7" -> tpchQ7,
     "e_tpch_q10" -> tpchQ10,
     "e_tpch_q13" -> tpchQ13,
+    "e_tpch_q14" -> tpchQ14,
+    "e_tpch_q19" -> tpchQ19,
     "e_tpch_q18" -> tpchQ18,
     "e_share_of_total" -> shareOfTotal,
     "e_profile" -> profile,
@@ -1055,6 +1102,32 @@ object RelationalOps {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |)
+        |SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct,
+        |CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+        |CAST(sum(rev) AS DOUBLE) AS total_rev
+        |FROM j""".stripMargin,
+    "e_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "e_tpch_q3" ->
       """SELECT l_orderkey,
         |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))

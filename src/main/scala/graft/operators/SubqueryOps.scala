@@ -117,6 +117,19 @@ object SubqueryOps {
         |      AND o_orderpriority = '1-URGENT')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+    // Q16 shape: NOT IN subquery + multi-key grouped count(DISTINCT)
+    // (the part-supplier relationship flows through lineitem — the
+    // fixture has no partsupp table; "complaint" suppliers are the
+    // negative-balance ones, standing in for the comment LIKE).
+    "e_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 20)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.00)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     // IN + NOT IN in one predicate: semi on c_custkey, anti on
     // l_orderkey (null-free subquery columns, so NOT IN keeps simple
     // anti-join semantics on both engines).
