@@ -268,6 +268,7 @@ object SparkEntry {
         |  ('r_desc_table', 3, 'col_name:string,data_type:string,nullable:boolean'),
         |  ('r_dynamic_proj', 1, 'c_name:string'),
         |  ('r_filter_eq_date', 6, 'o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string'),
+        |  ('r_ffi_route', 3, 'country:string,year:bigint,value:bigint'),
         |  ('r_fk_lookup', 11, 'l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz'),
         |  ('r_inner_join', 12, 'o_orderkey:bigint,l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz'),
         |  ('r_jdbc_agg', 4, 'n_regionkey:int,n_nations:bigint,max_key:int,min_key:int'),

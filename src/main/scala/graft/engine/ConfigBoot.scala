@@ -42,7 +42,19 @@ object ConfigBoot {
   final case class ConfigQuery(name: String, template: String)
   final case class ConfigDatabase(
       name: String, dbType: String, queries: Seq[ConfigQuery])
-  final case class ConfigCatalog(databases: Seq[ConfigDatabase])
+
+  /** One external REST route (`externalServices[].routes[]`,
+    * config.json:44-50): `localpath` declares `$var` path segments;
+    * `path` is the handlebars template for the remote URI.
+    */
+  final case class FfiRoute(service: String, baseUri: String,
+      method: String, localpath: String, remoteTemplate: String) {
+    val localSegments: Seq[String] =
+      localpath.split("/").filter(_.nonEmpty).toSeq
+  }
+
+  final case class ConfigCatalog(databases: Seq[ConfigDatabase],
+      externalServices: Seq[FfiRoute] = Seq.empty)
 
   private val mapper = new ObjectMapper
 
@@ -64,7 +76,18 @@ object ConfigBoot {
           dbType = Option(db.get("type")).map(_.asText).getOrElse(""),
           queries = queries)
       }
-    ConfigCatalog(dbs)
+    val ffi = Option(root.get("externalServices"))
+      .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+      .flatMap { svc =>
+        val name = svc.get("name").asText
+        val base = Option(svc.get("baseURI")).map(_.asText).getOrElse("")
+        Option(svc.get("routes")).map(_.elements.asScala.toSeq)
+          .getOrElse(Seq.empty)
+          .map(r => FfiRoute(name, base,
+            Option(r.get("method")).map(_.asText).getOrElse("get"),
+            r.get("localpath").asText, r.get("path").asText))
+      }
+    ConfigCatalog(dbs, ffi)
   }
 
   /** Register every config-declared query into a [[Namespaces]]
@@ -73,13 +96,15 @@ object ConfigBoot {
     * The zero-args `build` covers parameterless templates; templated
     * dispatch with args goes through [[Router.dispatch]] → [[run]].
     */
-  def register(ns: Namespaces, cat: ConfigCatalog): Unit =
+  def register(ns: Namespaces, cat: ConfigCatalog): Unit = {
     for (db <- cat.databases; q <- db.queries)
       ns.register(db.name, NamedQuery(
         q.name,
         (s, d) => run(s, d, q.template, Seq.empty, Map.empty),
         None,
         template = Some(q.template)))
+    cat.externalServices.foreach(ns.registerFfi)
+  }
 
   /** Parse + register + return, the whole boot in one call. */
   def boot(jsonText: String): Namespaces = {
@@ -123,6 +148,41 @@ object ConfigBoot {
     }
     if (fail.nonEmpty) Left(fail.mkString("\n")) else Right(ok.toMap)
   }
+
+  private val HbVar = "\\{\\{\\s*(\\w+)\\s*\\}\\}".r
+
+  /** Execute one FFI route: bind `$var` path segments positionally
+    * (the reference rewrites `$var` → `:var` Express params,
+    * index.js:334-336), validate through the examiner gates, render
+    * the handlebars remote template (index.js:338,355), fetch
+    * `baseURI + remotePath` over REAL HTTP, and materialize the JSON
+    * response as a DataFrame (the [[graft.sources.ExternalJson]]
+    * upgrade of the reference's opaque pipe, index.js:358-361).
+    */
+  def runFfi(spark: SparkSession, route: FfiRoute,
+      segments: Seq[String]): DataFrame = {
+    val vars = route.localSegments.zip(segments).collect {
+      case (p, v) if p.startsWith("$") => p.drop(1) -> v
+    }.toMap
+    val qvars = findQvars(route.localpath)
+    val vals = validateQueryVars(qvars, vars) match {
+      case Left(err) => throw new IllegalArgumentException(err)
+      case Right(v) => v
+    }
+    val remote = HbVar.replaceAllIn(route.remoteTemplate,
+      m => java.util.regex.Matcher.quoteReplacement(
+        vals.getOrElse(m.group(1), "")))
+    graft.sources.ExternalJson.fetch(spark, route.baseUri + remote)
+  }
+
+  /** Does a request path match a route's localpath pattern? `$var`
+    * segments match anything; literals must match exactly.
+    */
+  def ffiMatches(route: FfiRoute, segments: Seq[String]): Boolean =
+    route.localSegments.size == segments.size &&
+      route.localSegments.zip(segments).forall {
+        case (p, v) => p.startsWith("$") || p == v
+      }
 
   /** Execute one config template: validate + render `$var`s
     * (reference handler, index.js:277-303), then bind `?` positions

@@ -41,6 +41,16 @@ final class Namespaces {
   def names(db: String): Set[String] =
     byDb.keySet.collect { case (d, n) if d == db => n }.toSet
   def legacyNames: Set[String] = legacy.keySet.toSet
+
+  // External REST routes (`/ffi/<service><localpath>`, the reference's
+  // makeRESTroute registry — index.js:327-366), keyed by service.
+  private val ffi = TrieMap.empty[(String, String), ConfigBoot.FfiRoute]
+
+  def registerFfi(r: ConfigBoot.FfiRoute): Unit =
+    ffi.put((r.service, r.localpath), r)
+  def ffiRoutes(service: String): Seq[ConfigBoot.FfiRoute] =
+    ffi.collect { case ((s, _), r) if s == service => r }.toSeq
+  def ffiServices: Set[String] = ffi.keySet.map(_._1).toSet
 }
 
 object Namespaces {
@@ -91,6 +101,14 @@ object Router {
       case None => Left("Route not found.")
     }
     path.split("/").filter(_.nonEmpty).toList match {
+      case "ffi" :: service :: rest =>
+        if (!ns.ffiServices.contains(service)) Left("Route not found.")
+        else ns.ffiRoutes(service)
+          .find(r => ConfigBoot.ffiMatches(r, rest)) match {
+          case None => Left("Route not found.")
+          case Some(r) =>
+            SqlTemplates.tryQuery(ConfigBoot.runFfi(spark, r, rest))
+        }
       case "q" :: db :: qname :: rest =>
         if (!ns.databases.contains(db)) Left("Database not found.")
         else ns.lookup(db, qname)

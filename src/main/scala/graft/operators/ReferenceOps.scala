@@ -164,6 +164,43 @@ object ReferenceOps {
       "/q/billing/orders_big/F", Map("minp" -> "400000.0"))(spark, dir)
       .fold(e => throw new IllegalStateException(e), identity)
 
+  /** A4 — config-declared external REST route executed end-to-end:
+    * the reference's `externalServices` boot (makeRESTroute,
+    * index.js:327-366; WorldBank example config.json:41-53) — a
+    * `$var` localpath registered at startup, values bound from path
+    * segments through the examiner gates, the handlebars remote
+    * template rendered, and the remote URI fetched over REAL HTTP
+    * (loopback fixture server; the JSON hop, schema inference, and
+    * route machinery are all live). Feed values are pure arithmetic
+    * of (country, year), so DuckDB reconstructs the response exactly.
+    */
+  private val rFfiRoute: Q = (spark, _) => {
+    val srv = graft.sources.HttpFixtureServer.start()
+    try {
+      val ns = ConfigBoot.boot(
+        s"""{
+           |  "externalServices": [
+           |    {
+           |      "name": "WorldBank",
+           |      "baseURI": "${srv.baseUrl}/countries",
+           |      "routes": [
+           |        {
+           |          "method": "get",
+           |          "localpath": "/countrydata/$$country/$$fromYear/$$toYear",
+           |          "path": "/{{ country }}/indicators/NY.GDP.PCAP.CD?format=json&date={{ fromYear }}:{{ toYear }}"
+           |        }
+           |      ]
+           |    }
+           |  ]
+           |}""".stripMargin)
+      Router.dispatch(ns, "/ffi/WorldBank/countrydata/DE/1995/1998")(
+        spark, "")
+        .fold(e => throw new IllegalStateException(e), identity)
+        .select(col("country"), col("year"), col("value"))
+        .orderBy("year")
+    } finally srv.stop()
+  }
+
   /** A1/A2 — live heterogeneous federation: the reference's core
     * identity is pg + mysql under one namespace (index.js:230-252,
     * config.json:11-40). The `nation` dim lives in a REAL second
@@ -233,6 +270,7 @@ object ReferenceOps {
 
   val queries: Map[String, Q] = Map(
     "r_config_boot" -> rConfigBoot,
+    "r_ffi_route" -> rFfiRoute,
     "r_sql_template" -> rSqlTemplate,
     "r_jdbc_scan" -> rJdbcScan,
     "r_jdbc_agg" -> rJdbcAgg,
@@ -259,6 +297,16 @@ object ReferenceOps {
     "r_jdbc_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin,
+    // 'DE' UTF-8 codes sum to 137 -> value = 13700 + year%100
+    "r_ffi_route" ->
+      """SELECT 'DE' AS country, CAST(y AS BIGINT) AS year,
+        |CAST(13700 + y % 100 AS BIGINT) AS value
+        |FROM generate_series(1995, 1998) AS t(y) ORDER BY year""".stripMargin,
+    // 'DE' UTF-8 codes sum to 137 -> value = 13700 + year%100
+    "r_ffi_route" ->
+      """SELECT 'DE' AS country, CAST(y AS BIGINT) AS year,
+        |CAST(13700 + y % 100 AS BIGINT) AS value
+        |FROM generate_series(1995, 1998) AS t(y) ORDER BY year""".stripMargin,
     "r_jdbc_agg" ->
       """SELECT n_regionkey, count(*)::BIGINT AS n_nations,
         |max(n_nationkey) AS max_key, min(n_nationkey) AS min_key

@@ -74,6 +74,26 @@ final class HttpFixtureServer private (server: HttpServer,
       respond(ex, 200,
         s"""{"count":${if (b < a) 0L else b - a + 1},"min":$a,"max":$b}""")
     })
+    // The reference's externalServices example is a WorldBank
+    // indicator feed (config.json:41-53: remote path `/{{ country }}/
+    // indicators/<ind>?format=json&date={{ fromYear }}:{{ toYear }}`).
+    // Deterministic analog: one row per year in the requested range,
+    // value = sum(country UTF-8 codes)·100 + year%100 — pure
+    // arithmetic, so a DuckDB oracle reconstructs the feed exactly.
+    server.createContext("/countries", { ex =>
+      seen.add(s"${ex.getRequestURI.getPath}?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}")
+      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      val p = params(ex)
+      (segs.lift(1), p.get("date").map(_.split(":"))) match {
+        case (Some(country), Some(Array(fromY, toY))) =>
+          val base = country.getBytes("UTF-8").map(_.toLong).sum * 100
+          val rows = (fromY.toInt to toY.toInt).map(y =>
+            s"""{"country":"$country","year":$y,"value":${base + y % 100}}""")
+          respond(ex, 200, rows.mkString("[", ",", "]"))
+        case _ =>
+          respond(ex, 400, """{"ok":false,"error":"country and date=from:to are required"}""")
+      }
+    })
     server.createContext("/items", { ex =>
       seen.add(s"${ex.getRequestURI.getPath}?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}")
       val p = params(ex)

@@ -113,6 +113,44 @@ class ConfigBootSpec extends SparkSpec {
     }
   }
 
+  test("config-declared FFI route: match, validate, render, fetch") {
+    val srv = graft.sources.HttpFixtureServer.start()
+    try {
+      val ns = ConfigBoot.boot(
+        s"""{"externalServices":[{"name":"WorldBank",
+           |"baseURI":"${srv.baseUrl}/countries",
+           |"routes":[{"method":"get",
+           |"localpath":"/countrydata/$$country/$$fromYear/$$toYear",
+           |"path":"/{{ country }}/indicators/NY.GDP.PCAP.CD?format=json&date={{ fromYear }}:{{ toYear }}"}]}]}"""
+          .stripMargin.replace("\n", ""))
+      assert(ns.ffiServices == Set("WorldBank"))
+      val ok = Router.dispatch(ns,
+        "/ffi/WorldBank/countrydata/FR/1990/1992")(spark, "")
+      val rows = ok.toOption.get.select("country", "year", "value")
+        .orderBy("year").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // 'FR' codes 70+82=152 -> 15200 + y%100
+      assert(rows == Seq(("FR", 1990L, 15290L), ("FR", 1991L, 15291L),
+        ("FR", 1992L, 15292L)))
+      // the remote URI actually carried the rendered template
+      assert(srv.requests.exists(r =>
+        r.contains("/countries/FR/indicators/NY.GDP.PCAP.CD") &&
+          r.contains("date=1990:1992")), srv.requests.toString)
+      // examiner gates apply to path-segment vars
+      assert(Router.dispatch(ns,
+        "/ffi/WorldBank/countrydata/F;R/1990/1992")(spark, "") ==
+        Left("Query parameters must be alphanumeric."))
+      // unknown service / unmatched localpath
+      assert(Router.dispatch(ns, "/ffi/Nope/x")(spark, "") ==
+        Left("Route not found."))
+      assert(Router.dispatch(ns, "/ffi/WorldBank/other/a/b/c")(spark, "") ==
+        Left("Route not found."))
+      assert(Router.dispatch(ns,
+        "/ffi/WorldBank/countrydata/FR/1990")(spark, "") ==
+        Left("Route not found."))
+    } finally srv.stop()
+  }
+
   test("last-writer-wins bare-name aliasing across config databases") {
     val two =
       """{"databases": [
