@@ -146,6 +146,7 @@ object SparkEntry {
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),
+        |  ('e_dsir_select', 3, 'lang:string,n_sel:bigint,avg_score:double'),
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_embedding_quantize', 4, 'vec_id:bigint,scale_r:double,q_checksum:bigint,q_max:bigint'),
         |  ('e_fingerprint', 2, 'doc_id:bigint,md5_fp:string'),

@@ -416,7 +416,64 @@ object PrepOps {
       .orderBy("lang", "shard")
   }
 
+  // ---------------------------------------------------------------
+  // DSIR-style importance selection
+  // ---------------------------------------------------------------
+
+  private val DsirQuota = 50
+
+  /** Data selection via importance weighting (the DSIR shape — Xie et
+    * al. 2023, arXiv:2302.03169: hashed-n-gram importance weights
+    * between a target and a source distribution, then resample).
+    * Integer-exact variant: a unigram feature is TARGET-AFFINE iff its
+    * target-corpus probability exceeds its source probability —
+    * decided by long cross-multiplication c_t·N_s > c_s·N_t, never a
+    * division or log (transcendental libm ulps differ per platform;
+    * the ratio ORDERING is what selection consumes). A document's
+    * score is its affine-token fraction; the top-quota docs by
+    * (score, doc_id) are selected and reported per language — the
+    * composition shift toward the target domain is the observable.
+    *
+    * 100 TB shape: one explode, a (doc,term) and a term aggregate
+    * (both map-side combined), one shuffle join on term, a per-doc
+    * aggregate, and TakeOrderedAndProject for the quota — no global
+    * sort, no window; the only all-reduce is the two-long totals row,
+    * broadcast back.
+    */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+      quota: Int = DsirQuota): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val feat = toks.groupBy("term").agg(
+      count(lit(1)).as("c_s"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+    val totals = feat.agg(sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
+    val sel = tf.join(feat, "term").crossJoin(broadcast(totals))
+      .withColumn("aff",
+        when(col("c_t") * col("n_s") > col("c_s") * col("n_t"), col("tf"))
+          .otherwise(lit(0L)))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_toks"), sum(col("aff")).as("n_aff"))
+      .withColumn("score",
+        round(col("n_aff").cast("double") / col("n_toks"), 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(quota)
+    sel.groupBy("lang")
+      .agg(count(lit(1)).as("n_sel"),
+        round(sum(col("score")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("avg_score"))
+      .orderBy("lang")
+  }
+
+  private val dsirQ: Q = (spark, dir) =>
+    dsirSelect(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, Q] = Map(
+    "e_dsir_select" -> dsirQ,
     "e_pipeline_mix_pack" -> mixPack,
     "e_mixture_sample" -> mixture,
     "e_mixture_sample_topk" -> mixtureTopK,
@@ -464,6 +521,36 @@ object PrepOps {
        |ORDER BY lang, mix_rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // DuckDB replay of [[dsirSelect]]: integer cross-multiplied
+    // affinity (HUGEINT-exact), one double division per doc rounded
+    // to 6dp, decimal-exact avg of the rounded scores.
+    "e_dsir_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |  FROM documents
+         |), toks2 AS (SELECT * FROM toks WHERE length(term) > 0),
+         |tf AS (
+         |  SELECT doc_id, lang, term, count(*) AS tf
+         |  FROM toks2 GROUP BY doc_id, lang, term
+         |), feat AS (
+         |  SELECT term, count(*) AS c_s,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+         |  FROM toks2 GROUP BY term
+         |), tot AS (SELECT sum(c_s) AS n_s, sum(c_t) AS n_t FROM feat),
+         |sel AS (
+         |  SELECT lang,
+         |    round(sum(CASE WHEN c_t * (SELECT n_s FROM tot)
+         |        > c_s * (SELECT n_t FROM tot) THEN tf ELSE 0 END)::DOUBLE
+         |      / sum(tf), 6) AS score,
+         |    doc_id
+         |  FROM tf JOIN feat USING (term) GROUP BY doc_id, lang
+         |  ORDER BY score DESC, doc_id LIMIT $DsirQuota
+         |)
+         |SELECT lang, count(*)::BIGINT AS n_sel,
+         |  round((sum(score::DECIMAL(18,6)))::DOUBLE / count(*), 6)
+         |    AS avg_score
+         |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
     // Mixture ranked-CTE + chunk starts + shard hash composed exactly
     // as the engine fuses them; constants generated from the same
     // Scala values.

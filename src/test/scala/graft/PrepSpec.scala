@@ -186,6 +186,33 @@ class PrepSpec extends SparkSpec {
     assert(sup.headOption.map(_._4).getOrElse(0L) == small)
   }
 
+  test("dsirSelect shifts selection toward the target domain") {
+    import graft.operators.PrepOps
+    // synthetic corpus: 'en' docs share a domain vocabulary, others
+    // don't — importance selection must pick the domain-worded rows
+    // regardless of their declared lang
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "alpha beta gamma delta", "en")) ++
+        (21 to 40).map(i => (i.toLong, "zeta eta theta iota", "de")) ++
+        Seq((41L, "alpha beta noise words", "fr"))
+      ).toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val sel = PrepOps.dsirSelect(docs, targetLang = "en", quota = 21)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all 20 en docs score 1.0; the fr doc with 2/4 domain tokens
+    // outranks every pure-de doc (score 0.0)
+    assert(sel.getOrElse("en", 0L) == 20L, sel.toString)
+    assert(sel.getOrElse("fr", 0L) == 1L, sel.toString)
+    assert(!sel.contains("de"), sel.toString)
+  }
+
+  test("dsir quota fuses to TakeOrderedAndProject, no global sort") {
+    val plan = SparkEntry.queries("e_dsir_select")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"quota selection must not global-sort:\n$plan")
+  }
+
   test("chunk explode does not re-evaluate the token split in the scan") {
     // the e_decontaminate regression shape: an inferred filter on a
     // derived HOF column substituted into the scan. explode_outer emits
