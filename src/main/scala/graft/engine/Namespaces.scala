@@ -94,6 +94,13 @@ object Router {
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Either[String, org.apache.spark.sql.DataFrame] = {
     def runQ(q: NamedQuery, args: List[String]) = q.template match {
+      // Express mounts the route with exactly `arity` `:pN` segments
+      // (index.js:270-272,318-319), so EXTRA segments never match —
+      // 404. FEWER is reachable (params may arrive as query params
+      // instead) and surfaces as the handler's `Missing parameter: pN`
+      // error; ConfigBoot.run reproduces that shape.
+      case Some(t) if args.size > SqlTemplates.positionalArity(t) =>
+        Left("Route not found.")
       case Some(t) =>
         SqlTemplates.tryQuery(ConfigBoot.run(spark, dir, t, args, vars))
       case None if args.isEmpty =>

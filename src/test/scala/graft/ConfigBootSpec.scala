@@ -77,6 +77,16 @@ class ConfigBootSpec extends SparkSpec {
       Left("Route not found."))
   }
 
+  test("extra positional segments 404 like the Express exact-match route") {
+    val ns = ConfigBoot.boot(ReferenceOps.FixtureConfig)
+    // orders_big has arity 1: two positionals never match the route
+    assert(Router.dispatch(ns, "/q/billing/orders_big/F/zzz",
+      Map("minp" -> "400000.0"))(spark, sf) == Left("Route not found."))
+    // parameterless template with any positional: same 404
+    assert(Router.dispatch(ns, "/q/billing/regions/x")(spark, sf) ==
+      Left("Route not found."))
+  }
+
   test("validateQueryVars properties mirror the examiner gates") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
