@@ -116,15 +116,22 @@ object Router {
           case Some(r) =>
             SqlTemplates.tryQuery(ConfigBoot.runFfi(spark, r, rest))
         }
+      // Unknown qname WITH extra segments is a pure Express 404 (no
+      // route was ever mounted for any arity); the bare unknown-qname
+      // case keeps the documented `Query "…" not found.` envelope.
       case "q" :: db :: qname :: rest =>
         if (!ns.databases.contains(db)) Left("Database not found.")
-        else ns.lookup(db, qname)
-          .toRight(s"""Query "$qname" not found.""")
-          .flatMap(runQ(_, rest))
+        else ns.lookup(db, qname) match {
+          case None if rest.nonEmpty => Left("Route not found.")
+          case None => Left(s"""Query "$qname" not found.""")
+          case Some(q) => runQ(q, rest)
+        }
       case "query" :: qname :: rest =>
-        ns.lookupLegacy(qname)
-          .toRight(s"""Query "$qname" not found.""")
-          .flatMap(runQ(_, rest))
+        ns.lookupLegacy(qname) match {
+          case None if rest.nonEmpty => Left("Route not found.")
+          case None => Left(s"""Query "$qname" not found.""")
+          case Some(q) => runQ(q, rest)
+        }
       case _ => Left("Route not found.")
     }
   }

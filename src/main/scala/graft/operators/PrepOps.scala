@@ -451,9 +451,15 @@ object PrepOps {
       count(lit(1)).as("c_s"),
       sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
     val totals = feat.agg(sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
+    // cross-multiply in DECIMAL(38,0): at corpus scale (n_s ~ 10^13
+    // tokens at 100 TB) the long product c_s·n_t overflows 2^63 —
+    // decimal keeps the comparison exact at any reachable scale and
+    // matches the oracle's HUGEINT arithmetic (r10 self-review)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val sel = tf.join(feat, "term").crossJoin(broadcast(totals))
       .withColumn("aff",
-        when(col("c_t") * col("n_s") > col("c_s") * col("n_t"), col("tf"))
+        when(col("c_t").cast(d38) * col("n_s") >
+          col("c_s").cast(d38) * col("n_t"), col("tf"))
           .otherwise(lit(0L)))
       .groupBy("doc_id", "lang")
       .agg(sum(col("tf")).as("n_toks"), sum(col("aff")).as("n_aff"))

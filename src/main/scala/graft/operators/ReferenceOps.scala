@@ -302,11 +302,6 @@ object ReferenceOps {
       """SELECT 'DE' AS country, CAST(y AS BIGINT) AS year,
         |CAST(13700 + y % 100 AS BIGINT) AS value
         |FROM generate_series(1995, 1998) AS t(y) ORDER BY year""".stripMargin,
-    // 'DE' UTF-8 codes sum to 137 -> value = 13700 + year%100
-    "r_ffi_route" ->
-      """SELECT 'DE' AS country, CAST(y AS BIGINT) AS year,
-        |CAST(13700 + y % 100 AS BIGINT) AS value
-        |FROM generate_series(1995, 1998) AS t(y) ORDER BY year""".stripMargin,
     "r_jdbc_agg" ->
       """SELECT n_regionkey, count(*)::BIGINT AS n_nations,
         |max(n_nationkey) AS max_key, min(n_nationkey) AS min_key

@@ -418,7 +418,7 @@ object SimilarityOps {
     * members (seeding frozen at the cell's own data, no Lloyd rounds)
     * and re-assign members by the SAME argmax-cosine / higher-label
     * tie-break rule the top-level quantizer uses. Labels compose as
-    * cell·131 + seedRank + 1, so every path through the split tree is
+    * (cell+1)·131 + seedRank, so every path through the split tree is
     * a distinct INT and unsplit cells keep their ids.
     *
     * Cost: each level is one window pass (size + seed rank) and one
@@ -467,14 +467,25 @@ object SimilarityOps {
           Window.partitionBy("cell", "vec_id")
             .orderBy(col("scos").desc, col("sr").desc)))
         .where(col("rn") === 1)
+        // child label (cell+1)·131 + sr: the +1 keeps the multiplied
+        // term nonzero, so cell 0's children land at 131..134, never
+        // on an UNSPLIT sibling's label (the original cell·131+sr+1
+        // mapped cell 0's children onto labels 1..4 — a silent merge
+        // with top-level cells 1..4 whenever those stayed under the
+        // cap; caught by the r10 self-review). Level-2 children start
+        // at (131+1)·131 = 17292, above every level-1 label (≤ 2230),
+        // so ranges stay disjoint across levels too.
         .select(col("vec_id"), col("embedding"),
-          (col("cell") * SemDedupLabelBase + col("sr") + 1)
+          ((col("cell") + 1) * SemDedupLabelBase + col("sr"))
             .cast("int").as("cell"))
       // persist per level: the union feeds multiple downstream
       // branches which would each re-derive the windowed frame —
       // without a boundary level L's plan holds ~2^L copies of level 1
       // (measured 4.3 s on a 0.1 s data volume, pure DAG re-evaluation)
-      cur = small.unionByName(re).persist()
+      val next = small.unionByName(re).persist()
+      next.count() // materialize, then drop the previous level's blocks
+      if (cur ne assigned) cur.unpersist()
+      cur = next
     }
     cur
   }
@@ -861,7 +872,7 @@ object SimilarityOps {
     // unrolled capped-split levels ([[splitOversized]]: oversized
     // cells seed a Branch-way sub-quantizer with their lowest-id
     // members, argmax-cosine / higher-seed tie-break, composite
-    // cell·131+r+1 labels), then the within-cell a<b pair scan at
+    // (cell+1)·131+r labels), then the within-cell a<b pair scan at
     // round(cos,6) >= tau and the keep-mark left join.
     "e_semdedup" ->
       s"""WITH ${assignmentPrefix(16, 2, 64)},
@@ -1001,7 +1012,7 @@ object SimilarityOps {
   /** One capped-split level as CTEs: replays [[splitOversized]]'s
     * window pass (size + seed rank by vec_id), the ≤Branch seed join
     * on oversized cells, the argmax-cosine / higher-seed tie-break,
-    * and the composite cell·131+r+1 relabel. `src` must expose
+    * and the composite (cell+1)·131+r relabel. `src` must expose
     * (vec_id, v, cell).
     */
   private def splitCte(name: String, src: String): String =
@@ -1019,7 +1030,7 @@ object SimilarityOps {
        |  SELECT vec_id, v, cell FROM ${name}sized WHERE csize <= $SemDedupCap
        |  UNION ALL
        |  SELECT vec_id, v,
-       |    CAST(cell * $SemDedupLabelBase + sr + 1 AS INT) AS cell
+       |    CAST((cell + 1) * $SemDedupLabelBase + sr AS INT) AS cell
        |  FROM (
        |    SELECT o.vec_id, o.v, o.cell, s.sr
        |    FROM ${name}sized o JOIN ${name}seeds s USING (cell)

@@ -204,19 +204,55 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("capped split bounds every splittable cell and keeps labels unique") {
-    val cells = SimilarityOps
-      .splitOversized(SimilarityOps.buildIvfIndex(spark, sf).assigned)
+    val assigned = SimilarityOps.buildIvfIndex(spark, sf).assigned
+    val split = SimilarityOps.splitOversized(assigned)
+    val cells = split
       .groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1))
     // at max depth a residual cell may legitimately exceed the cap if
     // its seeds tie; at fixture scale two levels must fully bound it
     assert(cells.forall(_._2 <= SimilarityOps.SemDedupCap),
       s"oversized cell survived the split: ${cells.filter(_._2 > SimilarityOps.SemDedupCap).toSeq}")
-    // composite labels never collide across split levels
-    assert(cells.map(_._1).distinct.length == cells.length)
+    // NO label collision across the split tree: a collision merges
+    // members of DIFFERENT original quantizer cells under one final
+    // label (the r10 cell-0 bug: child label cell·131+sr+1 landed on
+    // unsplit sibling labels). Purity check: every final cell's
+    // members share one original parent cell.
+    val parents = split.select(col("vec_id"), col("cell").as("final_cell"))
+      .join(assigned.select(col("vec_id"), col("cell").as("orig_cell")),
+        Seq("vec_id"))
+      .groupBy("final_cell")
+      .agg(countDistinct(col("orig_cell")).as("n_parents"))
+      .where(col("n_parents") > 1).collect()
+    assert(parents.isEmpty,
+      s"final cells merged distinct quantizer cells: ${parents.toSeq}")
     // the split only relabels — membership is a permutation of input
     val n = Tables.load(spark, sf, "embeddings").count()
     assert(cells.map(_._2).sum == n)
+  }
+
+  test("cell-0 children never collide with an unsplit sibling label") {
+    // regression fixture for the r10 label bug: cell 0 oversized,
+    // cell 1 small — under the old cell·131+sr+1 labeling, cell 0's
+    // first child landed ON label 1 and merged with cell 1
+    import spark.implicits._
+    val mk = (id: Long, cell: Int, base: Float) =>
+      (id, Seq.tabulate(8)(i => base + i * 0.01f), cell)
+    val rows =
+      (0L until 100L).map(i => mk(i, 0, 1.0f + (i % 7) * 0.1f)) ++
+        Seq(mk(1000L, 1, 50.0f), mk(1001L, 1, 60.0f))
+    val assigned = rows.toDF("vec_id", "embedding", "cell")
+    val split = SimilarityOps.splitOversized(assigned)
+    val byCell = split.select("cell", "vec_id").collect()
+      .groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.map(_.getLong(1)).toSet }
+    // cell 1 survives unsplit and contains ONLY its own members
+    assert(byCell(1) == Set(1000L, 1001L),
+      s"cell 1 was polluted by split children: ${byCell(1)}")
+    // every cell-0 child label sits in the composite range, not 0..15
+    val childCells = byCell.keySet - 1
+    assert(childCells.forall(_ >= SimilarityOps.SemDedupLabelBase),
+      s"child labels leaked into the top-level range: $childCells")
   }
 
   test("PQ ADC distances equal a driver-side recomputation, top-10 order and all") {
