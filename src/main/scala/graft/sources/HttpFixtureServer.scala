@@ -63,8 +63,23 @@ final class HttpFixtureServer private (server: HttpServer,
     try os.write(bytes) finally os.close()
   }
 
+  /** A handler exception (e.g. NumberFormatException on a malformed
+    * numeric param) would otherwise drop the exchange with no status
+    * line at all — the one failure the JSON error envelope exists to
+    * report. Convert to the 400 envelope instead.
+    */
+  private def guarded(h: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    ex =>
+      try h(ex)
+      catch {
+        case e: Exception =>
+          try respond(ex, 400,
+            s"""{"ok":false,"error":${'"'}${e.getClass.getSimpleName}${'"'}}""")
+          catch { case _: Exception => () } // headers already sent
+      }
+
   private def install(): Unit = {
-    server.createContext("/items/count", { ex =>
+    server.createContext("/items/count", guarded { ex =>
       seen.add(s"${ex.getRequestURI.getPath}?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}")
       val p = params(ex)
       val a = p.get("min").map(_.toLong).getOrElse(0L)
@@ -80,7 +95,7 @@ final class HttpFixtureServer private (server: HttpServer,
     // Deterministic analog: one row per year in the requested range,
     // value = sum(country UTF-8 codes)·100 + year%100 — pure
     // arithmetic, so a DuckDB oracle reconstructs the feed exactly.
-    server.createContext("/countries", { ex =>
+    server.createContext("/countries", guarded { ex =>
       seen.add(s"${ex.getRequestURI.getPath}?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}")
       val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       val p = params(ex)
@@ -94,7 +109,7 @@ final class HttpFixtureServer private (server: HttpServer,
           respond(ex, 400, """{"ok":false,"error":"country and date=from:to are required"}""")
       }
     })
-    server.createContext("/items", { ex =>
+    server.createContext("/items", guarded { ex =>
       seen.add(s"${ex.getRequestURI.getPath}?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}")
       val p = params(ex)
       (p.get("page").map(_.toLong), p.get("pageSize").map(_.toLong)) match {

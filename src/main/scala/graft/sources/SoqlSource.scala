@@ -42,7 +42,13 @@ object Soql {
     case In(c, vs) => Some(s"$c in (${vs.map(lit).mkString(", ")})")
     case IsNull(c) => Some(s"$c = null")
     case IsNotNull(c) => Some(s"$c != null")
-    case StringStartsWith(c, v) => Some(s"$c like ${lit(v + "%")}")
+    // LIKE wildcards inside the PREFIX must be escaped (SOQL uses
+    // backslash escapes for % and _), else startsWith("100%") compiles
+    // to a prefix-'100' match — wrong rows from a live org, invisible
+    // locally because the fixture reader re-filters with the real
+    // predicate (r10 self-review)
+    case StringStartsWith(c, v) =>
+      Some(s"$c like ${likeLit(escapeLike(v) + "%")}")
     case And(l, r) =>
       for (a <- compileFilter(l); b <- compileFilter(r)) yield s"($a and $b)"
     case Or(l, r) =>
@@ -59,8 +65,27 @@ object Soql {
       "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case u: UTF8String => lit(u.toString)
     case b: Boolean => b.toString
+    // SOQL numeric literals take no exponent notation: 1.0E8.toString
+    // would compile to a MALFORMED_QUERY on a live org — render the
+    // exact decimal expansion instead (plain string of the shortest
+    // round-trip decimal, so the value is unchanged)
+    case d: Double => BigDecimal(d.toString).bigDecimal.toPlainString
+    case f: Float => BigDecimal(f.toString).bigDecimal.toPlainString
     case n => n.toString
   }
+
+  /** Escape LIKE wildcards in a literal fragment destined for a
+    * pattern position (prefix of a startsWith).
+    */
+  private def escapeLike(s: String): String =
+    s.replace("%", "\\%").replace("_", "\\_")
+
+  /** Quote a LIKE pattern: quote-escape only — the wildcard
+    * backslashes placed by [[escapeLike]] must survive, so the
+    * blanket backslash-doubling of [[lit]] cannot apply.
+    */
+  private def likeLit(pattern: String): String =
+    "'" + pattern.replace("'", "\\'") + "'"
 
   /** The full query text `conn.query` would receive. SOQL has no
     * `select *`: an empty projection (a bare COUNT in Spark) selects

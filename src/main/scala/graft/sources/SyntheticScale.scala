@@ -51,6 +51,16 @@ object SyntheticScale {
 
   def ensure(spark: SparkSession, baseDir: String, outDir: String,
       replicas: Int = 10, skew: Boolean = false): Unit = {
+    // replica 26 would get the IDENTITY Caesar rotation (i % 26 == 0),
+    // i.e. byte-identical text to replica 0 — reintroducing the exact
+    // cross-replica duplication this generator exists to avoid (LSH
+    // pair counts then grow quadratically BY CONSTRUCTION); the
+    // embedding rotation similarly needs i < dim. Fail loudly instead
+    // of silently corrupting the linear-scaling premise.
+    require(replicas >= 1 && replicas <= 26,
+      s"replicas must be in [1, 26] (got $replicas): replica i uses a " +
+        "Caesar shift of i%26 and a circular embedding rotation by i, " +
+        "both of which degenerate past 26")
     val out = Paths.get(outDir)
     val marker = out.resolve("_GRAFT_SYNTH_OK")
     if (Files.exists(marker)) return

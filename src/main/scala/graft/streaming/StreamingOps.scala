@@ -122,12 +122,48 @@ object StreamingOps {
       .start()
   }
 
+  /** Long-lived session-window stream for callers that drive the query
+    * themselves (the spec's live-query tests). The staged replay dir is
+    * deleted automatically when the query terminates (a listener keyed
+    * by query id — the caller never sees the path, so it cannot clean
+    * up itself). Callers running several concurrently must pass
+    * distinct `queryName`s (memory-sink names are session-global).
+    */
   def runSessionStream(spark: SparkSession, dir: String,
-      queryName: String = "graft_sessions"): StreamingQuery =
-    runEventsStream(spark, dir, queryName,
-      stageReplay(dir, "events.parquet"))(sessionize)
+      queryName: String = "graft_sessions"): StreamingQuery = {
+    val staged = stageReplay(dir, "events.parquet")
+    val q = runEventsStream(spark, dir, queryName, staged)(sessionize)
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          dropReplayDir(staged)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
+  }
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Detach a drained memory-sink table: materialize it off the sink
+    * (localCheckpoint cuts the lineage into spillable storage blocks)
+    * and drop the temp view, so the sink's driver-pinned row buffer is
+    * GC-able. Without this every replay leaked its full drained output
+    * on the driver heap for the JVM lifetime — across bench passes and
+    * sweep scales that is unbounded (r10 self-review).
+    */
+  private def detachSink(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
 
   /** The e_stream_*_replay queries EXECUTE AS A STREAM — file source →
     * event-time aggregation → memory sink, run to completion — then
@@ -147,7 +183,7 @@ object StreamingOps {
       q.stop()
       dropReplayDir(staged)
     }
-    spark.table(name)
+    detachSink(spark, name)
   }
 
   /** Session windows executed as a stream (shares e_stream_session's oracle). */
@@ -192,7 +228,7 @@ object StreamingOps {
       q.stop()
       dropReplayDir(staged)
     }
-    spark.table(name)
+    detachSink(spark, name)
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -299,7 +335,7 @@ object StreamingOps {
       q.stop()
       dropReplayDir(replayDir)
     }
-    spark.table(name).select("doc_id")
+    detachSink(spark, name).select("doc_id")
       .join(docs.select("doc_id", "lang", "source", "n_chars"), Seq("doc_id"))
       .orderBy("doc_id")
   }
@@ -316,12 +352,18 @@ object StreamingOps {
     */
   def qualityGateBatch(docs: DataFrame, evalModulus: Long = 97L,
       tau: Double = 0.8): DataFrame = {
+    // gate on length(text), NOT the n_chars metadata column: the
+    // streaming form sees only the text, so "one hygiene rule" must
+    // be a function of text alone — gating batch on recorded metadata
+    // would silently diverge on any corpus where n_chars drifts from
+    // the actual text length (r10 self-review)
+    val nc = length(col("text"))
     val alphaRatio =
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-        greatest(col("n_chars").cast("double"), lit(1.0))
+        greatest(nc.cast("double"), lit(1.0))
     graft.operators.DedupOps.exactDedup(
       graft.operators.DedupOps.decontaminate(docs, evalModulus, 3, tau)
-        .where(col("n_chars") >= 100 && alphaRatio >= lit(0.8)))
+        .where(nc >= 100 && alphaRatio >= lit(0.8)))
   }
 
   /** The same hygiene rule over a STREAM: stateless gates first
@@ -383,7 +425,7 @@ object StreamingOps {
       q.stop()
       dropReplayDir(staged)
     }
-    spark.table(name)
+    detachSink(spark, name)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast(DecimalType(18, 6))), 2)
@@ -454,7 +496,7 @@ object StreamingOps {
     // result is correct whatever micro-batch count the file source picks.
     val wLast = Window.partitionBy("o_custkey")
       .orderBy(col("n_upserts").desc)
-    spark.table(name)
+    detachSink(spark, name)
       .withColumn("rn_last", row_number().over(wLast))
       .where(col("rn_last") === 1).drop("rn_last")
       .orderBy("o_custkey")
@@ -488,7 +530,7 @@ object StreamingOps {
       q.stop()
       dropReplayDir(staged)
     }
-    spark.table(name).select("doc_id")
+    detachSink(spark, name).select("doc_id")
       .join(Tables.load(spark, dir, "documents"), Seq("doc_id"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
@@ -563,9 +605,9 @@ object StreamingOps {
         |  SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
         |  FROM documents d
         |  LEFT JOIN contaminated c USING (doc_id)
-        |  WHERE c.doc_id IS NULL AND d.n_chars >= 100 AND
+        |  WHERE c.doc_id IS NULL AND length(d.text) >= 100 AND
         |    CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |      / GREATEST(CAST(d.n_chars AS DOUBLE), 1.0) >= 0.8
+        |      / GREATEST(CAST(length(d.text) AS DOUBLE), 1.0) >= 0.8
         |)
         |SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

@@ -190,6 +190,18 @@ class JdbcFederationSpec extends SparkSpec {
     assert(viaJdbc == truth)
   }
 
+  test("K3: the DSv2 catalog path reconnects after a backend kill too") {
+    val before = JdbcFederation.readTableV2(spark, sf, "nation")
+      .orderBy("n_nationkey").collect().toSeq
+    val n0 = JdbcFederation.reconnectCount.get()
+    JdbcFederation.killBackend(sf, "nation")
+    val after = JdbcFederation.readTableV2(spark, sf, "nation")
+      .orderBy("n_nationkey").collect().toSeq
+    assert(JdbcFederation.reconnectCount.get() == n0 + 1,
+      "one kill must cost exactly one reconnect on the V2 lane")
+    assert(after == before, "post-reconnect V2 rows must be identical")
+  }
+
   test("K3: non-connection errors propagate without any reconnect") {
     val n0 = JdbcFederation.reconnectCount.get()
     intercept[IllegalArgumentException] {
