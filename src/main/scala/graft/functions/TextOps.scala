@@ -626,14 +626,22 @@ object TextOps {
     },
     "e_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id",
+    // regexp '\s+' tokenizer, NOT string_split on one space: the
+    // engine tokenizes on \s+ (TS.tokens), and a whitespace RUN would
+    // give the two sides different token lists (r10 self-review; the
+    // shingleFeatsCte comment documents the same trap)
     "e_repetition" ->
-      """SELECT doc_id,
-        |ROUND(1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(string_split(lower(text),' '))-1),
-        |  i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1]))) AS DOUBLE)
-        |  / GREATEST(len(string_split(lower(text),' '))-1, 1), 4) AS rep_bigram,
-        |ROUND(1.0 - CAST(len(list_distinct(string_split(lower(text),' '))) AS DOUBLE)
-        |  / GREATEST(len(string_split(lower(text),' ')), 1), 4) AS rep_token
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |ROUND(1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |  i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |  / GREATEST(len(toks)-1, 1), 4) AS rep_bigram,
+        |ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |  / GREATEST(len(toks), 1), 4) AS rep_token
+        |FROM toked ORDER BY doc_id""".stripMargin,
     "e_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
         |COUNT(DISTINCT source) AS n_sources

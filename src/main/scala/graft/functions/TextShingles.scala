@@ -26,6 +26,15 @@ object TextShingles {
       math.abs(rnd.nextLong()) % MersennePrime))
   }
 
+  /** THE canonicalization rule (lowercase, strip non-[a-z0-9\s],
+    * collapse whitespace runs, trim) — shared by normalizeText and
+    * exactDedupKeepLongest so the dedup key and the normalize pass
+    * cannot drift apart (each had its own verbatim copy before r10).
+    */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   /** Whitespace word tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 

@@ -45,8 +45,13 @@ object AsOfOps {
         lPay.map(col)): _*)
 
     // right rows sort before left rows at equal timestamps, so a right
-    // row AT the left timestamp matches (>= semantics, like ASOF JOIN)
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_is_left"))
+    // row AT the left timestamp matches (>= semantics, like ASOF JOIN).
+    // `_r` as the final key makes ties among right rows at one
+    // (key, ts) deterministic — without it, last(_r) returned whichever
+    // payload the shuffle happened to order last (r10 self-review; the
+    // fixtures have no such ties, but the operator is general)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ts"), col("_is_left"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col("_r"), ignoreNulls = true).over(w)
     val matched = tolerance match {

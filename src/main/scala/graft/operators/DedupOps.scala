@@ -47,8 +47,7 @@ object DedupOps {
     * longer one survives. Same single shuffle on the key.
     */
   def exactDedupKeepLongest(docs: DataFrame, prefixLen: Int = 100): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val norm = TS.canonical(col("text"))
     val w = Window.partitionBy("dedup_key")
       .orderBy(col("n_chars").desc, col("doc_id"))
     docs.withColumn("dedup_key", substring(norm, 1, prefixLen))
@@ -759,7 +758,12 @@ object DedupOps {
         val toks = UTF8String.fromString(s).toLowerCase.toString
           .split("\\s+", -1)
         if (toks.length < w) false
-        else if (tau <= 0) true // count/n >= 0 holds for every set
+        // tau <= 0 is NOT vacuously true: the batch threshold only
+        // evaluates on (doc, eval-set) pairs with >= 1 shared shingle
+        // (the inner join), so the stream must require an actual match
+        // too — the former early-true branch flagged rows sharing
+        // nothing with any eval doc and broke batch/stream row parity
+        // at tau = 0 (r10 self-review)
         else {
           val th = toks.map { t =>
             val u = UTF8String.fromString(t)

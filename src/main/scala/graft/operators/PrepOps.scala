@@ -273,8 +273,7 @@ object PrepOps {
     * the normalized text makes every byte oracle-checked.
     */
   def normalizeText(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val norm = graft.functions.TextShingles.canonical(col("text"))
     docs.select(
       col("doc_id"),
       length(norm).cast("long").as("n_chars_norm"),
@@ -375,7 +374,11 @@ object PrepOps {
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .write.mode("overwrite").partitionBy("shard").json(outDir)
-    sharded.count()
+    // count what was WRITTEN, not the input plan again: re-counting
+    // `sharded` would re-run the whole hash+shuffle pipeline a second
+    // time (doubling the terminal export stage), and the read-back
+    // additionally verifies the files are consumable
+    docs.sparkSession.read.json(outDir).count()
   }
 
   // ---------------------------------------------------------------

@@ -583,8 +583,16 @@ object SimilarityOps {
     * unchanged). Returns [m][k][subdim].
     */
   private def pqCodebooks(spark: SparkSession, dir: String)
-      : Array[Array[Array[Double]]] = {
-    val seeds = Tables.load(spark, dir, "embeddings")
+      : Array[Array[Array[Double]]] =
+    pqCodebooksOf(Tables.load(spark, dir, "embeddings"))
+
+  /** Seed-slice codebooks from any (vec_id, embedding) frame — one
+    * construction shared by the corpus path and the structured-lane
+    * tripwire, so the codebook convention cannot drift between the
+    * guarded path and its guard.
+    */
+  private def pqCodebooksOf(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val seeds = emb
       .where(col("vec_id") < PqK.toLong).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -686,12 +694,13 @@ object SimilarityOps {
     * of IVFADC, shared by the in-memory and persisted forms.
     */
   def ivfPqProbe(idx: IvfIndex, cb: Array[Array[Array[Double]]],
-      q: Seq[Double], nprobe: Int = 4, k: Int = 10): DataFrame = {
+      q: Seq[Double], nprobe: Int = 4, k: Int = 10,
+      excludeId: Long = -1L): DataFrame = {
     val probeCells = idx.centroids
       .map { case (i, c) => (i, VectorOps.cosineSeq(q, c)) }
       .sortBy(-_._2).take(nprobe).map(_._1)
     idx.assigned
-      .where(col("vec_id") =!= 0L)
+      .where(col("vec_id") =!= excludeId)
       .where(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), pqAdcColumn(cb, q.toArray).as("adc_micro"),
         round(VectorOps.cosineConst(col("embedding"), q), 6).as("cos_sim"))
@@ -702,7 +711,7 @@ object SimilarityOps {
   def ivfPqTopk(spark: SparkSession, dir: String, nprobe: Int = 4,
       k: Int = 10): DataFrame =
     ivfPqProbe(buildIvfIndex(spark, dir), pqCodebooks(spark, dir),
-      vectorOf(spark, dir, 0L), nprobe, k)
+      vectorOf(spark, dir, 0L), nprobe, k, excludeId = 0L)
 
   private val annIvfPq: Q = (spark, dir) => ivfPqTopk(spark, dir)
 
@@ -786,13 +795,8 @@ object SimilarityOps {
     */
   private val annRecallPqStructured: Q = (spark, dir) => {
     val (idx, q) = structuredLane(spark, dir)
-    val seeds = idx.assigned.where(col("vec_id") < PqK.toLong)
-      .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cb = Array.tabulate(PqM, PqK) { (m, c) =>
-      seeds(c).slice(m * PqSubDim, (m + 1) * PqSubDim)
-    }
-    val adc = ivfPqProbe(idx, cb, q).select("vec_id")
+    val cb = pqCodebooksOf(idx.assigned)
+    val adc = ivfPqProbe(idx, cb, q, excludeId = 0L).select("vec_id")
     val exact = idx.assigned
       .where(col("vec_id") =!= 0L)
       .select(col("vec_id"),
@@ -815,7 +819,7 @@ object SimilarityOps {
     */
   private val annIvfPqPersisted: Q = (spark, dir) =>
     ivfPqProbe(loadIvfIndex(spark, persistedIndexPath(spark, dir)),
-      pqCodebooks(spark, dir), vectorOf(spark, dir, 0L))
+      pqCodebooks(spark, dir), vectorOf(spark, dir, 0L), excludeId = 0L)
 
   val queries: Map[String, Q] = Map(
     "e_similarity_topk" -> similarityTopk,
