@@ -123,6 +123,7 @@ object SparkEntry {
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
         |  ('e_bpe_pairs', 3, 'pair:string,cnt:bigint,pair_rank:int'),
+        |  ('e_bpe_vocab', 4, 'merge_rank:int,tok_a:string,tok_b:string,cnt:bigint'),
         |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
         |  ('e_char_diversity', 3, 'doc_id:bigint,n_letters:bigint,gini:double'),
         |  ('e_chunk', 4, 'doc_id:bigint,chunk_idx:int,n_chunk_tokens:bigint,chunk_fp:string'),
@@ -143,6 +144,7 @@ object SparkEntry {
         |  ('e_dedup_minhash_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_ngram_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_paragraph', 5, 'doc_id:bigint,n_paras:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),
