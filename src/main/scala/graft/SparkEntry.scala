@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, SetJoinOps, SimilarityOps, SkewOps, SubqueryOps}
+import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, RetrievalOps, SetJoinOps, SimilarityOps, SkewOps, SubqueryOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -29,7 +29,8 @@ object SparkEntry {
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
       CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries ++
-      SubqueryOps.queries ++ graft.sources.AtomicPublish.queries
+      SubqueryOps.queries ++ RetrievalOps.queries ++
+      graft.sources.AtomicPublish.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -75,7 +76,8 @@ object SparkEntry {
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
       LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
       CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++
-      SubqueryOps.oracles ++ graft.sources.AtomicPublish.oracles ++ Map(
+      SubqueryOps.oracles ++ RetrievalOps.oracles ++
+      graft.sources.AtomicPublish.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -122,6 +124,7 @@ object SparkEntry {
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
+        |  ('e_bm25_topk', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bpe_pairs', 3, 'pair:string,cnt:bigint,pair_rank:int'),
         |  ('e_bpe_vocab', 4, 'merge_rank:int,tok_a:string,tok_b:string,cnt:bigint'),
         |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
@@ -187,6 +190,7 @@ object SparkEntry {
         |  ('e_mixture_sample', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_mixture_sample_topk', 3, 'doc_id:bigint,lang:string,mix_rank:int'),
         |  ('e_multimodal_decode', 6, 'doc_id:bigint,media_type:string,n_bytes:bigint,width:int,height:int,n_frames:int'),
+        |  ('e_multimodal_dedup', 2, 'doc_id:bigint,dhash:bigint'),
         |  ('e_multimodal_features', 9, 'doc_id:bigint,f0:bigint,f1:bigint,f2:bigint,f3:bigint,f4:bigint,f5:bigint,f6:bigint,f7:bigint'),
         |  ('e_multimodal_frames', 3, 'doc_id:bigint,frame_idx:int,frame_hash:bigint'),
         |  ('e_multimodal_meta', 3, 'doc_id:bigint,n_bytes:bigint,sha:string'),

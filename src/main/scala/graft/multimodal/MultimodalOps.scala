@@ -240,6 +240,140 @@ object MultimodalOps {
   private val multimodalPng: Q = (spark, dir) =>
     decodePngMeta(pngTable(spark, dir)).toDF().orderBy("doc_id")
 
+  // ---------------------------------------------------------------
+  // Perceptual image near-dup (dHash + Hamming-band join)
+  // ---------------------------------------------------------------
+
+  final case class DHashed(doc_id: Long, dhash: Long)
+
+  /** PNG corpus for the DEDUP lane: image identity is driven by
+    * doc_id % 97, so the corpus carries real duplicate images
+    * (~500/97 exact copies of each of 97 distinct gradients at
+    * sf0.01) — the shape an image-dedup pass exists to catch. Width ≥
+    * 9 and height ≥ 8 guarantee every dHash grid cell is non-empty.
+    * Same real-codec boundary as [[pngTable]]: genuine PNG bytes via
+    * ImageIO, deterministic pixel arithmetic the oracle can predict.
+    */
+  def dedupPngTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val k = (id % 97).toInt
+          val w = 9 + (k % 32)
+          val h = 8 + ((k * 7) % 24)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((k * 31 + x * 7 + y) % 16777216))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRecord(id, "image", out.toByteArray)
+        }
+      }
+  }
+
+  /** 63-bit dHash (difference hash — the standard perceptual
+    * image-dedup fingerprint): average-pool the decoded image onto a
+    * 9×8 luminance grid (cell = integer box x·9/w, y·8/h), then bit
+    * (gy·8+gx) compares horizontally adjacent cell MEANS by integer
+    * cross-multiplication (sumA·nB > sumB·nA — no float division
+    * anywhere). Bit 63 is deliberately dropped: the value stays a
+    * positive BIGINT, which both engines shift and band identically
+    * (DuckDB raises on 1::BIGINT << 63). Decode is a REAL ImageIO
+    * pixel decode — one reader per partition, the full-decode sibling
+    * of [[decodePngMeta]]'s header-only fast path.
+    */
+  def dHashAll(media: Dataset[MediaRecord]): Dataset[DHashed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next() // once per partition
+      rows.map { r =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val img =
+          try { reader.setInput(in); reader.read(0) }
+          finally in.close()
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = Array.ofDim[Long](8, 9)
+        val n = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val gy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val gx = x * 9 / w
+            val p = img.getRGB(x, y) & 0xffffff
+            s(gy)(gx) += ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+            n(gy)(gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8 && gy * 8 + gx < 63) {
+            if (s(gy)(gx) * n(gy)(gx + 1) > s(gy)(gx + 1) * n(gy)(gx))
+              hash |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        DHashed(r.doc_id, hash)
+      }
+    }
+  }
+
+  /** Image near-dup removal: dHash per image, Manku-style banding
+    * (4 bands × 16 bits — the [[graft.operators.DedupOps]] simhash
+    * machinery verbatim, candidate pairs ONLY from shared band
+    * buckets, never all-pairs), Hamming ≤ `maxHamming` verify, larger
+    * doc_id of each verified pair removed. At 100 TB: one real decode
+    * pass map-side, 16 bytes of fingerprint per image into one
+    * band-keyed shuffle — the image analog of text MinHash dedup.
+    */
+  // persist-once (the DedupOps.persistOnce contract): the dHash frame
+  // feeds five plan branches and every bench pass — one pinned copy
+  // per (app, dataset), not one per invocation
+  private val dhCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def imageDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val dh = dhCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir",
+      _ => dHashAll(dedupPngTable(spark, dir)).toDF().persist())
+    val withBands = dh.select(col("doc_id"),
+      array((0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("dhash"), j * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*).as("bands"))
+    val pairs = graft.operators.DedupOps.bandPairs(withBands, "doc_id")
+    val side = (a: String) => dh.select(
+      col("doc_id").as(s"id_$a"), col("dhash").as(s"dh_$a"))
+    val dups = pairs
+      .join(side("a"), "id_a").join(side("b"), "id_b")
+      .where(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= maxHamming)
+      .select(col("id_b").as("doc_id")).distinct()
+    val out = dh.join(dups, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    out
+  }
+
+  private val multimodalDedup: Q = (spark, dir) => imageDedup(spark, dir)
+
   /** Frame sampling over the video subset. */
   private val multimodalFrames: Q = (spark, dir) =>
     sampleFrames(mediaTable(spark, dir), everyK = 30).toDF()
@@ -259,6 +393,7 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "e_multimodal_meta" -> multimodalMeta,
     "e_multimodal_png" -> multimodalPng,
+    "e_multimodal_dedup" -> multimodalDedup,
     "e_multimodal_decode" -> multimodalDecode,
     "e_multimodal_frames" -> multimodalFrames,
     "e_multimodal_resize" -> multimodalResize,
@@ -299,6 +434,58 @@ object MultimodalOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // dHash dedup replay: the oracle predicts from the doc_id
+    // arithmetic exactly what the REAL pixel decode must recover, then
+    // replays the 9×8 cross-multiplied pooling, the 63-bit hash, the
+    // 4×16-bit banding with the bucket cap, and the Hamming ≤ 3
+    // verify + anti join (the simhash-md5 oracle shape)
+    "e_multimodal_dedup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 97 AS k,
+        |    (9 + (doc_id % 97) % 32)::BIGINT AS w,
+        |    (8 + ((doc_id % 97) * 7) % 24)::BIGINT AS h
+        |  FROM documents
+        |), cells AS (
+        |  SELECT doc_id, (y.y * 8) // h AS gy, (x.x * 9) // w AS gx,
+        |    sum(((p // 65536) % 256) + ((p // 256) % 256) + (p % 256))::BIGINT AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(w - 1 AS INT))) AS x) x,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(h - 1 AS INT))) AS y) y,
+        |    LATERAL (SELECT (k * 31 + x.x * 7 + y.y) % 16777216 AS p) pp
+        |  GROUP BY doc_id, gy, gx
+        |), bits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.s * b.n > b.s * a.n
+        |      THEN (1::BIGINT << CAST(a.gy * 8 + a.gx AS INT))
+        |      ELSE 0::BIGINT END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.gy * 8 + a.gx < 63
+        |), dh AS (
+        |  SELECT doc_id, sum(bit)::BIGINT AS dhash FROM bits GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, (dhash >> 0) & 65535 AS key FROM dh
+        |  UNION ALL SELECT doc_id, 1, (dhash >> 16) & 65535 FROM dh
+        |  UNION ALL SELECT doc_id, 2, (dhash >> 32) & 65535 FROM dh
+        |  UNION ALL SELECT doc_id, 3, (dhash >> 48) & 65535 FROM dh
+        |), okbuckets AS (
+        |  SELECT * FROM bands
+        |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM okbuckets a JOIN okbuckets b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), dups AS (
+        |  SELECT DISTINCT p.id_b AS doc_id
+        |  FROM pairs p
+        |  JOIN dh da ON da.doc_id = p.id_a
+        |  JOIN dh db ON db.doc_id = p.id_b
+        |  WHERE bit_count(xor(da.dhash, db.dhash)) <= 3
+        |)
+        |SELECT d.doc_id, d.dhash FROM dh d
+        |LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
     // the oracle predicts what the REAL PNG decoder must recover: the
     // encode dims are pure doc_id arithmetic, the decode is ImageIO
     "e_multimodal_png" ->

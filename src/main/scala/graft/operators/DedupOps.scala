@@ -160,7 +160,7 @@ object DedupOps {
     * selective band; production systems (e.g. near-dup pipelines over
     * web crawls) apply the same "too common to be informative" cap.
     */
-  private def bandPairs(withBands: DataFrame, idCol: String,
+  private[graft] def bandPairs(withBands: DataFrame, idCol: String,
       maxBucket: Int = 1000): DataFrame = {
     // One groupBy on (band, key) with a BOUNDED collect (cap+1 smallest
     // ids — see BoundedMinIds), then in-bucket pair explosion. Replaces

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Lexical top-k retrieval over a PERSISTED inverted index — the BM25
+  * counterpart to the ANN family ([[SimilarityOps]]), and the tool a
+  * training-data pipeline reaches for in contamination audits and
+  * targeted corpus probes ("which documents score highest for this
+  * query?").
+  *
+  * Index shape (the e_ann_ivf_persisted discipline: build is a batch
+  * job, probes only read): postings are a BUCKETED-by-term managed
+  * table `(term, doc_id, tf, dl, df)` — tf/dl/df are index-time
+  * statistics, denormalized onto the posting row exactly as production
+  * inverted indexes store them — plus two corpus constants (N docs,
+  * T total tokens) held as index metadata. A probe filters the
+  * postings scan to the query's terms (bucket pruning on the IN —
+  * only matching buckets are read), broadcasts the tiny query-term
+  * frame, scores map-side, and bounds the per-query top-k through
+  * [[graft.functions.TopKAggregator]] so the final shuffle carries at
+  * most k rows per query, never the match set. At 100 TB: probe cost
+  * is proportional to the probed terms' posting lists, not the corpus.
+  *
+  * Scoring is BM25 (k1 = 1.2, b = 0.75) with one deliberate change:
+  * the idf is the RATIONAL surrogate (N − df + ½)/(df + ½) — the
+  * argument of the classic log-idf rather than its logarithm. Per
+  * term this is a monotone transform (rank-equivalent), it never goes
+  * negative on df > N/2 terms (a known BM25 wart), and — the reason
+  * it's here — it keeps the whole score a ratio of two INTEGERS, so
+  * both engines compute bit-identical doubles with one division
+  * (the e_dsir_select no-transcendental discipline):
+  *
+  *   score(t,d) = ((2N−2df+1) · 22T · tf) /
+  *                ((2df+1) · (10T·tf + 3T + 9·dl·N))
+  *
+  * which is idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+  * avgdl = T/N and every fraction cleared (×10T top and bottom).
+  * All intermediates stay below 2⁵³ for corpora up to ~2³² tokens
+  * (guarded loudly); beyond that the numerator moves to DECIMAL(38,0).
+  */
+object RetrievalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A built index: the bucketed postings table plus the two corpus
+    * constants every BM25 score needs.
+    */
+  final case class Bm25Index(table: String, nDocs: Long, totalTokens: Long)
+
+  /** Build counter — observable by the reuse spec: repeated probes
+    * must hit the persisted table, not rebuild it.
+    */
+  private[graft] val indexBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Bm25Index]()
+
+  val Bm25K = 3
+
+  /** Fixed two-term probe queries for the gate row (terms drawn from
+    * the fixture vocabulary, present at every SF).
+    */
+  val DefaultQueries: Seq[(Int, String, String)] = Seq(
+    (1, "table", "scan"), (2, "query", "join"), (3, "stream", "window"),
+    (4, "vector", "data"), (5, "fast", "merge"))
+
+  /** Build (or fetch) the persisted postings index for a dataset.
+    * One tokenize pass, two hash aggregations (dl per doc, tf per
+    * (term, doc)), a broadcast df join (|vocab| rows), one bucketed
+    * write. Same staleness contract as the IVF index cache: the
+    * dataset dir is immutable within an application.
+    */
+  def buildBm25Index(spark: SparkSession, dir: String,
+      buckets: Int = 8): Bm25Index =
+    indexCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        indexBuilds.incrementAndGet()
+        val tbl = s"graft_bm25_idx_${Integer.toHexString(dir.hashCode)}"
+        val toks = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val postings = tf.join(dl, "doc_id").join(broadcast(df), "term")
+          .select("term", "doc_id", "tf", "dl", "df")
+        graft.sources.Bucketing.saveBucketed(postings, tbl, "term", buckets)
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t")).head()
+        val idx = Bm25Index(tbl, stats.getLong(0), stats.getLong(1))
+        // loud integer-overflow guard (see scoring note above): the
+        // largest product is (2N+1)·22T·tf with tf ≤ dl ≤ T — keep the
+        // exact-integer lane honest instead of silently wrapping
+        require(idx.totalTokens <= (1L << 32),
+          s"BM25 exact-integer scoring needs T <= 2^32 tokens; " +
+            s"got ${idx.totalTokens} — switch the score to DECIMAL(38,0)")
+        idx
+      })
+
+  /** Top-k docs per query by BM25 over the persisted index. Probe-only:
+    * no tokenization of the corpus happens here.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String, String)] = DefaultQueries,
+      k: Int = Bm25K): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopK}
+    val idx = buildBm25Index(spark, dir)
+    val n = idx.nDocs
+    val t = idx.totalTokens
+    val qdf = queries.flatMap { case (id, a, b) => Seq((id, a, 1), (id, b, 2)) }
+      .toDF("query_id", "term", "term_pos")
+    val terms = queries.flatMap { case (_, a, b) => Seq(a, b) }.distinct
+    // IN on the bucket column → bucket pruning: only the probed terms'
+    // buckets are read from the postings table
+    val post = spark.table(idx.table).where(col("term").isin(terms: _*))
+    // exact integer numerator/denominator (both < 2^53 — see guard),
+    // then ONE double division: bit-identical in Spark and DuckDB
+    val num = (lit(2L * n) - col("df") * 2L + 1L) * lit(22L * t) * col("tf")
+    val den = (col("df") * 2L + 1L) *
+      (lit(10L * t) * col("tf") + lit(3L * t) + col("dl") * lit(9L * n))
+    val scored = post.join(broadcast(qdf), "term")
+      .select(col("query_id"), col("doc_id"), col("term_pos"),
+        (num.cast("double") / den.cast("double")).as("sc"))
+    // per-(query, doc) total as a FIXED-ORDER two-term sum (a SUM over
+    // term rows would add doubles in partition order — not
+    // deterministic; the pivoted s1 + s2 is)
+    val totals = scored.groupBy("query_id", "doc_id")
+      .agg((coalesce(max(when(col("term_pos") === 1, col("sc"))), lit(0.0)) +
+        coalesce(max(when(col("term_pos") === 2, col("sc"))), lit(0.0)))
+        .as("total"))
+    // bounded top-k per query (the knnJoin shape): partial aggregation
+    // carries <= k rows per query through the shuffle; ties break
+    // (score DESC, doc_id ASC) like the oracle's row_number
+    totals.select(col("query_id"), col("doc_id"), col("total"))
+      .as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, d, s) => Scored(s, d) }
+      .agg(TopK.aggregator(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, s.id, s.score, i + 1) } }
+      .toDF("query_id", "doc_id", "score", "rank")
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 6).as("score_r"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val bm25TopkQ: Q = (spark, dir) => bm25TopK(spark, dir)
+
+  val queries: Map[String, Q] = Map(
+    "e_bm25_topk" -> bm25TopkQ,
+  )
+
+  /** DuckDB replay: postings statistics from scratch, the identical
+    * integer-exact score, the same fixed-order two-term total, the
+    * same (total DESC, doc_id) ranking.
+    */
+  private def bm25Oracle: String = {
+    val qValues = DefaultQueries.flatMap { case (id, a, b) =>
+      Seq(s"($id, '$a', 1)", s"($id, '$b', 2)")
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+       |), stats AS (
+       |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t FROM dl
+       |), tf AS (
+       |  SELECT term, doc_id, count(*)::BIGINT AS tf
+       |  FROM toks GROUP BY term, doc_id
+       |), dfx AS (
+       |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+       |), q(query_id, term, term_pos) AS (
+       |  VALUES $qValues
+       |), scored AS (
+       |  SELECT q.query_id, tf.doc_id, q.term_pos,
+       |    CAST((2*s.n - 2*dfx.df + 1) * (22*s.t) * tf.tf AS DOUBLE) /
+       |    CAST((2*dfx.df + 1) * (10*s.t*tf.tf + 3*s.t + 9*dl.dl*s.n)
+       |      AS DOUBLE) AS sc
+       |  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |), tot AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce(max(CASE WHEN term_pos = 1 THEN sc END), 0.0) +
+       |    coalesce(max(CASE WHEN term_pos = 2 THEN sc END), 0.0) AS total
+       |  FROM scored GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, doc_id, round(total, 6) AS score_r,
+       |  CAST(rank AS INT) AS rank
+       |FROM (
+       |  SELECT query_id, doc_id, total,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY total DESC, doc_id) AS rank
+       |  FROM tot) z
+       |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "e_bm25_topk" -> bm25Oracle,
+  )
+}
