@@ -149,6 +149,77 @@ object ConfigBoot {
     if (fail.nonEmpty) Left(fail.mkString("\n")) else Right(ok.toMap)
   }
 
+  // -- identifier-position hardening ---------------------------------
+  //
+  // Reference parity note: the examiner's alnum domain INCLUDES the
+  // space character (examiner.js:36), so a value like "1 or 1" renders
+  // legally into any `$var` position in the reference. For VALUE
+  // positions this repo keeps exact parity. But a `$var` that occupies
+  // an IDENTIFIER position (a table after FROM/JOIN, a column in the
+  // select list / as a comparison's left operand / in ORDER BY or
+  // GROUP BY) is held to the repo's own stronger standard — the
+  // catalog-validated splice `QueryRegistry.dynamicProjection` already
+  // applies (Validate.table / Validate.column): a multi-token or
+  // unknown identifier is rejected BEFORE rendering, so no SQL text is
+  // ever assembled around it.
+
+  private val TablePos = "(?i)\\b(?:from|join)\\s+\\$(\\w+)".r
+  private val SelectSeg = "(?is)\\bselect\\b(.*?)\\bfrom\\b".r
+  private val LeftOperand = "\\$(\\w+)\\s*(?:=|<>|!=|<=|>=|<|>)".r
+  private val OrderGroupPos = "(?i)\\b(?:order|group)\\s+by\\s+\\$(\\w+)".r
+  private val StaticFrom = "(?i)\\bfrom\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+  private val StrictIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Classify a template's `$var`s by position: (table identifiers,
+    * column identifiers). A var quoted as a literal (`'$x'`) is a
+    * VALUE and never lands here; so is a comparison's RIGHT operand.
+    */
+  def identifierVars(template: String): (Set[String], Set[String]) = {
+    def unquoted(m: scala.util.matching.Regex.Match): Boolean =
+      m.start == 0 || template.charAt(m.start - 1) != '\''
+    val tables = TablePos.findAllMatchIn(template).map(_.group(1)).toSet
+    val selCols = SelectSeg.findFirstMatchIn(template).map(_.group(1))
+      .toSeq.flatMap { seg =>
+        QueryVar.findAllMatchIn(seg)
+          .filter(m => m.start == 0 || seg.charAt(m.start - 1) != '\'')
+          .map(_.group(1))
+      }
+    val leftOps = LeftOperand.findAllMatchIn(template)
+      .filter(unquoted).map(_.group(1))
+    val ordCols = OrderGroupPos.findAllMatchIn(template).map(_.group(1))
+    (tables, (selCols ++ leftOps ++ ordCols).toSet -- tables)
+  }
+
+  /** Catalog-validate the identifier-position values among `vals`
+    * (value positions are untouched — examiner parity). Columns check
+    * against the template's FROM relation when it is statically named
+    * or itself a validated `$var` table; otherwise they must at least
+    * be single-token identifiers.
+    */
+  def validateIdentifierPositions(spark: SparkSession, dir: String,
+      template: String, vals: Map[String, String]): Unit = {
+    val (tvars, cvars) = identifierVars(template)
+    tvars.foreach(v => vals.get(v).foreach { value =>
+      Validate.table(value)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+    })
+    if (cvars.exists(vals.contains)) {
+      val relation: Option[String] =
+        StaticFrom.findFirstMatchIn(template).map(_.group(1))
+          .filter(graft.Tables.names.contains)
+          .orElse(tvars.iterator.flatMap(vals.get)
+            .find(graft.Tables.names.contains))
+      cvars.foreach(v => vals.get(v).foreach { value =>
+        if (!StrictIdent.matches(value))
+          throw new IllegalArgumentException(s"Invalid identifier: $value")
+        relation.foreach { t =>
+          Validate.column(graft.Tables.load(spark, dir, t), value)
+            .fold(e => throw new IllegalArgumentException(e), identity)
+        }
+      })
+    }
+  }
+
   private val HbVar = "\\{\\{\\s*(\\w+)\\s*\\}\\}".r
 
   /** Execute one FFI route: bind `$var` path segments positionally
@@ -198,6 +269,9 @@ object ConfigBoot {
       else validateQueryVars(qvars, vars) match {
         case Left(err) => throw new IllegalArgumentException(err)
         case Right(vals) =>
+          // identifier positions held to the catalog standard before
+          // any text is assembled (see hardening note above)
+          validateIdentifierPositions(spark, dir, template, vals)
           QueryVar.replaceAllIn(template,
             m => java.util.regex.Matcher.quoteReplacement(vals(m.group(1))))
       }

@@ -687,15 +687,31 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Ceiling on the eval-set cardinality [[evalShingleSets]] will
+    * collect to the driver. Real eval sets are a few thousand docs; a
+    * misconfigured modulus that selects a corpus-scale slice must fail
+    * LOUDLY here, not OOM the driver mid-collect.
+    */
+  val MaxEvalSetDocs: Long = 100000L
+
   /** The eval set's shingle-hash sets, collected once at setup time
-    * (driver-side; small by construction) — the cursor [[evalContains]]
-    * closes over for the streaming-safe formulation.
+    * (driver-side; small by construction — and ENFORCED small: the
+    * count is checked against [[MaxEvalSetDocs]] before anything is
+    * collected) — the cursor [[evalContains]] closes over for the
+    * streaming-safe formulation.
     */
   def evalShingleSets(docs: DataFrame, evalModulus: Long = 97L,
-      w: Int = 3): Seq[Seq[Long]] =
-    withShingleFeature(docs.where(col("doc_id") % evalModulus === 0), w)
+      w: Int = 3, maxDocs: Long = MaxEvalSetDocs): Seq[Seq[Long]] = {
+    val evalDocs = docs.where(col("doc_id") % evalModulus === 0)
+    val n = evalDocs.count()
+    require(n <= maxDocs,
+      s"eval set selects $n docs (modulus $evalModulus), above the " +
+        s"$maxDocs driver-collect ceiling — broadcast-join the eval " +
+        s"index instead (the batch decontaminate path)")
+    withShingleFeature(evalDocs, w)
       .select("feat").collect()
       .map(_.getSeq[Long](0).toSeq).toSeq.filter(_.nonEmpty)
+  }
 
   /** Per-row decontamination predicate over a staged `feat` column —
     * the STREAMING-SAFE formulation of [[decontaminate]]: the small

@@ -285,6 +285,72 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Per-cell row counts of a persisted index — the census a
+    * rebalance decision reads (nlist rows to the driver).
+    */
+  def ivfCellSizes(spark: SparkSession, path: String): Map[Int, Long] =
+    spark.read.parquet(s"$path/assigned")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Rebalance a persisted IVF index after skewed appends.
+    *
+    * [[appendToIvfIndex]] keeps the quantizer FROZEN (the production
+    * contract), so a drifted ingest can silently bloat one cell until
+    * every probe that ranks it pays a near-full scan of the hot
+    * partition. This detects cells above `cap` and applies the
+    * [[splitOversized]] discipline to the PERSISTED layout: each
+    * oversized cell seeds a `branch`-way sub-quantizer with its
+    * lowest-vec_id members (frozen seeds, no Lloyd rounds), members
+    * re-assign by the same argmax-cosine / higher-id tie-break every
+    * quantizer here uses, and the children become NEW cell partitions
+    * with the seed vectors as their centroids. Surgical I/O: only the
+    * split cells' rows are rewritten (an append creates just the new
+    * child dirs, then the parent dirs are dropped); the rest of the
+    * index is untouched. A production deployment would wrap the
+    * dir-swap in the [[graft.sources.AtomicPublish]] manifest protocol.
+    *
+    * Invariant (spec-pinned): rebalancing changes the PHYSICAL
+    * partition layout only — the member set is preserved, so a probe
+    * over all cells returns the identical answer; what improves is the
+    * per-probe partition size bound. Returns the number of split cells.
+    */
+  def rebalanceIvfIndex(spark: SparkSession, path: String,
+      cap: Int = 256, branch: Int = SemDedupBranch): Int = {
+    val idx = loadIvfIndex(spark, path)
+    val sizes = ivfCellSizes(spark, path)
+    val oversized = sizes.filter(_._2 > cap).keys.toSeq.sorted
+    if (oversized.isEmpty) return 0
+    var nextId = idx.centroids.map(_._1).max + 1
+    val newCents = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double])]
+    newCents ++= idx.centroids.filterNot(c => oversized.contains(c._1))
+    for (cell <- oversized) {
+      val members = idx.assigned.where(col("cell") === cell)
+      val seeds = members.orderBy("vec_id").limit(branch)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq.map(_.toDouble))
+      val subCents = seeds.zipWithIndex.map { case (v, i) => (nextId + i, v) }
+      // eager checkpoint BEFORE the append: the write targets the same
+      // partitioned root the plan reads — cut the lineage so the write
+      // job never lists its own output
+      val reassigned = members.drop("cell")
+        .withColumn("cell", assignCell(subCents.toSeq)).localCheckpoint(true)
+      reassigned.write.mode("append").partitionBy("cell")
+        .parquet(s"$path/assigned")
+      newCents ++= subCents
+      nextId += seeds.length
+    }
+    // parents drop only after every child dir is durably written
+    oversized.foreach { c =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/assigned/cell=$c"))
+    }
+    import spark.implicits._
+    newCents.toSeq.sortBy(_._1).toDF("label", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    oversized.length
+  }
+
   /** Probe an IVF index: rank cells by centroid similarity on the
     * driver (nlist doubles — trivial), scan only the nprobe nearest
     * cells, exact top-k within them.

@@ -55,8 +55,18 @@ object AtomicPublish {
 
   /** Write `df` as the next snapshot version and commit it
     * atomically. Returns the committed version number.
+    *
+    * `keepVersions` is the RETENTION policy (the Iceberg
+    * expire-snapshots discipline, default 2 = current + previous):
+    * after the commit, only the newest `keepVersions` version dirs
+    * survive GC. A reader that resolved the manifest while its version
+    * was still inside the retention window keeps scanning intact
+    * files across that many subsequent publishes — size the window to
+    * the longest read you must support (keep-age is the same policy
+    * keyed by mtime; version count is the deterministic form).
     */
-  def publish(df: DataFrame, root: String): Long = {
+  def publish(df: DataFrame, root: String, keepVersions: Int = 2): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
     val next = current(root).map(_._1 + 1).getOrElse(1L)
@@ -70,14 +80,87 @@ object AtomicPublish {
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest(rootP),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // 3. best-effort GC of versions older than the previous one —
-    // readers resolving the OLD manifest concurrently still succeed
-    val keep = Set(dirName, s"v${next - 1}")
+    // 3. best-effort GC outside the retention window — readers
+    // resolving a RETAINED manifest concurrently still succeed
+    val keep = (0L until keepVersions.toLong).map(i => s"v${next - i}").toSet
     val ls = Files.list(rootP)
     try ls.filter(p => Files.isDirectory(p) && !keep(p.getFileName.toString))
       .forEach(p => deleteRecursively(p))
     finally ls.close()
     next
+  }
+
+  // -- exactly-once streaming publish --------------------------------
+
+  private def streamManifest(root: Path): Path =
+    root.resolve("_stream_manifest.json")
+
+  /** Committed state of a streaming publish root: the last batch id
+    * folded in and the committed batch dirs, in commit order.
+    */
+  final case class StreamState(lastBatch: Long, dirs: Seq[String])
+
+  /** Currently committed stream state, if any batch ever committed. */
+  def currentStream(root: String): Option[StreamState] = {
+    val m = streamManifest(Paths.get(root))
+    if (!Files.exists(m)) None
+    else {
+      val txt = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+      val last = """"lastBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+      val dirs = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).map(_.split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      for (l <- last; d <- dirs) yield StreamState(l, d)
+    }
+  }
+
+  /** Commit one micro-batch EXACTLY ONCE — the foreachBatch sink
+    * protocol (Delta's txn-log idempotence in single-pointer form):
+    *
+    *  1. REPLAY GUARD: Structured Streaming re-delivers a batch after
+    *     a crash between sink write and checkpoint advance; a batchId
+    *     at or below the committed `lastBatch` is dropped here, so the
+    *     restarted query cannot double-append.
+    *  2. data write into `batch-<id>` with mode OVERWRITE: a torn dir
+    *     from a crashed attempt (written, never committed — invisible
+    *     to readers) is cleanly replaced by the retry.
+    *  3. the atomic manifest swap makes the batch visible — readers
+    *     see the log before the commit or after it, never a torn
+    *     in-between.
+    *
+    * Returns true iff this call committed (false = replay skip).
+    * Batch ids must arrive non-decreasing per root, which Structured
+    * Streaming guarantees per checkpoint.
+    */
+  def publishStreamBatch(df: DataFrame, root: String, batchId: Long): Boolean = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val st = currentStream(root).getOrElse(StreamState(-1L, Seq.empty))
+    if (batchId <= st.lastBatch) false // exactly-once: replayed batch
+    else {
+      val dirName = s"batch-$batchId"
+      df.write.mode("overwrite").parquet(rootP.resolve(dirName).toString)
+      val dirsJson = (st.dirs :+ dirName).map(d => s""""$d"""").mkString(",")
+      val tmp = rootP.resolve("_stream_manifest.tmp")
+      Files.write(tmp,
+        s"""{"lastBatch":$batchId,"dirs":[$dirsJson]}"""
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, streamManifest(rootP),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+  }
+
+  /** Read every committed micro-batch of a streaming publish root —
+    * the consumer view: exactly the batches the manifest names, torn
+    * or replayed writes excluded by construction.
+    */
+  def readStreamPublished(spark: SparkSession, root: String): DataFrame = {
+    val st = currentStream(root).getOrElse(
+      throw new IllegalStateException(s"no committed stream batches under $root"))
+    val rootP = Paths.get(root)
+    spark.read.parquet(st.dirs.map(d => rootP.resolve(d).toString): _*)
   }
 
   /** Read the committed snapshot; fails if none was ever published. */

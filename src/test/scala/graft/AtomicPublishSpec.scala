@@ -72,4 +72,89 @@ class AtomicPublishSpec extends SparkSpec {
       .map(p => Paths.get(p).getFileName.toString).sorted.toSeq
     assert(dirs == Seq("v3", "v4"), s"expected v3+v4 kept, got $dirs")
   }
+
+  test("retention window: a reader pinned at an old version survives " +
+      "publishes inside keep-N, loses it outside") {
+    val root = freshRoot()
+    AtomicPublish.publish(Seq((1L, "a")).toDF("id", "s"), root,
+      keepVersions = 3)
+    // reader resolves the manifest at v1 and holds the data path — the
+    // mid-scan position the GC policy must respect
+    val (v1, d1) = AtomicPublish.current(root).get
+    assert(v1 == 1L)
+    val pinned = spark.read.parquet(Paths.get(root, d1).toString)
+    // two more publishes: v1 is still inside the keep-3 window
+    AtomicPublish.publish(Seq((2L, "b")).toDF("id", "s"), root,
+      keepVersions = 3)
+    AtomicPublish.publish(Seq((3L, "c")).toDF("id", "s"), root,
+      keepVersions = 3)
+    assert(pinned.as[(Long, String)].collect().toSeq == Seq((1L, "a")),
+      "pinned reader lost its files inside the retention window")
+    // a third publish expires v1 (keep = v4, v3, v2)
+    AtomicPublish.publish(Seq((4L, "d")).toDF("id", "s"), root,
+      keepVersions = 3)
+    assert(!Files.exists(Paths.get(root, d1)),
+      "v1 should be GC'd once outside keep-3")
+    val dirs = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(p => Files.isDirectory(Paths.get(p)))
+      .map(p => Paths.get(p).getFileName.toString).sorted.toSeq
+    assert(dirs == Seq("v2", "v3", "v4"))
+  }
+
+  // -- exactly-once streaming publish ---------------------------------
+
+  test("stream batches commit in order and read back as their union") {
+    val root = freshRoot()
+    assert(AtomicPublish.currentStream(root).isEmpty)
+    assert(AtomicPublish.publishStreamBatch(
+      Seq((1L, "a")).toDF("id", "s"), root, 0L))
+    assert(AtomicPublish.publishStreamBatch(
+      Seq((2L, "b")).toDF("id", "s"), root, 1L))
+    assert(AtomicPublish.readStreamPublished(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a replayed batch id is skipped — no duplicate rows after restart") {
+    val root = freshRoot()
+    AtomicPublish.publishStreamBatch(Seq((1L, "a")).toDF("id", "s"), root, 0L)
+    AtomicPublish.publishStreamBatch(Seq((2L, "b")).toDF("id", "s"), root, 1L)
+    // crash-between-sink-and-checkpoint replay: foreachBatch re-delivers
+    // batch 1; the manifest's lastBatch drops it
+    assert(!AtomicPublish.publishStreamBatch(
+      Seq((2L, "b")).toDF("id", "s"), root, 1L))
+    assert(AtomicPublish.readStreamPublished(spark, root).count() == 2)
+  }
+
+  test("a torn batch dir is invisible until its id commits, then " +
+      "appears exactly once") {
+    val root = freshRoot()
+    AtomicPublish.publishStreamBatch(Seq((1L, "a")).toDF("id", "s"), root, 0L)
+    // simulate dying mid data-write of batch 1: dir exists, garbage
+    // inside, manifest never moved
+    val torn = Paths.get(root, "batch-1")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes(StandardCharsets.UTF_8))
+    assert(AtomicPublish.readStreamPublished(spark, root).count() == 1,
+      "reader saw a torn uncommitted batch")
+    // restart re-processes batch 1: overwrite replaces the torn dir and
+    // the commit makes it visible exactly once
+    assert(AtomicPublish.publishStreamBatch(
+      Seq((9L, "z")).toDF("id", "s"), root, 1L))
+    assert(AtomicPublish.readStreamPublished(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (9L, "z")))
+  }
+
+  test("the streamed publish gate equals its batch projection") {
+    val root = freshRoot()
+    graft.streaming.StreamingOps.replayPublishStream(spark, sf, root)
+    val streamed = AtomicPublish.readStreamPublished(spark, root)
+      .orderBy("doc_id").collect().toSeq
+    val batch = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
 }

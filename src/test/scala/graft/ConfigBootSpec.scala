@@ -175,4 +175,63 @@ class ConfigBootSpec extends SparkSpec {
     assert(Router.dispatch(ns, "/query/q")(spark, sf)
       .toOption.get.head().getInt(0) == 2)
   }
+
+  test("identifier positions are catalog-validated; value positions " +
+      "keep examiner parity") {
+    val tpl = "select $x from $y where $z = '$q'"
+    def run(vals: (String, String)*) =
+      ConfigBoot.run(spark, sf, tpl, Seq.empty, vals.toMap)
+    // catalog-legal identifiers render through the splice
+    val ok = run("x" -> "c_name", "y" -> "customer",
+      "z" -> "c_mktsegment", "q" -> "BUILDING")
+    assert(ok.columns.toSeq == Seq("c_name"))
+    assert(ok.count() > 0)
+    // an alnum-PASSING multi-token splice in a column position (the
+    // examiner's domain includes space — examiner.js:36) is rejected
+    // by the stronger identifier standard
+    val e1 = intercept[IllegalArgumentException] {
+      run("x" -> "1 or 1", "y" -> "customer",
+        "z" -> "c_mktsegment", "q" -> "BUILDING")
+    }
+    assert(e1.getMessage.contains("Invalid identifier"))
+    // same for a multi-token TABLE splice: caught by the catalog
+    val e2 = intercept[IllegalArgumentException] {
+      run("x" -> "c_name", "y" -> "customer extra",
+        "z" -> "c_mktsegment", "q" -> "BUILDING")
+    }
+    assert(e2.getMessage.contains("Unknown table"))
+    // a single-token but unknown column is caught against the live
+    // schema of the (validated) $y relation
+    val e3 = intercept[IllegalArgumentException] {
+      run("x" -> "c_name", "y" -> "customer",
+        "z" -> "no_such_col", "q" -> "BUILDING")
+    }
+    assert(e3.getMessage.contains("Unknown column"))
+    // VALUE positions keep exact reference parity: the quoted literal
+    // renders even multi-token (and simply matches nothing) ...
+    val v = run("x" -> "c_name", "y" -> "customer",
+      "z" -> "c_mktsegment", "q" -> "1 or 1")
+    assert(v.count() == 0)
+    // ... and the fixture template's numeric value-position $minp
+    // (right operand, dotted decimal) is untouched by the hardening
+    val minp = ConfigBoot.run(spark, sf,
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > $minp",
+      Seq.empty, Map("minp" -> "400000.0"))
+    assert(minp.count() > 0)
+  }
+
+  test("identifierVars classifies table/column/value positions") {
+    val (t1, c1) = ConfigBoot.identifierVars(
+      "select $x from $y where $z = '$q' order by $o")
+    assert(t1 == Set("y"))
+    assert(c1 == Set("x", "z", "o"))
+    // right operands and quoted literals are VALUES, not identifiers
+    val (t2, c2) = ConfigBoot.identifierVars(
+      "SELECT a FROM orders WHERE o_totalprice > $minp AND o_name = '$n'")
+    assert(t2.isEmpty && c2.isEmpty)
+    // JOIN position is a table identifier
+    val (t3, _) = ConfigBoot.identifierVars(
+      "SELECT a FROM orders JOIN $other ON x = y")
+    assert(t3 == Set("other"))
+  }
 }

@@ -136,6 +136,70 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupParagraphs keeps first occurrences and reassembly " +
+      "fingerprints untouched docs exactly") {
+    val out = CorpusOps.dedupParagraphs(
+      Tables.load(spark, sf, "documents")).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val (id, nParas, nRemoved) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val toks = docs(id).toLowerCase.split(" ", -1)
+      assert(nParas == (toks.length + CorpusOps.ParaLen - 1) / CorpusOps.ParaLen,
+        s"doc $id paragraph count")
+      assert(nRemoved >= 0 && nRemoved <= nParas)
+      assert(r.getDouble(3) ==
+        BigDecimal(nRemoved.toDouble / nParas)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // an untouched doc reassembles to its own (lowercased) text: the
+      // space-join of consecutive 4-token windows IS the token stream
+      if (nRemoved == 0) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(docs(id).toLowerCase.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(r.getString(4) == md, s"doc $id reassembly fingerprint")
+      }
+    }
+    // the fixture genuinely carries cross-doc paragraph duplication —
+    // otherwise the operator is vacuous
+    assert(out.map(_.getLong(2)).sum > 0, "no duplicated paragraphs found")
+    // first-seen rule: the globally first paragraph occurrence of the
+    // lowest doc_id is never removed, so doc 0 keeps paragraph 0 —
+    // sanity via: if doc 0 has no duplicate-of-earlier paragraphs its
+    // fingerprint was checked above; here just pin that SOME doc with
+    // doc_id > 0 lost a paragraph to an earlier doc
+    assert(out.exists(r => r.getLong(0) > 0 && r.getLong(2) > 0))
+  }
+
+  test("bpeVocab: counts are non-increasing and round 1 equals bpePairs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val vocab = CorpusOps.bpeVocab(docs).collect()
+    assert(vocab.length == CorpusOps.BpeMerges)
+    val cnts = vocab.map(_.getLong(3)).toSeq
+    // merging can only remove occurrences or create pairs whose count
+    // is bounded by a pre-merge pair's count — the max is monotone
+    assert(cnts == cnts.sortBy(-_), s"counts not non-increasing: $cnts")
+    // round 1 IS bpePairs' top-1 (same counting, same tie-break)
+    val top1 = CorpusOps.bpePairs(docs).head()
+    assert(s"${vocab(0).getString(1)} ${vocab(0).getString(2)}" ==
+      top1.getString(0))
+    assert(vocab(0).getLong(3) == top1.getLong(1))
+  }
+
+  test("bpeVocab applies merges greedily left-to-right (the replace rule)") {
+    // "a a a" under merge (a,a): greedy non-overlap merges the FIRST
+    // two, leaving [a·a, a] — so round 2's top pair is (a·a, a), which
+    // pins that merges actually rewrite the sequences
+    val tiny = Seq((0L, "a a a")).toDF("doc_id", "text")
+    val v = CorpusOps.bpeVocab(tiny, merges = 2).collect()
+    assert(v(0).getString(1) == "a" && v(0).getString(2) == "a" &&
+      v(0).getLong(3) == 2L)
+    assert(v(1).getString(1) == "a\u0002a" && v(1).getString(2) == "a" &&
+      v(1).getLong(3) == 1L)
+  }
+
   test("dedupSpans plan: no shuffle wider than the gram stages") {
     // the gate pins counts via e_plan_audit for other queries; here we
     // just assert the span pipeline stays at 4 exchanges (gram agg,

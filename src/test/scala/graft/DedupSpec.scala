@@ -130,4 +130,16 @@ class DedupSpec extends SparkSpec {
     val kept = DedupOps.minhashDedup(full)
     assert(kept.count() <= full.count())
   }
+
+  test("evalShingleSets fails loudly past the driver-collect ceiling") {
+    val full = Tables.load(spark, sf, "documents")
+    // a misconfigured modulus that selects the whole corpus must raise
+    // BEFORE collecting, not OOM the driver
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.evalShingleSets(full, evalModulus = 1L, maxDocs = 10L)
+    }
+    assert(e.getMessage.contains("driver-collect ceiling"))
+    // the production modulus stays comfortably under the default cap
+    assert(DedupOps.evalShingleSets(full).nonEmpty)
+  }
 }

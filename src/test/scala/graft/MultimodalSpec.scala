@@ -90,4 +90,36 @@ class MultimodalSpec extends SparkSpec {
         m.png_h == 8 + ((m.doc_id * 7) % 24).toInt, s"bad meta: $m")
     }
   }
+
+  test("dHash dedup: exact image copies collapse and survivors are " +
+      "pairwise band-separated") {
+    val docs = Tables.load(spark, sf, "documents").count()
+    val hashes = MultimodalOps.dHashAll(
+      MultimodalOps.dedupPngTable(spark, sf)).collect()
+    assert(hashes.length == docs)
+    // image identity is doc_id % 97: same k => byte-identical PNG =>
+    // identical dHash (the real decode is deterministic)
+    hashes.groupBy(_.doc_id % 97).foreach { case (k, g) =>
+      assert(g.map(_.dhash).distinct.length == 1, s"k=$k hashes differ")
+    }
+    val survivors = MultimodalOps.imageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every surviving doc is the FIRST (lowest id) of its image class
+    // that no earlier near-dup removed — in particular, exact copies
+    // collapsed: at most one survivor per k
+    val byK = survivors.groupBy(_._1 % 97)
+    assert(byK.values.forall(_.length == 1),
+      "an exact image copy survived")
+    assert(survivors.length < docs, "nothing was removed")
+    // Hamming <= 3 implies at least one intact 16-bit band (3 flips
+    // touch at most 3 of 4 bands), so any such pair MUST have been
+    // caught: survivors are pairwise Hamming >= 4
+    for {
+      (ia, ha) <- survivors
+      (ib, hb) <- survivors if ia < ib
+    } assert(java.lang.Long.bitCount(ha ^ hb) > 3,
+      s"$ia and $ib survived at Hamming ${java.lang.Long.bitCount(ha ^ hb)}")
+    // dhash stays a positive 63-bit value (bit 63 dropped by design)
+    assert(hashes.forall(_.dhash >= 0L))
+  }
 }

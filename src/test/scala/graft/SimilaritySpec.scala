@@ -317,4 +317,59 @@ class SimilaritySpec extends SparkSpec {
     assert(audit.partitionPrunedScans == 1,
       s"the ADC probe must prune cell partitions: ${audit.render}")
   }
+
+  test("skewed append bloats one cell; rebalance splits it, bounds " +
+      "probe partitions, and leaves the full-probe answer invariant") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = SimilarityOps.kmeansCentroids(emb, 16, 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_rebal").toString
+    SimilarityOps.saveIvfIndex(
+      SimilarityOps.IvfIndex(centroids,
+        emb.withColumn("cell", SimilarityOps.cellExpr(centroids))), path)
+    // skewed day-2 ingest: 120 NEAR-copies of vector 0 (tiny distinct
+    // per-id jitter on one dimension) — the frozen quantizer funnels
+    // them all into vector 0's cell, the drift rebalance must detect
+    val base = SimilarityOps.vectorOf(spark, sf, 0L).map(_.toFloat)
+    val skew = spark.range(10000L, 10120L)
+      .select(col("id").as("vec_id"),
+        transform(typedLit(base), (x, i) =>
+          x + when(i === pmod(col("id"), lit(64L)).cast("int"),
+            pmod(col("id"), lit(7L)).cast("float") * lit(0.001f))
+            .otherwise(lit(0.0f))).as("embedding"),
+        lit(0).as("label"))
+    SimilarityOps.appendToIvfIndex(spark, skew, path)
+    val sizesBefore = SimilarityOps.ivfCellSizes(spark, path)
+    val cap = 100
+    assert(sizesBefore.values.max > cap,
+      s"skew did not bloat a cell: $sizesBefore")
+    val membersBefore = spark.read.parquet(s"$path/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val q = SimilarityOps.vectorOf(spark, sf, 5L)
+    def fullProbe() = SimilarityOps.probeIvf(
+      SimilarityOps.loadIvfIndex(spark, path), q,
+      nprobe = 10000, k = 10, excludeId = 5L).collect().toSeq
+    val answerBefore = fullProbe()
+    val split = SimilarityOps.rebalanceIvfIndex(spark, path, cap = cap)
+    assert(split >= 1, "rebalance found nothing to split")
+    val sizesAfter = SimilarityOps.ivfCellSizes(spark, path)
+    // physical improvement: the hot partition shrank and the layout
+    // gained cells; the oversized parent ids are gone
+    assert(sizesAfter.values.max < sizesBefore.values.max,
+      s"hot cell not reduced: $sizesBefore -> $sizesAfter")
+    assert(sizesAfter.size > sizesBefore.size)
+    sizesBefore.filter(_._2 > cap).keys.foreach(c =>
+      assert(!sizesAfter.contains(c), s"parent cell $c still present"))
+    // logical invariance: same member set, and a probe over ALL cells
+    // returns the identical top-k — rebalance is layout-only
+    val membersAfter = spark.read.parquet(s"$path/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(membersAfter == membersBefore, "rebalance changed membership")
+    assert(fullProbe() == answerBefore, "rebalance changed the answer")
+    // centroid list stays consistent with the layout: one centroid per
+    // cell dir, labels unique
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("label").collect().map(_.getInt(0)).toSeq
+    assert(cents.distinct.length == cents.length)
+    assert(cents.toSet == sizesAfter.keySet)
+  }
 }
