@@ -41,8 +41,10 @@ object SparkEntry {
     * broadcasts are explicit hints, not stats decisions).
     */
   private val planAuditTargets = Seq("e_ann_ivf_persisted",
-    "e_bucketed_join", "e_collapse_repeats", "e_dedup_exact",
+    "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
+    "e_dedup_exact", "e_dedup_paragraph",
     "e_dedup_spans", "e_join_broadcast", "e_merge_upsert",
+    "e_multimodal_dedup",
     "e_partition_prune", "e_pii_redact", "e_tfidf",
     "e_topk", "e_tpch_q3", "e_triangles", "e_window_running",
     "r_jdbc_two_backends", "r_soql_proj")
@@ -87,12 +89,15 @@ object SparkEntry {
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
         |  ('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
+        |  ('e_bm25_topk', 3, 1, 0, 1, 0),
         |  ('e_bucketed_join', 2, 0, 0, 2, 0),
         |  ('e_collapse_repeats', 1, 0, 0, 1, 0),
         |  ('e_dedup_exact', 2, 0, 1, 1, 0),
+        |  ('e_dedup_paragraph', 3, 0, 1, 1, 0),
         |  ('e_dedup_spans', 3, 1, 3, 2, 0),
         |  ('e_join_broadcast', 1, 1, 0, 2, 0),
         |  ('e_merge_upsert', 1, 1, 0, 3, 0),
+        |  ('e_multimodal_dedup', 5, 2, 0, 0, 0),
         |  ('e_partition_prune', 2, 0, 0, 1, 1),
         |  ('e_pii_redact', 1, 0, 0, 1, 0),
         |  ('e_tfidf', 5, 1, 1, 2, 0),
