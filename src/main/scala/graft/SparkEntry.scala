@@ -130,6 +130,7 @@ object SparkEntry {
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
         |  ('e_bm25_topk', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
+        |  ('e_bpe_apply', 4, 'doc_id:bigint,n_before:bigint,n_after:bigint,seq_fp:string'),
         |  ('e_bpe_pairs', 3, 'pair:string,cnt:bigint,pair_rank:int'),
         |  ('e_bpe_vocab', 4, 'merge_rank:int,tok_a:string,tok_b:string,cnt:bigint'),
         |  ('e_bucketed_join', 3, 'o_orderpriority:string,n_items:bigint,sum_price:double'),
@@ -147,6 +148,7 @@ object SparkEntry {
         |  ('e_dedup_embedding', 2, 'vec_id:bigint,label:int'),
         |  ('e_dedup_exact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_incr', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_dedup_incr_minhash', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_keep_longest', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_minhash', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_minhash_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),

@@ -226,10 +226,17 @@ object CorpusOps {
     * k never re-evaluates rounds 1..k-1. At 100 TB each round is one
     * linear pass — exactly how distributed BPE trainers structure it.
     */
-  def bpeVocab(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var cur = docs.select(
+  /** Result of the merge loop: the induced vocabulary and the FINAL
+    * merged sequences (doc_id, s) — persisted, one string copy of the
+    * corpus — so induction (`e_bpe_vocab`) and application
+    * (`e_bpe_apply`) share one computation, exactly like a trained
+    * tokenizer is trained once and applied everywhere.
+    */
+  final case class BpeResult(vocab: Seq[(Int, String, String, Long)],
+      seqs: DataFrame)
+
+  def bpeMergeLoop(docs: DataFrame, merges: Int = BpeMerges): BpeResult = {
+    var cur = docs.select(col("doc_id"),
       concat(lit(Sep), array_join(split(lower(col("text")), " "), Sep),
         lit(Sep)).as("s")).persist()
     cur.count()
@@ -252,28 +259,64 @@ object CorpusOps {
       val (a, b, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       vocab += ((k, a, b, cnt))
-      val next = cur.select(replace(col("s"),
+      val next = cur.select(col("doc_id"), replace(col("s"),
         lit(Sep + a + Sep + b + Sep), lit(Sep + a + Joiner + b + Sep))
         .as("s")).persist()
       next.count()
       cur.unpersist()
       cur = next
     }
-    cur.unpersist()
-    vocab.toSeq.toDF("merge_rank", "tok_a", "tok_b", "cnt")
+    BpeResult(vocab.toSeq, cur)
+  }
+
+  def bpeVocab(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = bpeMergeLoop(docs, merges)
+    r.seqs.unpersist()
+    r.vocab.toDF("merge_rank", "tok_a", "tok_b", "cnt")
       .orderBy("merge_rank")
   }
 
   // Driver-side merge loop ⇒ constructing the frame runs Spark jobs
   // (the dedupCc precedent) — memoize per (app, dataset) so r_catalog's
-  // schema walk and bench warm passes replay 8 rounds once.
-  private val bpeVocabCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // schema walk, bench warm passes, AND the apply query replay the 8
+  // rounds once, total.
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeResult]()
 
-  private val bpeVocabQ: Q = (spark, dir) =>
-    bpeVocabCache.computeIfAbsent(
+  private def bpeOf(spark: SparkSession, dir: String): BpeResult =
+    bpeCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}#$dir",
-      _ => bpeVocab(Tables.load(spark, dir, "documents")))
+      _ => bpeMergeLoop(Tables.load(spark, dir, "documents")))
+
+  private val bpeVocabQ: Q = (spark, dir) => {
+    import spark.implicits._
+    bpeOf(spark, dir).vocab.toDF("merge_rank", "tok_a", "tok_b", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** TOKENIZER APPLICATION — the consumer half of BPE: run every
+    * document through the induced merge table and report the
+    * compression it bought (token counts before/after) plus an md5
+    * fingerprint of the merged sequence, so the APPLIED segmentation
+    * itself is hash-checked, not just the counts. Rides the memoized
+    * merge-loop result: one persisted string copy of the corpus, one
+    * map-side projection here — at 100 TB, applying a trained
+    * tokenizer is exactly this shape (broadcast merge table, one pass).
+    */
+  private val bpeApplyQ: Q = (spark, dir) => {
+    val seqs = bpeOf(spark, dir).seqs
+    seqs.select(col("doc_id"),
+      (size(split(col("s"), Sep)) - 2).cast("long").as("n_after"),
+      md5(col("s").cast("binary")).as("seq_fp"))
+      .join(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_before")),
+        Seq("doc_id"))
+      .select("doc_id", "n_before", "n_after", "seq_fp")
+      .orderBy("doc_id")
+  }
 
   /** Repetition removal (the Gopher/MassiveText cleaning rule's
     * simplest form): drop each token that immediately repeats its
@@ -374,6 +417,7 @@ object CorpusOps {
     "e_dedup_paragraph" -> dedupParagraphsQ,
     "e_bpe_pairs" -> bpePairsQ,
     "e_bpe_vocab" -> bpeVocabQ,
+    "e_bpe_apply" -> bpeApplyQ,
     "e_collapse_repeats" -> collapseRepeatsQ,
     "e_token_budget" -> tokenBudgetQ,
   )
@@ -385,7 +429,11 @@ object CorpusOps {
     * the oracle replays every merge decision AND its application.
     * chr(1)/chr(2) are the  separator /  joiner.
     */
-  private def bpeVocabOracle: String = {
+  /** The WITH body replaying the merge loop (r0 … rN CTEs) — shared by
+    * the vocab and apply oracles so both replay the ONE loop
+    * [[bpeOf]] caches.
+    */
+  private def bpeRoundsCtes: String = {
     val rounds = (1 to BpeMerges).map { k =>
       val src = s"r${k - 1}"
       s"""t$k AS (
@@ -403,20 +451,36 @@ object CorpusOps {
          |  FROM $src, p$k
          |)""".stripMargin
     }.mkString(",\n")
-    val tail = (1 to BpeMerges).map { k =>
-      s"SELECT $k AS merge_rank, a AS tok_a, b AS tok_b, cnt FROM p$k"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH r0 AS (
+    s"""r0 AS (
        |  SELECT doc_id, chr(1) ||
        |    array_to_string(string_split(lower(text), ' '), chr(1)) ||
        |    chr(1) AS s
        |  FROM documents
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeVocabOracle: String = {
+    val tail = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS merge_rank, a AS tok_a, b AS tok_b, cnt FROM p$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeRoundsCtes
        |SELECT * FROM (
        |$tail
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  /** DuckDB replay of the apply query: the same merge rounds, then
+    * per-doc token counts and the md5 of the merged marker string.
+    */
+  private def bpeApplyOracle: String =
+    s"""WITH $bpeRoundsCtes
+       |SELECT r$BpeMerges.doc_id,
+       |  len(string_split(lower(d.text), ' '))::BIGINT AS n_before,
+       |  (len(string_split(r$BpeMerges.s, chr(1))) - 2)::BIGINT AS n_after,
+       |  md5(r$BpeMerges.s) AS seq_fp
+       |FROM r$BpeMerges JOIN documents d ON r$BpeMerges.doc_id = d.doc_id
+       |ORDER BY r$BpeMerges.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e_dedup_spans" ->
@@ -478,6 +542,7 @@ object CorpusOps {
          |    ORDER BY para_idx), '')) AS kept_fp
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e_bpe_vocab" -> bpeVocabOracle,
+    "e_bpe_apply" -> bpeApplyOracle,
     "e_bpe_pairs" ->
       s"""WITH toked AS (SELECT string_split(lower(text), ' ') AS l
          |               FROM documents),

@@ -3,6 +3,8 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.AtomicPublish
 
 /** The commit protocol's crash contract: readers never see a torn
@@ -145,6 +147,52 @@ class AtomicPublishSpec extends SparkSpec {
     assert(AtomicPublish.readStreamPublished(spark, root)
       .orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (9L, "z")))
+  }
+
+  test("checkpointed foreachBatch publish survives a crash-and-replay " +
+      "restart with no loss and no duplication") {
+    val replayDir = Files.createTempDirectory("pub_resume_src")
+    val cpDir = Files.createTempDirectory("pub_resume_cp")
+    val root = freshRoot()
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val schema = raw.schema
+    def ship(half: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = Files.createTempDirectory(s"pub_stage_$tag")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, replayDir.resolve(s"$tag.parquet"))
+    }
+    def start() = spark.readStream.schema(schema).format("parquet")
+      .load(replayDir.toString)
+      .select("doc_id", "lang", "source", "n_chars")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        AtomicPublish.publishStreamBatch(b, root, id); ()
+      }
+      .option("checkpointLocation", cpDir.toString)
+      .start()
+    ship(raw.where(col("doc_id") % 2 === 0), "day1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // planned "crash"
+    // simulate dying BETWEEN the sink commit and the checkpoint
+    // advance: with commits/0 gone, the restarted query RE-DELIVERS
+    // batch 0 to foreachBatch — the manifest's batchId guard must
+    // swallow the replay. (The .crc sibling must go too: Hadoop's
+    // ChecksumFileSystem otherwise fails the re-write of commits/0
+    // against the stale checksum.)
+    assert(Files.deleteIfExists(cpDir.resolve("commits").resolve("0")))
+    Files.deleteIfExists(cpDir.resolve("commits").resolve(".0.crc"))
+    ship(raw.where(col("doc_id") % 2 === 1), "day2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val published = AtomicPublish.readStreamPublished(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = raw.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(published == want,
+      s"published ${published.length} rows, want ${want.length} — " +
+        "replay duplicated or dropped a batch")
   }
 
   test("the streamed publish gate equals its batch projection") {

@@ -59,4 +59,30 @@ class IncrementalDedupSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS inc_plan_idx")
     }
   }
+
+  test("minhash incremental: a re-sent corpus is dropped IN FULL by " +
+      "the persisted LSH index, and the index holds survivors only") {
+    val bandsTbl = "inc_lsh_spec_bands"
+    val featsTbl = "inc_lsh_spec_feats"
+    spark.sql(s"DROP TABLE IF EXISTS $bandsTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $featsTbl")
+    val s1 = DedupOps.minhashIncrementalDedup(docs, bandsTbl, featsTbl)
+    val n1 = s1.count()
+    assert(n1 > 0 && n1 <= docs.count())
+    // the index stores exactly the survivors (features once per doc,
+    // 4 band rows per doc)
+    assert(spark.table(featsTbl).count() == n1)
+    assert(spark.table(bandsTbl).count() == 4 * n1)
+    // day 2 re-sends the WHOLE corpus under shifted ids. Every re-sent
+    // doc x either (a) duplicates a day-1 survivor — identical bands,
+    // J = 1 — or (b) duplicates a day-1 DROPPED doc, which shared a
+    // band and J >= 0.8 with the surviving twin that removed it; x
+    // inherits both. Either way the index catches it: zero survivors.
+    val resent = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val s2 = DedupOps.minhashIncrementalDedup(resent, bandsTbl, featsTbl)
+    assert(s2.count() == 0, "a re-sent near-duplicate slipped the index")
+    assert(spark.table(featsTbl).count() == n1, "index grew on a no-op day")
+    spark.sql(s"DROP TABLE IF EXISTS $bandsTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $featsTbl")
+  }
 }
