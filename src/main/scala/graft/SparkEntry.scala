@@ -170,6 +170,7 @@ object SparkEntry {
         |  ('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |  ('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
         |  ('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
+        |  ('e_hybrid_retrieval', 6, 'query_id:int,doc_id:bigint,lex_rank:int,ann_rank:int,rrf_r:double,fused_rank:int'),
         |  ('e_jaccard_join', 3, 'id_a:bigint,id_b:bigint,jacc:double'),
         |  ('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |  ('e_join_bloom', 3, 'l_returnflag:string,n_items:bigint,revenue:double'),

@@ -148,19 +148,79 @@ object RetrievalOps {
 
   private val bm25TopkQ: Q = (spark, dir) => bm25TopK(spark, dir)
 
+  /** Fusion depth per retriever, output depth, and the RRF constant
+    * (Cormack et al. SIGIR'09 use 60; it is the de-facto standard).
+    */
+  val HybridDepth = 10
+  val HybridK = 5
+  val RrfC = 60
+
+  /** HYBRID retrieval — reciprocal-rank fusion of the lexical (BM25)
+    * and dense (cosine ANN) retrievers, the standard 2-retriever
+    * hybrid-search composition: each query q (1..5) pairs its BM25
+    * term query with an example embedding (vec_id = q), takes the
+    * top-[[HybridDepth]] list from each retriever, and fuses by
+    * RRF(d) = Σ_r 1/(C + rank_r(d)) over the lists containing d.
+    * "Docs lexically matching the terms OR semantically near the
+    * example" — contamination audits and targeted corpus probes run
+    * exactly this.
+    *
+    * Determinism: each reciprocal term is one double division of
+    * exact integers and the two-term sum is written in fixed order
+    * (the BM25 total's discipline), so both engines produce identical
+    * doubles; ties break by doc_id. Scale shape: both inputs are
+    * already bounded top-k pipelines (index probe + broadcast k-NN
+    * with the TopK aggregator); fusion joins two ≤(queries·depth)
+    * frames — driver-trivial at any corpus size.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(spark, dir, DefaultQueries, k = HybridDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val ann = SimilarityOps.knnJoin(Tables.load(spark, dir, "embeddings"),
+        k = HybridDepth,
+        queryIds = Some(DefaultQueries.map(_._1.toLong)))
+      .select(col("q_id").cast("int").as("query_id"),
+        col("vec_id").as("doc_id"), col("nn_rank").as("ann_rank"))
+    val fused = lex.join(ann, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("ann_rank"), lit(0)).as("ann_rank"))
+      .withColumn("rrf",
+        when(col("lex_rank") > 0,
+          lit(1.0) / (lit(RrfC) + col("lex_rank")).cast("double"))
+          .otherwise(lit(0.0)) +
+        when(col("ann_rank") > 0,
+          lit(1.0) / (lit(RrfC) + col("ann_rank")).cast("double"))
+          .otherwise(lit(0.0)))
+    // the window runs on <= queries*2*depth fused rows — bounded
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= HybridK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("ann_rank"), round(col("rrf"), 6).as("rrf_r"),
+        col("fused_rank"))
+      .orderBy("query_id", "fused_rank")
+  }
+
+  private val hybridQ: Q = (spark, dir) => hybridRetrieval(spark, dir)
+
   val queries: Map[String, Q] = Map(
     "e_bm25_topk" -> bm25TopkQ,
+    "e_hybrid_retrieval" -> hybridQ,
   )
 
-  /** DuckDB replay: postings statistics from scratch, the identical
-    * integer-exact score, the same fixed-order two-term total, the
-    * same (total DESC, doc_id) ranking.
+  /** WITH-body prefix computing BM25 totals per (query, doc) — shared
+    * by the plain top-k oracle and the hybrid-fusion oracle, so both
+    * replay the ONE scoring definition. Ends with `tot(query_id,
+    * doc_id, total)`.
     */
-  private def bm25Oracle: String = {
+  private def bm25TotalsCtes: String = {
     val qValues = DefaultQueries.flatMap { case (id, a, b) =>
       Seq(s"($id, '$a', 1)", s"($id, '$b', 2)")
     }.mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |  FROM documents
        |), dl AS (
@@ -186,7 +246,15 @@ object RetrievalOps {
        |    coalesce(max(CASE WHEN term_pos = 1 THEN sc END), 0.0) +
        |    coalesce(max(CASE WHEN term_pos = 2 THEN sc END), 0.0) AS total
        |  FROM scored GROUP BY query_id, doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay: postings statistics from scratch, the identical
+    * integer-exact score, the same fixed-order two-term total, the
+    * same (total DESC, doc_id) ranking.
+    */
+  private def bm25Oracle: String =
+    s"""WITH $bm25TotalsCtes
        |SELECT query_id, doc_id, round(total, 6) AS score_r,
        |  CAST(rank AS INT) AS rank
        |FROM (
@@ -195,9 +263,64 @@ object RetrievalOps {
        |      ORDER BY total DESC, doc_id) AS rank
        |  FROM tot) z
        |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of the hybrid fusion: the proven BM25 chain at
+    * depth [[HybridDepth]], the proven knn cosine replay over the
+    * example vectors, and the fixed-order RRF sum.
+    */
+  private def hybridOracle: String = {
+    val qIds = DefaultQueries.map(_._1).mkString(", ")
+    s"""WITH $bm25TotalsCtes,
+       |lexr AS (
+       |  SELECT query_id, doc_id, rank AS lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY total DESC, doc_id) AS rank
+       |    FROM tot) z
+       |  WHERE rank <= $HybridDepth
+       |), annq AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |  FROM embeddings WHERE vec_id IN ($qIds)
+       |), anns AS (
+       |  SELECT q.q_id, e.vec_id AS doc_id,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 6)
+       |      AS cos
+       |  FROM embeddings e, annq q WHERE e.vec_id <> q.q_id
+       |), annr AS (
+       |  SELECT q_id::INT AS query_id, doc_id, ann_rank FROM (
+       |    SELECT q_id, doc_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, doc_id) AS ann_rank
+       |    FROM anns) z
+       |  WHERE ann_rank <= $HybridDepth
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, a.query_id) AS query_id,
+       |         coalesce(l.doc_id, a.doc_id) AS doc_id,
+       |         coalesce(l.lex_rank, 0) AS lex_rank,
+       |         coalesce(a.ann_rank, 0) AS ann_rank
+       |  FROM lexr l FULL OUTER JOIN annr a
+       |    ON l.query_id = a.query_id AND l.doc_id = a.doc_id
+       |), rrfed AS (
+       |  SELECT query_id, doc_id, lex_rank, ann_rank,
+       |    (CASE WHEN lex_rank > 0
+       |       THEN 1.0 / CAST($RrfC + lex_rank AS DOUBLE) ELSE 0.0 END) +
+       |    (CASE WHEN ann_rank > 0
+       |       THEN 1.0 / CAST($RrfC + ann_rank AS DOUBLE) ELSE 0.0 END)
+       |      AS rrf
+       |  FROM fused
+       |)
+       |SELECT query_id, doc_id, CAST(lex_rank AS INT) AS lex_rank,
+       |  CAST(ann_rank AS INT) AS ann_rank, round(rrf, 6) AS rrf_r,
+       |  CAST(frank AS INT) AS fused_rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS frank
+       |  FROM rrfed) z
+       |WHERE frank <= $HybridK ORDER BY query_id, fused_rank""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "e_bm25_topk" -> bm25Oracle,
+    "e_hybrid_retrieval" -> hybridOracle,
   )
 }

@@ -52,15 +52,28 @@ object SimilarityOps {
     * Norms are staged per side before the join so each corpus row's
     * norm is computed once, not once per query.
     */
+  /** `queryIds`: explicit query id set instead of the id-prefix split —
+    * the corpus side then stays the FULL table (each query's own row is
+    * excluded by the join condition). Default behavior unchanged.
+    */
   def knnJoin(emb: org.apache.spark.sql.DataFrame, nQueries: Long = 10L,
-      k: Int = 3): org.apache.spark.sql.DataFrame = {
+      k: Int = 3,
+      queryIds: Option[Seq[Long]] = None): org.apache.spark.sql.DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     import graft.functions.{Scored, TopK}
-    val qs = emb.where(col("vec_id") < nQueries)
+    val qSide = queryIds match {
+      case Some(ids) => emb.where(col("vec_id").isin(ids: _*))
+      case None => emb.where(col("vec_id") < nQueries)
+    }
+    val cSide = queryIds match {
+      case Some(_) => emb
+      case None => emb.where(col("vec_id") >= nQueries)
+    }
+    val qs = qSide
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         VectorOps.l2Norm(col("embedding")).as("q_norm"))
-    val corpus = emb.where(col("vec_id") >= nQueries)
+    val corpus = cSide
       .select(col("vec_id"), col("embedding"),
         VectorOps.l2Norm(col("embedding")).as("a_norm"))
     // same arithmetic sequence as VectorOps.cosine: dot / (normA*normB)

@@ -66,6 +66,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybrid fusion: RRF scores recompute from the reported ranks " +
+      "and the fused list is rank-consistent") {
+    val out = RetrievalOps.hybridRetrieval(spark, sf).collect()
+    assert(out.length ==
+      RetrievalOps.DefaultQueries.length * RetrievalOps.HybridK)
+    out.groupBy(_.getInt(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(5)).toSeq
+      assert(sorted.map(_.getInt(5)) == (1 to RetrievalOps.HybridK),
+        s"query $q fused ranks not dense")
+      val rrfs = sorted.map(_.getDouble(4))
+      assert(rrfs == rrfs.sortBy((x: Double) => -x),
+        s"query $q rrf not non-increasing: $rrfs")
+      sorted.foreach { r =>
+        val (lex, ann, rrf) = (r.getInt(2), r.getInt(3), r.getDouble(4))
+        assert(lex > 0 || ann > 0, "a fused doc came from neither list")
+        assert(lex <= RetrievalOps.HybridDepth &&
+          ann <= RetrievalOps.HybridDepth)
+        val want = (if (lex > 0) 1.0 / (60.0 + lex) else 0.0) +
+          (if (ann > 0) 1.0 / (60.0 + ann) else 0.0)
+        assert(math.abs(rrf - want) < 1e-6,
+          s"query $q rrf $rrf does not recompute from ranks ($lex, $ann)")
+      }
+    }
+  }
+
   test("every query term scores positively (rational idf never goes " +
       "negative, unlike log idf on df > N/2)") {
     // 'a' and 'the' are stopword-frequent in the fixture; classic BM25
