@@ -43,7 +43,7 @@ object SparkEntry {
   private val planAuditTargets = Seq("e_ann_ivf_persisted",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
     "e_dedup_exact", "e_dedup_paragraph",
-    "e_dedup_spans", "e_join_broadcast", "e_merge_upsert",
+    "e_dedup_spans", "e_dedup_substring", "e_join_broadcast", "e_merge_upsert",
     "e_multimodal_dedup",
     "e_partition_prune", "e_pii_redact", "e_tfidf",
     "e_topk", "e_tpch_q3", "e_triangles", "e_window_running",
@@ -89,12 +89,13 @@ object SparkEntry {
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
         |  ('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
-        |  ('e_bm25_topk', 3, 1, 0, 1, 0),
+        |  ('e_bm25_topk', 3, 2, 0, 2, 0),
         |  ('e_bucketed_join', 2, 0, 0, 2, 0),
         |  ('e_collapse_repeats', 1, 0, 0, 1, 0),
         |  ('e_dedup_exact', 2, 0, 1, 1, 0),
         |  ('e_dedup_paragraph', 3, 0, 1, 1, 0),
         |  ('e_dedup_spans', 3, 1, 3, 2, 0),
+        |  ('e_dedup_substring', 4, 0, 4, 2, 0),
         |  ('e_join_broadcast', 1, 1, 0, 2, 0),
         |  ('e_merge_upsert', 1, 1, 0, 3, 0),
         |  ('e_multimodal_dedup', 5, 2, 0, 0, 0),
@@ -129,6 +130,7 @@ object SparkEntry {
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
+        |  ('e_bm25_incr', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bm25_topk', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bpe_apply', 4, 'doc_id:bigint,n_before:bigint,n_after:bigint,seq_fp:string'),
         |  ('e_bpe_pairs', 3, 'pair:string,cnt:bigint,pair_rank:int'),
@@ -158,6 +160,7 @@ object SparkEntry {
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),
+        |  ('e_dedup_substring', 5, 'doc_id:bigint,n_chars:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
         |  ('e_dsir_select', 3, 'lang:string,n_sel:bigint,avg_score:double'),
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_embedding_quantize', 4, 'vec_id:bigint,scale_r:double,q_checksum:bigint,q_max:bigint'),
@@ -222,6 +225,7 @@ object SparkEntry {
         |  ('e_rebalance_topk', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
         |  ('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |  ('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
+        |  ('e_retrieval_eval', 6, 'query_id:int,n_gold:bigint,n_hits:bigint,recall_at_10:double,precision_at_10:double,mrr:double'),
         |  ('e_rolling_7d', 4, 'event_type:string,day:timestamp,n_7d:bigint,v_7d:double'),
         |  ('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
         |  ('e_sample_weighted', 3, 'lang:string,n_kept:bigint,sum_chars:bigint'),
@@ -238,6 +242,7 @@ object SparkEntry {
         |  ('e_skew_salted', 3, 'c_nationkey:int,n_orders:bigint,revenue:double'),
         |  ('e_sliding_batch', 4, 'win_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |  ('e_snapshot_diff', 3, 'diff_kind:string,n_rows:bigint,key_fp:bigint'),
+        |  ('e_split_leakfree', 4, 'split:string,n_docs:bigint,n_clusters:bigint,n_naive_leaky:bigint'),
         |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
         |  ('e_stream_dedup_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),

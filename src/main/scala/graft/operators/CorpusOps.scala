@@ -194,6 +194,85 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-substring REMOVAL with document rewrite — the full
+    * Lee et al. (ACL 2022) semantics that [[dedupSpans]] only reports:
+    * for every k-gram occurring in ≥ 2 distinct documents, keep the
+    * corpus-FIRST occurrence (smallest (doc_id, pos)) and strip the
+    * characters covered by every other occurrence, then rewrite each
+    * document from its surviving characters. Returns per doc the
+    * before-size, removed-char count, removed fraction, and the md5 of
+    * the REWRITTEN text — the rewrite itself is hash-checked, not just
+    * the counts.
+    *
+    * 100 TB shape: gram generation is the same map-side CharGrams
+    * pass as [[dedupSpans]]; first-occurrence marking is ONE shuffle
+    * keyed by gram (window rank, exactly the paragraph-dedup move at
+    * character granularity); coverage merging is the per-doc island
+    * window; and the rewrite is a per-doc `aggregate` over the merged
+    * island list — O(islands-per-doc) driver-free state, never a
+    * per-character explode (the oracle replays at char grain because
+    * DuckDB can afford it at sf0.01; the engine must not at 100 TB).
+    */
+  def dedupSubstring(docs: DataFrame, k: Int = GramLen): DataFrame = {
+    val grams = docs
+      .where(col("n_chars") >= k)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharGrams.charGrams(
+          docs.sparkSession, col("text"), k)).as(Seq("idx", "gram")))
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
+        col("gram"))
+    // one corpus-wide shuffle on gram: cross-doc duplication test
+    // (min≠max distinct-doc trick) and the corpus-first rank in the
+    // SAME window partition — rn > 1 on a duplicated gram ⇒ remove
+    val wg = Window.partitionBy("gram")
+    val removal = grams
+      .withColumn("lo", min("doc_id").over(wg))
+      .withColumn("hi", max("doc_id").over(wg))
+      .withColumn("rn", row_number().over(wg.orderBy("doc_id", "pos")))
+      .where(col("lo") =!= col("hi") && col("rn") > 1)
+      .select("doc_id", "pos")
+    // island merge (dedupSpans' gap rule): coverage [pos, pos+k-1]
+    // runs touching/overlapping merge into [s, e+k-1]
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = removal
+      .withColumn("ni",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("isl", sum("ni").over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+        sum(col("e") - col("s") + k).as("n_removed"))
+    // rewrite: walk the sorted cut list once, concatenating the text
+    // BETWEEN cuts; merged islands are strictly disjoint (next s >
+    // prev e + k), so the walk never backtracks
+    val cur = (st: org.apache.spark.sql.Column) =>
+      st.getField("cur").cast("int")
+    val kept = aggregate(col("cuts"),
+      struct(lit(1L).as("cur"), lit("").as("acc")),
+      (st, i) => struct(
+        (i.getField("e") + k).as("cur"),
+        concat(st.getField("acc"),
+          col("text").substr(cur(st),
+            (i.getField("s") - st.getField("cur")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col("text").substr(cur(st),
+          (length(col("text")) - st.getField("cur") + 1).cast("int"))))
+    // islands is corpus-sized (one row per doc that lost anything) —
+    // pin the co-hashed join so tiny-SF stats never "optimize" it
+    // into a broadcast that would be impossible at 100 TB
+    docs.select("doc_id", "text", "n_chars")
+      .join(islands.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("n_chars") > 0,
+          round(coalesce(col("n_removed"), lit(0L)).cast("double") /
+            col("n_chars"), 4)).otherwise(lit(0.0)).as("removed_frac"),
+        md5(when(col("cuts").isNull, col("text")).otherwise(kept)
+          .cast("binary")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Merge rounds for [[bpeVocab]], and the sequence/merge markers:
     * tokens are joined with \u0001 (never appears in a token — it IS
     * the token boundary) and a merged pair is joined with \u0002, so
@@ -412,9 +491,13 @@ object CorpusOps {
   private val dedupParagraphsQ: Q = (spark, dir) =>
     dedupParagraphs(Tables.load(spark, dir, "documents"))
 
+  private val dedupSubstringQ: Q = (spark, dir) =>
+    dedupSubstring(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, Q] = Map(
     "e_dedup_spans" -> dedupSpansQ,
     "e_dedup_paragraph" -> dedupParagraphsQ,
+    "e_dedup_substring" -> dedupSubstringQ,
     "e_bpe_pairs" -> bpePairsQ,
     "e_bpe_vocab" -> bpeVocabQ,
     "e_bpe_apply" -> bpeApplyQ,
@@ -541,6 +624,50 @@ object CorpusOps {
          |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
          |    ORDER BY para_idx), '')) AS kept_fp
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // duplicated-substring removal replayed at character grain: the
+    // same grams / cross-doc test / corpus-first rank, coverage
+    // positions exploded per non-first occurrence, and the rewrite as
+    // an ordered string_agg over the UNCOVERED characters — a
+    // different construction of the same defined string, so the md5
+    // match is a real two-implementation check
+    "e_dedup_substring" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), $GramLen) AS gram
+         |  FROM documents,
+         |    unnest(generate_series(1::BIGINT, len(text) - $GramLen + 1)) t(i)
+         |  WHERE n_chars >= $GramLen
+         |), occ AS (
+         |  SELECT doc_id, pos,
+         |    min(doc_id) OVER (PARTITION BY gram) AS lo,
+         |    max(doc_id) OVER (PARTITION BY gram) AS hi,
+         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM g
+         |), rem AS (
+         |  SELECT DISTINCT doc_id, rp
+         |  FROM occ, unnest(generate_series(pos, pos + $GramLen - 1)) t(rp)
+         |  WHERE lo <> hi AND rn > 1
+         |), chars AS (
+         |  SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS c
+         |  FROM documents, unnest(generate_series(1::BIGINT, len(text))) t(i)
+         |), kept AS (
+         |  SELECT ch.doc_id, string_agg(ch.c, '' ORDER BY ch.i) AS s
+         |  FROM chars ch
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem
+         |                    WHERE rem.doc_id = ch.doc_id AND rem.rp = ch.i)
+         |  GROUP BY ch.doc_id
+         |), rc AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_removed FROM rem GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.n_chars,
+         |  coalesce(rc.n_removed, 0)::BIGINT AS n_removed,
+         |  CASE WHEN d.n_chars > 0
+         |    THEN round(coalesce(rc.n_removed, 0)::DOUBLE / d.n_chars, 4)
+         |    ELSE 0.0 END AS removed_frac,
+         |  md5(coalesce(kept.s, '')) AS kept_fp
+         |FROM documents d
+         |LEFT JOIN rc ON d.doc_id = rc.doc_id
+         |LEFT JOIN kept ON d.doc_id = kept.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "e_bpe_vocab" -> bpeVocabOracle,
     "e_bpe_apply" -> bpeApplyOracle,
     "e_bpe_pairs" ->

@@ -465,6 +465,41 @@ object DedupOps {
         sum(col("cluster_size")).as("n_docs"))
       .orderBy("cluster_size")
 
+  /** CLUSTER-AWARE train/val/test SPLIT — the leakage-free split
+    * assignment every pretraining-eval pipeline needs: assigning
+    * splits by hashing the DOCUMENT id leaks near-duplicates across
+    * the train/test boundary (the classic eval-contamination bug);
+    * hashing the duplicate-CLUSTER label instead keeps every member
+    * of a component on the same side by construction. Rides the cached
+    * CC closure ([[dedupCc]]); the split is md5-derived from the
+    * cluster label (train 80% / val 10% / test 10%), and the report
+    * quantifies the leakage AVOIDED: per split, how many of its
+    * clusters would have straddled splits under the naive per-doc
+    * hash. At 100 TB this adds two bounded aggregations to the label
+    * table — the split decision is a map-side hash, no new shuffle of
+    * the corpus.
+    */
+  private val splitLeakfree: Q = (spark, dir) => {
+    val bucket = (c: Column) =>
+      graft.functions.TextShingles.md5Hash60(c.cast("string")) % 10
+    val splitOf = (b: Column) =>
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    val assigned = dedupCc(spark, dir).select(col("id"), col("label"),
+      splitOf(bucket(col("label"))).as("split"),
+      splitOf(bucket(col("id"))).as("naive_split"))
+    // split is constant within a cluster (function of the label), so
+    // min() is just "the" value; naive_span > 1 ⇔ the per-doc hash
+    // would have torn this cluster across splits
+    val clusters = assigned.groupBy("label")
+      .agg(count(lit(1)).as("n_docs"), min("split").as("split"),
+        countDistinct("naive_split").as("naive_span"))
+    clusters.groupBy("split")
+      .agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_clusters"),
+        sum(when(col("naive_span") > 1, 1L).otherwise(0L))
+          .as("n_naive_leaky"))
+      .orderBy("split")
+  }
+
   /** MinHash+LSH near-dup removal on 3-word shingles.
     * k=16 hashes, 4 bands × 4 rows → collision prob ≈ 1-(1-s⁴)⁴,
     * catching Jaccard ≳ 0.6 reliably; exact-verify at 0.8.
@@ -930,6 +965,7 @@ object DedupOps {
     "e_dedup_embedding" -> dedupEmbedding,
     "e_dedup_cc" -> dedupCc,
     "e_dedup_cluster_stats" -> dedupClusterStats,
+    "e_split_leakfree" -> splitLeakfree,
     "e_dedup_minhash_md5" -> dedupMinhashMd5,
     "e_dedup_simhash_md5" -> dedupSimhashMd5,
     "e_dedup_ngram_md5" -> dedupNgramMd5,
@@ -1263,6 +1299,32 @@ object DedupOps {
       s"""$ccWalkCtes
          |SELECT id, MIN(label) AS label FROM walk
          |GROUP BY id ORDER BY id""".stripMargin,
+    // the CC walk, then the identical md5-bucket split arithmetic on
+    // cluster label vs doc id, and the same two-level rollup
+    "e_split_leakfree" ->
+      s"""$ccWalkCtes, labels AS (
+         |  SELECT id, MIN(label) AS label FROM walk GROUP BY id
+         |), assigned AS (
+         |  SELECT id, label,
+         |    CASE WHEN ('0x' || substr(md5(label::VARCHAR), 1, 15))::BIGINT % 10 < 8
+         |      THEN 'train'
+         |      WHEN ('0x' || substr(md5(label::VARCHAR), 1, 15))::BIGINT % 10 = 8
+         |      THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 10 < 8
+         |      THEN 'train'
+         |      WHEN ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 10 = 8
+         |      THEN 'val' ELSE 'test' END AS naive_split
+         |  FROM labels
+         |), clusters AS (
+         |  SELECT label, count(*)::BIGINT AS n_docs, min(split) AS split,
+         |    count(DISTINCT naive_split) AS naive_span
+         |  FROM assigned GROUP BY label
+         |)
+         |SELECT split, sum(n_docs)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_clusters,
+         |  sum(CASE WHEN naive_span > 1 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_naive_leaky
+         |FROM clusters GROUP BY split ORDER BY split""".stripMargin,
     "e_dedup_cluster_stats" ->
       s"""$ccWalkCtes,
          |labels AS (

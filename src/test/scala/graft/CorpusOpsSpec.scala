@@ -200,6 +200,44 @@ class CorpusOpsSpec extends SparkSpec {
       v(1).getLong(3) == 1L)
   }
 
+  test("dedupSubstring rewrite matches a driver-side replay of the " +
+      "first-occurrence removal rule") {
+    val k = CorpusOps.GramLen
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // corpus-first occurrence per duplicated (>= 2 distinct docs) gram
+    val occs = for {
+      (id, text) <- docs.toSeq
+      p <- 0 to text.length - k
+    } yield (text.substring(p, p + k), id, p)
+    val byGram = occs.groupBy(_._1)
+    val removed = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.BitSet]
+    for ((_, os) <- byGram if os.map(_._2).distinct.size >= 2;
+         (_, id, p) <- os.sortBy(o => (o._2, o._3)).tail) {
+      val bs = removed.getOrElseUpdate(id, scala.collection.mutable.BitSet())
+      (p until p + k).foreach(bs.add)
+    }
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val got = CorpusOps
+      .dedupSubstring(Tables.load(spark, sf, "documents")).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val text = docs.find(_._1 == id).get._2
+      val bs = removed.getOrElse(id, scala.collection.mutable.BitSet())
+      assert(r.getLong(2) == bs.size.toLong, s"doc $id n_removed")
+      val kept = text.zipWithIndex.collect {
+        case (c, i) if !bs(i) => c }.mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(r.getString(4) == hex(md.digest(
+        kept.getBytes("UTF-8"))), s"doc $id rewrite fingerprint")
+    }
+    // the operator actually removes something on the fixture
+    assert(got.exists(_.getLong(2) > 0L), "nothing removed — inert test")
+  }
+
   test("dedupSpans plan: no shuffle wider than the gram stages") {
     // the gate pins counts via e_plan_audit for other queries; here we
     // just assert the span pipeline stays at 4 exchanges (gram agg,

@@ -131,6 +131,42 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() <= full.count())
   }
 
+  test("splitLeakfree: clusters never straddle splits, totals cover " +
+      "the corpus, and the naive-hash leak count is real") {
+    val labels = SparkEntry.queries("e_dedup_cc")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val out = SparkEntry.queries("e_split_leakfree")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver replay of the md5 bucket
+    def bucket(x: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hx, 16) % 10).toInt
+    }
+    def split(b: Int) = if (b < 8) "train" else if (b == 8) "val" else "test"
+    val byCluster = labels.groupBy(_._2)
+    val wantDocs = byCluster.toSeq
+      .groupBy { case (lbl, _) => split(bucket(lbl)) }
+      .view.mapValues(cs => (cs.map(_._2.length.toLong).sum, cs.size.toLong))
+    wantDocs.foreach { case (s, (nd, nc)) =>
+      assert(out(s)._1 == nd && out(s)._2 == nc, s"split $s totals")
+    }
+    assert(out.values.map(_._1).sum == labels.length.toLong)
+    // leak count: clusters whose members' per-doc buckets span splits
+    val wantLeaky = byCluster.toSeq.map { case (lbl, ms) =>
+      (split(bucket(lbl)),
+        if (ms.map(m => split(bucket(m._1))).distinct.size > 1) 1L else 0L)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    wantLeaky.foreach { case (s, n) =>
+      assert(out(s)._3 == n, s"split $s naive-leak count")
+    }
+    // the property the operator exists for: the naive assignment DOES
+    // leak on the fixture (otherwise the report proves nothing)
+    assert(out.values.map(_._3).sum > 0L, "no naive leakage — inert test")
+  }
+
   test("evalShingleSets fails loudly past the driver-collect ceiling") {
     val full = Tables.load(spark, sf, "documents")
     // a misconfigured modulus that selects the whole corpus must raise

@@ -91,6 +91,55 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("incremental append is indistinguishable from a from-scratch " +
+      "build, and appends cost no postings rewrite") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pre = s"graft_test_incr_${System.nanoTime()}"
+    val before = RetrievalOps.indexBuilds.get()
+    val base = RetrievalOps.buildBm25IndexFor(
+      docs.where(col("doc_id") % 10 =!= 0), pre)
+    val baseFiles = spark.table(pre).inputFiles.toSet
+    val appended = RetrievalOps.appendToBm25Index(base,
+      docs.where(col("doc_id") % 10 === 0))
+    // exactly one build (the base); the append went through the
+    // append path, and every base posting file survived untouched
+    assert(RetrievalOps.indexBuilds.get() - before == 1)
+    assert(appended.table == base.table)
+    assert(appended.statsTable.endsWith("_v2"))
+    assert(baseFiles.subsetOf(spark.table(pre).inputFiles.toSet),
+      "append rewrote existing posting files")
+    val full = RetrievalOps.bm25TopK(spark, sf).collect().toSeq
+    val incr = RetrievalOps.bm25TopKOver(spark, appended).collect().toSeq
+    assert(incr == full, "appended index diverges from full rebuild")
+    // corpus constants advanced to the full-corpus values
+    val fullIdx = RetrievalOps.buildBm25Index(spark, sf)
+    assert(appended.nDocs == fullIdx.nDocs)
+    assert(appended.totalTokens == fullIdx.totalTokens)
+  }
+
+  test("retrieval eval metrics are internally consistent and recompute " +
+      "from gold membership") {
+    val out = SparkEntry.queries("e_retrieval_eval")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // driver-side gold: docs containing BOTH terms of the query
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ", -1).toSet)
+    out.foreach { r =>
+      val (qid, nGold, nHits) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val (recall, prec, mrr) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (_, ta, tb) = RetrievalOps.DefaultQueries.find(_._1 == qid).get
+      val wantGold = docs.count { case (_, ts) => ts(ta) && ts(tb) }.toLong
+      assert(nGold == wantGold, s"query $qid gold size")
+      assert(nHits <= math.min(nGold, RetrievalOps.HybridDepth.toLong))
+      assert(math.abs(recall - nHits.toDouble / nGold) < 1e-6)
+      assert(math.abs(prec - nHits.toDouble / RetrievalOps.HybridDepth) < 1e-6)
+      if (nHits == 0) assert(mrr == 0.0) else assert(mrr > 0.0 && mrr <= 1.0)
+    }
+  }
+
   test("every query term scores positively (rational idf never goes " +
       "negative, unlike log idf on df > N/2)") {
     // 'a' and 'the' are stopword-frequent in the fixture; classic BM25
