@@ -56,10 +56,26 @@ object CorpusOps {
     * Runs of duplicated positions whose coverage overlaps or touches
     * (gap ≤ k) merge into one span covering [min_pos, max_pos + k - 1].
     */
-  def dedupSpans(docs: DataFrame, k: Int = GramLen): DataFrame = {
-    // map-side: one-pass positional gram array (CharGrams — a single
-    // byte scan per doc, not O(len²) repeated substr walks), exploded
-    // with its index so pos comes for free
+  /** THE positional-gram duplication machinery, shared by the passage
+    * REPORT ([[dedupSpans]] — every duplicated position qualifies) and
+    * the substring REWRITE ([[dedupSubstring]] — only non-FIRST
+    * occurrences qualify): both must agree on the gram pass, the
+    * cross-doc test, and the island-merge rule, so there is exactly
+    * one definition of each. Returns the merged coverage islands
+    * `(doc_id, isl, s, e)` — an island covers chars [s, e+k-1].
+    *
+    * Map-side: one-pass positional gram array (CharGrams — a single
+    * byte scan per doc, not O(len²) repeated substr walks), exploded
+    * with its index so pos comes for free. The ONLY corpus-wide
+    * shuffle partitions by gram: ≥2-distinct-docs is min≠max over the
+    * gram partition (a window, not an aggregate-then-join-back — gram
+    * rows are generated and shuffled once), and the corpus-first rank
+    * rides the SAME partition when requested. Island merge is a
+    * per-doc window: a new island starts when the gap to the previous
+    * qualifying position exceeds k (coverage no longer touches).
+    */
+  private def dupIslands(docs: DataFrame, k: Int,
+      dropFirstOccurrence: Boolean): DataFrame = {
     val grams = docs
       .where(col("n_chars") >= k)
       .select(col("doc_id"),
@@ -67,27 +83,27 @@ object CorpusOps {
           docs.sparkSession, col("text"), k)).as(Seq("idx", "gram")))
       .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
         col("gram"))
-    // the ONLY corpus-wide shuffle: partition by gram, keep positions
-    // whose gram occurs in ≥2 DISTINCT docs (min≠max over the gram
-    // partition ⟺ countDistinct ≥ 2). A window instead of an
-    // aggregate-then-join-back: the gram rows are generated once and
-    // shuffled once, not rebuilt for a probe side
     val wg = Window.partitionBy("gram")
-    val pos = grams
+    val marked = grams
       .withColumn("lo", min("doc_id").over(wg))
       .withColumn("hi", max("doc_id").over(wg))
-      .where(col("lo") =!= col("hi"))
+    val pos = (if (dropFirstOccurrence)
+        marked
+          .withColumn("rn", row_number().over(wg.orderBy("doc_id", "pos")))
+          .where(col("lo") =!= col("hi") && col("rn") > 1)
+      else marked.where(col("lo") =!= col("hi")))
       .select("doc_id", "pos")
-    // island merge per doc: a new span starts when the gap to the
-    // previous duplicated position exceeds k (coverage no longer
-    // touches); default window frame = running sum of the boundaries
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = pos
+    pos
       .withColumn("ni",
         when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
       .withColumn("isl", sum("ni").over(w))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min("pos").as("s"), max("pos").as("e"))
+  }
+
+  def dedupSpans(docs: DataFrame, k: Int = GramLen): DataFrame = {
+    val spans = dupIslands(docs, k, dropFirstOccurrence = false)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + k).as("dup_chars"))
@@ -214,32 +230,8 @@ object CorpusOps {
     * DuckDB can afford it at sf0.01; the engine must not at 100 TB).
     */
   def dedupSubstring(docs: DataFrame, k: Int = GramLen): DataFrame = {
-    val grams = docs
-      .where(col("n_chars") >= k)
-      .select(col("doc_id"),
-        posexplode(graft.functions.CharGrams.charGrams(
-          docs.sparkSession, col("text"), k)).as(Seq("idx", "gram")))
-      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
-        col("gram"))
-    // one corpus-wide shuffle on gram: cross-doc duplication test
-    // (min≠max distinct-doc trick) and the corpus-first rank in the
-    // SAME window partition — rn > 1 on a duplicated gram ⇒ remove
-    val wg = Window.partitionBy("gram")
-    val removal = grams
-      .withColumn("lo", min("doc_id").over(wg))
-      .withColumn("hi", max("doc_id").over(wg))
-      .withColumn("rn", row_number().over(wg.orderBy("doc_id", "pos")))
-      .where(col("lo") =!= col("hi") && col("rn") > 1)
-      .select("doc_id", "pos")
-    // island merge (dedupSpans' gap rule): coverage [pos, pos+k-1]
-    // runs touching/overlapping merge into [s, e+k-1]
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val islands = removal
-      .withColumn("ni",
-        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
-      .withColumn("isl", sum("ni").over(w))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min("pos").as("s"), max("pos").as("e"))
+    // rn > 1 on a cross-doc-duplicated gram ⇒ its coverage is removed
+    val islands = dupIslands(docs, k, dropFirstOccurrence = true)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
         sum(col("e") - col("s") + k).as("n_removed"))

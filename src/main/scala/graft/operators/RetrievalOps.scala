@@ -12,13 +12,15 @@ import graft.Tables
   *
   * Index shape (the e_ann_ivf_persisted discipline: build is a batch
   * job, probes only read): postings are a BUCKETED-by-term managed
-  * table `(term, doc_id, tf, dl, df)` — tf/dl/df are index-time
-  * statistics, denormalized onto the posting row exactly as production
-  * inverted indexes store them — plus two corpus constants (N docs,
-  * T total tokens) held as index metadata. A probe filters the
-  * postings scan to the query's terms (bucket pruning on the IN —
-  * only matching buckets are read), broadcasts the tiny query-term
-  * frame, scores map-side, and bounds the per-query top-k through
+  * table `(term, doc_id, tf, dl)`; the document frequencies live in a
+  * vocab-sized VERSIONED sidecar table `(term, df)` (separate because
+  * an append changes df for existing terms — see
+  * [[appendToBm25Index]]); N docs / T total tokens / the measured
+  * maxima the exact-arithmetic guard needs are index metadata. A
+  * probe filters the postings scan to the query's terms (bucket
+  * pruning on the IN — only matching buckets are read), broadcasts
+  * the probed sidecar rows and the tiny query-term frame, scores
+  * map-side, and bounds the per-query top-k through
   * [[graft.functions.TopKAggregator]] so the final shuffle carries at
   * most k rows per query, never the match set. At 100 TB: probe cost
   * is proportional to the probed terms' posting lists, not the corpus.
@@ -37,8 +39,9 @@ import graft.Tables
   *
   * which is idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
   * avgdl = T/N and every fraction cleared (×10T top and bottom).
-  * All intermediates stay below 2⁵³ for corpora up to ~2³² tokens
-  * (guarded loudly); beyond that the numerator moves to DECIMAL(38,0).
+  * Every intermediate is guarded below 2⁵³ against the MEASURED
+  * corpus maxima ([[requireExactLane]] — fails loudly before any
+  * write); beyond that the score moves to DECIMAL(38,0).
   */
 object RetrievalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -54,7 +57,7 @@ object RetrievalOps {
     * reading (the AtomicPublish manifest discipline in miniature).
     */
   final case class Bm25Index(table: String, statsTable: String,
-      nDocs: Long, totalTokens: Long)
+      nDocs: Long, totalTokens: Long, maxTf: Long, maxDl: Long)
 
   /** Build counter — observable by the reuse spec: repeated probes
     * must hit the persisted table, not rebuild it.
@@ -74,34 +77,65 @@ object RetrievalOps {
     (1, "table", "scan"), (2, "query", "join"), (3, "stream", "window"),
     (4, "vector", "data"), (5, "fast", "merge"))
 
+  /** THE tokenization of the index — build and append MUST tokenize
+    * identically (the append ≡ rebuild oracle equivalence rests on
+    * it), so both paths call this one definition. Returns the
+    * per-(term, doc) tf frame and the per-doc dl frame, both off one
+    * shared token projection.
+    */
+  private def tokStats(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    (toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf")),
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  /** Loud exact-arithmetic guard: every integer the score forms must
+    * stay below 2^53 so the ONE double division is bit-identical in
+    * both engines (and never silently wraps a Long). Bounds use the
+    * MEASURED maxima, not a proxy on T alone:
+    *   num ≤ (2N−1) · 22T · maxTf
+    *   den ≤ (2N+1) · (10T·maxTf + 3T + 9·maxDl·N)
+    */
+  private def requireExactLane(n: Long, t: Long, maxTf: Long,
+      maxDl: Long): Unit = {
+    val cap = BigInt(1) << 53
+    val numMax = (BigInt(2) * n - 1) * (BigInt(22) * t) * maxTf
+    val denMax = (BigInt(2) * n + 1) *
+      (BigInt(10) * t * maxTf + BigInt(3) * t + BigInt(9) * maxDl * n)
+    require(numMax < cap && denMax < cap,
+      s"BM25 exact-integer scoring exceeds 2^53 (n=$n, t=$t, " +
+        s"maxTf=$maxTf, maxDl=$maxDl) — switch the score to DECIMAL(38,0)")
+  }
+
   /** Build the persisted postings index for a document frame. One
-    * tokenize pass, two hash aggregations (dl per doc, tf per
-    * (term, doc)), one bucketed postings write, one |vocab|-row
+    * tokenize pass (tf/dl persisted so the postings write, the sidecar
+    * write, and the stats probe share it instead of re-tokenizing
+    * three times), one bucketed postings write, one |vocab|-row
     * sidecar write.
     */
   def buildBm25IndexFor(docs: DataFrame, tblPrefix: String,
       buckets: Int = 8): Bm25Index = {
     indexBuilds.incrementAndGet()
-    val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val postings = tf.join(dl, "doc_id")
-      .select("term", "doc_id", "tf", "dl")
-    graft.sources.Bucketing.saveBucketed(postings, tblPrefix, "term", buckets)
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    dfT.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${tblPrefix}_stats_v1")
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t")).head()
-    val idx = Bm25Index(tblPrefix, s"${tblPrefix}_stats_v1",
-      stats.getLong(0), stats.getLong(1))
-    // loud integer-overflow guard (see scoring note above): the
-    // largest product is (2N+1)·22T·tf with tf ≤ dl ≤ T — keep the
-    // exact-integer lane honest instead of silently wrapping
-    require(idx.totalTokens <= (1L << 32),
-      s"BM25 exact-integer scoring needs T <= 2^32 tokens; " +
-        s"got ${idx.totalTokens} — switch the score to DECIMAL(38,0)")
-    idx
+    val (tf0, dl0) = tokStats(docs)
+    val tf = tf0.persist(); val dl = dl0.persist()
+    try {
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"),
+        coalesce(max("dl"), lit(0L)).as("mdl")).head()
+      val (n, t, maxDl) = (stats.getLong(0), stats.getLong(1),
+        stats.getLong(2))
+      val maxTf = tf.agg(coalesce(max("tf"), lit(0L))).head().getLong(0)
+      // guard BEFORE any write — a failed build must leave nothing
+      requireExactLane(n, t, maxTf, maxDl)
+      val postings = tf.join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+      graft.sources.Bucketing.saveBucketed(postings, tblPrefix, "term",
+        buckets)
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${tblPrefix}_stats_v1")
+      Bm25Index(tblPrefix, s"${tblPrefix}_stats_v1", n, t, maxTf, maxDl)
+    } finally { tf.unpersist(); dl.unpersist() }
   }
 
   /** Build (or fetch) the full-corpus index for a dataset. Same
@@ -126,34 +160,65 @@ object RetrievalOps {
     * rewritten, which is the property that makes a 100 TB index
     * maintainable by a daily crawl append.
     */
+  /** How many superseded df sidecars an append leaves behind (the
+    * AtomicPublish keep-N retention discipline): the CURRENT one plus
+    * `SidecarRetain - 1` predecessors survive; older versions are
+    * dropped, so a daily append does not accrete vocab-sized tables
+    * forever. A reader pinned to a retained version is undisturbed.
+    */
+  val SidecarRetain = 2
+
+  /** Failure/visibility contract, in write order:
+    *  1. batch stats + the exact-lane guard run BEFORE any write — a
+    *     batch that would overflow the integer score leaves the index
+    *     untouched (no half-committed append to retry into).
+    *  2. the merged df sidecar lands at _v(N+1) first. It merges from
+    *     the CALLER's sidecar version, so a retry after a crash here
+    *     re-merges from the same v(N) — never double-counts.
+    *  3. the bucketed postings append commits last (Spark's job commit
+    *     protocol: a failed append leaves no visible files; the retry
+    *     starts clean).
+    * Probes hold a Bm25Index VALUE: anyone probing the old value mid-
+    * append reads old constants against a postings scan that may
+    * already list the new files — bounded staleness (new docs scored
+    * with last-epoch df), the tradeoff of appending in place to keep
+    * the bucket layout. A reader needing snapshot isolation re-probes
+    * through the returned index, exactly like re-resolving an
+    * AtomicPublish manifest.
+    */
   def appendToBm25Index(idx: Bm25Index, newDocs: DataFrame,
       buckets: Int = 8): Bm25Index = {
     val spark = newDocs.sparkSession
-    val toks = newDocs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
-      .write.mode("append").bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(idx.table)
-    // df merge: old sidecar + batch term-doc counts, one hash agg over
-    // ~2·|vocab| rows; versioned write (readers of _vN are undisturbed)
-    val ver = idx.statsTable.substring(idx.statsTable.lastIndexOf("_v") + 2)
-      .toInt + 1
-    val nextStats = idx.statsTable.substring(0,
-      idx.statsTable.lastIndexOf("_v")) + s"_v$ver"
-    val dfNew = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    spark.table(idx.statsTable).unionByName(dfNew)
-      .groupBy("term").agg(sum("df").as("df"))
-      .write.mode("overwrite").format("parquet").saveAsTable(nextStats)
-    val stats = dl.agg(count(lit(1)).as("n"),
-      coalesce(sum("dl"), lit(0L)).as("t")).head()
-    val out = Bm25Index(idx.table, nextStats,
-      idx.nDocs + stats.getLong(0), idx.totalTokens + stats.getLong(1))
-    require(out.totalTokens <= (1L << 32),
-      s"BM25 exact-integer scoring needs T <= 2^32 tokens; " +
-        s"got ${out.totalTokens} — switch the score to DECIMAL(38,0)")
-    out
+    val (tf0, dl0) = tokStats(newDocs)
+    val tf = tf0.persist(); val dl = dl0.persist()
+    try {
+      val stats = dl.agg(count(lit(1)).as("n"),
+        coalesce(sum("dl"), lit(0L)).as("t"),
+        coalesce(max("dl"), lit(0L)).as("mdl")).head()
+      val n = idx.nDocs + stats.getLong(0)
+      val t = idx.totalTokens + stats.getLong(1)
+      val maxDl = math.max(idx.maxDl, stats.getLong(2))
+      val maxTf = math.max(idx.maxTf,
+        tf.agg(coalesce(max("tf"), lit(0L))).head().getLong(0))
+      requireExactLane(n, t, maxTf, maxDl)       // before any write
+      // df merge: old sidecar + batch term-doc counts, one hash agg
+      // over ~2·|vocab| rows; versioned write (readers of _vN are
+      // undisturbed), then retention GC of versions below the window
+      val base = idx.statsTable.substring(0, idx.statsTable.lastIndexOf("_v"))
+      val ver = idx.statsTable.substring(
+        idx.statsTable.lastIndexOf("_v") + 2).toInt + 1
+      val nextStats = s"${base}_v$ver"
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .unionByName(spark.table(idx.statsTable))
+        .groupBy("term").agg(sum("df").as("df"))
+        .write.mode("overwrite").format("parquet").saveAsTable(nextStats)
+      tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+        .write.mode("append").bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(idx.table)
+      (1 until ver - SidecarRetain + 1).foreach(v =>
+        spark.sql(s"DROP TABLE IF EXISTS ${base}_v$v"))
+      Bm25Index(idx.table, nextStats, n, t, maxTf, maxDl)
+    } finally { tf.unpersist(); dl.unpersist() }
   }
 
   /** Top-k docs per query by BM25 over the persisted index. Probe-only:
