@@ -97,7 +97,7 @@ object RetrievalOps {
     *   num ≤ (2N−1) · 22T · maxTf
     *   den ≤ (2N+1) · (10T·maxTf + 3T + 9·maxDl·N)
     */
-  private def requireExactLane(n: Long, t: Long, maxTf: Long,
+  private[graft] def requireExactLane(n: Long, t: Long, maxTf: Long,
       maxDl: Long): Unit = {
     val cap = BigInt(1) << 53
     val numMax = (BigInt(2) * n - 1) * (BigInt(22) * t) * maxTf

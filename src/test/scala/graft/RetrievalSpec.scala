@@ -117,6 +117,41 @@ class RetrievalSpec extends SparkSpec {
     assert(appended.totalTokens == fullIdx.totalTokens)
   }
 
+  test("sidecar retention: a second append drops _v1, keeps the " +
+      "retained window, and probes stay exact") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pre = s"graft_test_gc_${System.nanoTime()}"
+    val base = RetrievalOps.buildBm25IndexFor(
+      docs.where(col("doc_id") % 3 === 0), pre)
+    val a1 = RetrievalOps.appendToBm25Index(base,
+      docs.where(col("doc_id") % 3 === 1))
+    assert(spark.catalog.tableExists(s"${pre}_stats_v1"),
+      "keep-2 must retain the previous version after one append")
+    val a2 = RetrievalOps.appendToBm25Index(a1,
+      docs.where(col("doc_id") % 3 === 2))
+    assert(!spark.catalog.tableExists(s"${pre}_stats_v1"),
+      "v1 outlived the retention window")
+    assert(spark.catalog.tableExists(s"${pre}_stats_v2") &&
+      spark.catalog.tableExists(s"${pre}_stats_v3"))
+    val full = RetrievalOps.bm25TopK(spark, sf).collect().toSeq
+    assert(RetrievalOps.bm25TopKOver(spark, a2).collect().toSeq == full,
+      "twice-appended index diverges from full rebuild")
+  }
+
+  test("the exact-lane guard bounds the real score products, not a " +
+      "token-count proxy") {
+    // just inside: products below 2^53 pass
+    RetrievalOps.requireExactLane(n = 1000L, t = 100000L,
+      maxTf = 10L, maxDl = 200L)
+    // a corpus whose T passes the OLD 2^32 proxy but whose num product
+    // (2N-1)*22T*maxTf overflows 2^53 must be rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.requireExactLane(n = 1L << 31, t = 1L << 31,
+        maxTf = 1L, maxDl = 1000L)
+    }
+    assert(e.getMessage.contains("2^53"))
+  }
+
   test("retrieval eval metrics are internally consistent and recompute " +
       "from gold membership") {
     val out = SparkEntry.queries("e_retrieval_eval")(spark, sf).collect()
