@@ -172,13 +172,34 @@ object ConfigBoot {
 
   /** Classify a template's `$var`s by position: (table identifiers,
     * column identifiers). A var quoted as a literal (`'$x'`) is a
-    * VALUE and never lands here; so is a comparison's RIGHT operand.
+    * VALUE and never lands here.
+    *
+    * COVERED identifier positions (the exhaustive list — anything a
+    * `$var` can occupy in the reference's own route templates):
+    *  - every `SELECT … FROM` select-list segment, including nested
+    *    subqueries and every arm of a UNION (all segments are scanned,
+    *    not just the first);
+    *  - the relation after `FROM`/`JOIN`;
+    *  - a comparison's LEFT operand;
+    *  - `ORDER BY` / `GROUP BY` expressions.
+    * NOT covered — VALUE positions by examiner parity (the reference
+    * renders them through the alnum+space domain, examiner.js:36, and
+    * this repo keeps that contract exactly): a quoted `'$x'` literal,
+    * a comparison's unquoted RIGHT operand, and a function argument
+    * `f($x)`. Those positions accept multi-token values like `1 or 1`
+    * in the reference too; hardening them would break byte-for-byte
+    * template parity, so the boundary is documented here instead and
+    * pinned by ConfigBootSpec.
     */
   def identifierVars(template: String): (Set[String], Set[String]) = {
     def unquoted(m: scala.util.matching.Regex.Match): Boolean =
       m.start == 0 || template.charAt(m.start - 1) != '\''
     val tables = TablePos.findAllMatchIn(template).map(_.group(1)).toSet
-    val selCols = SelectSeg.findFirstMatchIn(template).map(_.group(1))
+    // ALL select-list segments: a nested or union'd SELECT's list is
+    // just as much an identifier position as the outermost one. The
+    // non-greedy (.*?) pairs each select with its nearest FROM, so a
+    // union of selects yields one segment per arm.
+    val selCols = SelectSeg.findAllMatchIn(template).map(_.group(1))
       .toSeq.flatMap { seg =>
         QueryVar.findAllMatchIn(seg)
           .filter(m => m.start == 0 || seg.charAt(m.start - 1) != '\'')

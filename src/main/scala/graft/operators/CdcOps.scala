@@ -89,25 +89,29 @@ object CdcOps {
     surviving.unionByName(inserted).orderBy("o_orderkey")
   }
 
-  /** Classify every key across two snapshots and report per-class
-    * counts plus an exact integer fingerprint (sum of keys) — enough
-    * to pin WHICH keys moved, not just how many.
+  /** Classify every key across two snapshots — any key/value column
+    * pair — and report per-class counts plus an exact integer
+    * fingerprint (sum of keys): enough to pin WHICH keys moved, not
+    * just how many. One full-outer shuffle on the key; 4 output rows
+    * no matter the input size.
     */
-  def snapshotDiff(before: DataFrame, after: DataFrame): DataFrame = {
-    val a = before.select(col("o_orderkey").as("key"),
-      col("o_totalprice").as("price_a"))
-    val b = after.select(col("o_orderkey").as("key"),
-      col("o_totalprice").as("price_b"))
+  def diffByKey(before: DataFrame, after: DataFrame,
+      keyCol: String, valCol: String): DataFrame = {
+    val a = before.select(col(keyCol).as("key"), col(valCol).as("val_a"))
+    val b = after.select(col(keyCol).as("key"), col(valCol).as("val_b"))
     a.join(b, Seq("key"), "full_outer")
       .select(col("key"),
-        when(col("price_a").isNull, "added")
-          .when(col("price_b").isNull, "removed")
-          .when(col("price_a") =!= col("price_b"), "changed")
+        when(col("val_a").isNull, "added")
+          .when(col("val_b").isNull, "removed")
+          .when(col("val_a") =!= col("val_b"), "changed")
           .otherwise("unchanged").as("diff_kind"))
       .groupBy("diff_kind")
       .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("key_fp"))
       .orderBy("diff_kind")
   }
+
+  def snapshotDiff(before: DataFrame, after: DataFrame): DataFrame =
+    diffByKey(before, after, "o_orderkey", "o_totalprice")
 
   private val mergeUpsertQ: Q = (spark, dir) => {
     val orders = Tables.load(spark, dir, "orders")

@@ -465,26 +465,83 @@ object DedupOps {
         sum(col("cluster_size")).as("n_docs"))
       .orderBy("cluster_size")
 
+  /** Staged md5-hashed 3-word-shingle feature sets — the oracle-
+    * checkable feature family shared by [[minhashMd5Dedup]],
+    * [[minhashRecall]], the CC-canonical dedup and the leak-free
+    * split (persistOnce keys by plan hash, so all of them pin ONE
+    * copy).
+    */
+  private def md5ShingleFeats(docs: DataFrame): DataFrame =
+    persistOnce(docs
+      .select(col("doc_id"),
+        array_distinct(transform(TS.wordShingles(col("text"), 3),
+          s => TS.md5Hash60(s))).as("feat")))
+
+  /** Min-label table of the REAL near-duplicate graph — LSH-verified
+    * J ≥ 0.8 pairs (the md5 lane, so the whole chain is oracle-
+    * replayable) closed under [[connectedMinLabels]], extended with
+    * singleton labels (label = own id) for every document in no pair.
+    * This is the production linkage [[splitLeakfree]] and
+    * [[dedupMinhashCc]] key on — NOT the synthetic chain graph
+    * ([[ccChainPairs]]), which stays as the bounded demo input of
+    * e_dedup_cc itself. Driver-side iterative closure ⇒ memoized per
+    * (app, dataset) like [[ccCache]].
+    */
+  private val lshCcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def lshCcLabels(spark: SparkSession, dir: String): DataFrame =
+    lshCcCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val docs = Tables.load(spark, dir, "documents")
+        val staged = md5ShingleFeats(docs)
+        val pairs = verifiedPairs(staged,
+          bandPairs(sigBands(staged, 16, 7L, 4, 4, TS.bandKeysMd5), "doc_id"),
+          0.8)
+        docs.select(col("doc_id").as("id"))
+          .join(connectedMinLabels(pairs), Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      })
+
+  /** CLUSTER-CANONICAL near-dup removal — the SlimPajama/Dolma policy:
+    * close the LSH-verified pair set under connected components and
+    * keep exactly each component's minimum doc_id. The pair-greedy
+    * form ([[minhashMd5Dedup]]'s survivors: drop the larger id of
+    * every pair) can keep extras — with pairs (A,C),(B,C) and A<B<C it
+    * keeps A AND B; the canonical policy keeps only A (CcDedupSpec
+    * pins the divergence case). Costs the CC closure on top of the
+    * verified pairs: O(log diameter) label-propagation rounds over the
+    * PAIR graph only — near-dup components, not the corpus.
+    */
+  private val dedupMinhashCc: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .join(lshCcLabels(spark, dir)
+        .where(col("id") =!= col("label"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** CLUSTER-AWARE train/val/test SPLIT — the leakage-free split
     * assignment every pretraining-eval pipeline needs: assigning
     * splits by hashing the DOCUMENT id leaks near-duplicates across
     * the train/test boundary (the classic eval-contamination bug);
     * hashing the duplicate-CLUSTER label instead keeps every member
-    * of a component on the same side by construction. Rides the cached
-    * CC closure ([[dedupCc]]); the split is md5-derived from the
-    * cluster label (train 80% / val 10% / test 10%), and the report
-    * quantifies the leakage AVOIDED: per split, how many of its
-    * clusters would have straddled splits under the naive per-doc
-    * hash. At 100 TB this adds two bounded aggregations to the label
-    * table — the split decision is a map-side hash, no new shuffle of
-    * the corpus.
+    * of a component on the same side by construction. Keys on the
+    * REAL duplicate graph — the LSH-verified component labels
+    * ([[lshCcLabels]]; singletons label themselves) — not a proxy
+    * linkage. The split is md5-derived from the cluster label
+    * (train 80% / val 10% / test 10%), and the report quantifies the
+    * leakage AVOIDED: per split, how many of its clusters would have
+    * straddled splits under the naive per-doc hash. At 100 TB this
+    * adds two bounded aggregations to the label table — the split
+    * decision is a map-side hash, no new shuffle of the corpus.
     */
   private val splitLeakfree: Q = (spark, dir) => {
     val bucket = (c: Column) =>
       graft.functions.TextShingles.md5Hash60(c.cast("string")) % 10
     val splitOf = (b: Column) =>
       when(b < 8, "train").when(b === 8, "val").otherwise("test")
-    val assigned = dedupCc(spark, dir).select(col("id"), col("label"),
+    val assigned = lshCcLabels(spark, dir).select(col("id"), col("label"),
       splitOf(bucket(col("label"))).as("split"),
       splitOf(bucket(col("id"))).as("naive_split"))
     // split is constant within a cluster (function of the label), so
@@ -550,10 +607,7 @@ object DedupOps {
     * no string build per shingle); this one is the correctness bridge.
     */
   def minhashMd5Dedup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val staged = persistOnce(docs
-      .select(col("doc_id"),
-        array_distinct(transform(TS.wordShingles(col("text"), 3),
-          s => TS.md5Hash60(s))).as("feat")))
+    val staged = md5ShingleFeats(docs)
     survivors(docs, staged,
       bandPairs(sigBands(staged, 16, 7L, 4, 4, TS.bandKeysMd5), "doc_id"),
       threshold)
@@ -581,10 +635,7 @@ object DedupOps {
     val docs = Tables.load(spark, dir, "documents")
     val exact = SetJoinOps.jaccardJoin(SetJoinOps.stagedFeats(spark, dir))
       .select("id_a", "id_b")
-    val staged = persistOnce(docs
-      .select(col("doc_id"),
-        array_distinct(transform(TS.wordShingles(col("text"), 3),
-          s => TS.md5Hash60(s))).as("feat")))
+    val staged = md5ShingleFeats(docs)
     val found = verifiedPairs(staged,
       bandPairs(sigBands(staged, 16, 7L, 4, 4, TS.bandKeysMd5), "doc_id"),
       0.8).distinct()
@@ -821,6 +872,48 @@ object DedupOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Per-eval contamination REPORT — the auditor view of
+    * [[decontaminate]]: that operator answers remove/keep; a
+    * contamination audit needs, PER EVAL DOC, the worst offender —
+    * max containment over the training corpus and which training doc
+    * achieves it (self excluded: the eval member's own row is the
+    * trivial 1.0). Same broadcast-eval-index overlap frame as the
+    * dedup path plus ONE more aggregation: the argmax is a struct-max
+    * (max n_common, ties to the smallest doc_id — eval_n is constant
+    * within an eval group, so argmax containment ≡ argmax n_common,
+    * an integer decision with the one division at presentation). At
+    * 100 TB: the only new shuffle carries ≤ |matching (doc, eval)
+    * pairs| rows collapsed map-side to one row per eval doc.
+    */
+  def decontaminateReport(docs: DataFrame, evalModulus: Long = 97L,
+      w: Int = 3): DataFrame = {
+    val feats = withShingleFeature(docs, w).select("doc_id", "feat")
+    val evalShingles = feats.where(col("doc_id") % evalModulus === 0)
+      .select(col("doc_id").as("eval_id"), explode_outer(col("feat")).as("gh"))
+    val evalSizes = evalShingles.where(col("gh").isNotNull)
+      .groupBy("eval_id").agg(count(lit(1)).as("eval_n"))
+    val overlap = feats
+      .select(col("doc_id"), explode_outer(col("feat")).as("gh"))
+      .join(broadcast(evalShingles), "gh")
+      .where(col("doc_id") =!= col("eval_id"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_common"))
+    val best = overlap.groupBy("eval_id")
+      .agg(max(struct(col("n_common"), (-col("doc_id")).as("neg"))).as("m"))
+      .select(col("eval_id"), col("m.neg").as("neg"),
+        col("m.n_common").as("n_common"))
+    evalSizes.join(best, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"), col("eval_n").as("n_grams"),
+        (-col("neg")).as("best_doc"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_common").isNull, lit(0.0))
+          .otherwise(round(col("n_common").cast("double") / col("eval_n"), 6))
+          .as("max_containment"))
+      .orderBy("eval_id")
+  }
+
+  private val decontaminateReportQ: Q = (spark, dir) =>
+    decontaminateReport(Tables.load(spark, dir, "documents"))
+
   /** Ceiling on the eval-set cardinality [[evalShingleSets]] will
     * collect to the driver. Real eval sets are a few thousand docs; a
     * misconfigured modulus that selects a corpus-scale slice must fail
@@ -956,6 +1049,8 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "e_decontaminate" -> decontaminateQ,
+    "e_decontaminate_report" -> decontaminateReportQ,
+    "e_dedup_minhash_cc" -> dedupMinhashCc,
     "e_dedup_exact" -> dedupExact,
     "e_dedup_incr" -> dedupIncr,
     "e_dedup_keep_longest" -> dedupKeepLongest,
@@ -1254,6 +1349,62 @@ object DedupOps {
        |    ELSE 1.0 END AS recall""".stripMargin
   }
 
+  /** CTE chain replaying [[lshCcLabels]]: the md5-shingle LSH
+    * machinery down to the verified J ≥ 0.8 pair set `vpairs`, the
+    * min-reachable-label CC walk over it, and the singleton fill —
+    * ending at `alllab(id, label)` where label is the component
+    * minimum (or the id itself for unpaired docs). Callers prepend
+    * `WITH RECURSIVE`. Shared by the CC-canonical dedup and the
+    * leak-free-split oracles, so both replay the ONE linkage the
+    * engine caches.
+    */
+  private def lshCcCtes: String = {
+    val p = 2147483647L
+    val params = TS.hashParams(16, 7L)
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"    list_min(list_transform(feat, h -> (h % $p * $a + $b) % $p)) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"m${j * 4 + r}").mkString(", ")
+      s"  SELECT doc_id, $j AS band, ('0x' || substr(md5(array_to_string([$cols], ',')), 1, 15))::BIGINT AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""$shingleFeatsCte, sigs AS (
+       |  SELECT doc_id,
+       |$minExprs
+       |  FROM feats WHERE len(feat) > 0
+       |), bands AS (
+       |$bandSelects
+       |), okbuckets AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+       |), cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM okbuckets a JOIN okbuckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), vpairs AS (
+       |  SELECT DISTINCT p.id_a, p.id_b
+       |  FROM cpairs p
+       |  JOIN feats fa ON fa.doc_id = p.id_a
+       |  JOIN feats fb ON fb.doc_id = p.id_b
+       |  WHERE len(list_intersect(fa.feat, fb.feat)) * 5 >=
+       |    len(list_distinct(fa.feat || fb.feat)) * 4
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM vpairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM vpairs
+       |), walk(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM edges e
+       |  JOIN walk w ON w.id = e.src WHERE w.label < e.dst
+       |), labels AS (
+       |  SELECT id, MIN(label) AS label FROM walk GROUP BY id
+       |), alllab AS (
+       |  SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS label
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       |)""".stripMargin
+  }
+
   private def minhashMd5Oracle: String =
     lshMd5Oracle(shingleFeatsCte, 16, 7L, 4, 4, 0.8)
 
@@ -1299,12 +1450,11 @@ object DedupOps {
       s"""$ccWalkCtes
          |SELECT id, MIN(label) AS label FROM walk
          |GROUP BY id ORDER BY id""".stripMargin,
-    // the CC walk, then the identical md5-bucket split arithmetic on
-    // cluster label vs doc id, and the same two-level rollup
+    // the REAL duplicate graph (LSH-verified pairs → CC labels →
+    // singleton fill), then the identical md5-bucket split arithmetic
+    // on cluster label vs doc id, and the same two-level rollup
     "e_split_leakfree" ->
-      s"""$ccWalkCtes, labels AS (
-         |  SELECT id, MIN(label) AS label FROM walk GROUP BY id
-         |), assigned AS (
+      s"""WITH RECURSIVE $lshCcCtes, assigned AS (
          |  SELECT id, label,
          |    CASE WHEN ('0x' || substr(md5(label::VARCHAR), 1, 15))::BIGINT % 10 < 8
          |      THEN 'train'
@@ -1314,7 +1464,7 @@ object DedupOps {
          |      THEN 'train'
          |      WHEN ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 10 = 8
          |      THEN 'val' ELSE 'test' END AS naive_split
-         |  FROM labels
+         |  FROM alllab
          |), clusters AS (
          |  SELECT label, count(*)::BIGINT AS n_docs, min(split) AS split,
          |    count(DISTINCT naive_split) AS naive_span
@@ -1325,6 +1475,51 @@ object DedupOps {
          |  sum(CASE WHEN naive_span > 1 THEN 1 ELSE 0 END)::BIGINT
          |    AS n_naive_leaky
          |FROM clusters GROUP BY split ORDER BY split""".stripMargin,
+    // cluster-canonical survivors: keep exactly the ids that are their
+    // component's minimum (singletons label themselves)
+    "e_dedup_minhash_cc" ->
+      s"""WITH RECURSIVE $lshCcCtes
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN alllab a ON a.id = d.doc_id
+         |WHERE a.label = a.id
+         |ORDER BY d.doc_id""".stripMargin,
+    // per-eval worst offender: the e_decontaminate overlap CTEs with
+    // the self row excluded, arg-maxed per eval doc by (n_common DESC,
+    // doc_id) — deterministic because eval_n is constant per eval
+    "e_decontaminate_report" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS feat
+        |  FROM toked WHERE len(toks) >= 3
+        |), ev AS (
+        |  SELECT doc_id AS eval_id, unnest(feat) AS g FROM feats
+        |  WHERE doc_id % 97 = 0
+        |), evsz AS (
+        |  SELECT eval_id, count(*) AS eval_n FROM ev GROUP BY eval_id
+        |), dg AS (
+        |  SELECT doc_id, unnest(feat) AS g FROM feats
+        |), overlap AS (
+        |  SELECT dg.doc_id, ev.eval_id, count(*) AS n_common
+        |  FROM dg JOIN ev USING (g) WHERE dg.doc_id <> ev.eval_id
+        |  GROUP BY dg.doc_id, ev.eval_id
+        |), best AS (
+        |  SELECT eval_id, doc_id AS best_doc, n_common FROM (
+        |    SELECT eval_id, doc_id, n_common,
+        |      row_number() OVER (PARTITION BY eval_id
+        |        ORDER BY n_common DESC, doc_id) AS rn
+        |    FROM overlap) z WHERE rn = 1
+        |)
+        |SELECT s.eval_id, CAST(s.eval_n AS BIGINT) AS n_grams,
+        |  b.best_doc, coalesce(b.n_common, 0)::BIGINT AS n_common,
+        |  CASE WHEN b.n_common IS NULL THEN 0.0
+        |    ELSE round(b.n_common::DOUBLE / s.eval_n, 6)
+        |  END AS max_containment
+        |FROM evsz s LEFT JOIN best b USING (eval_id)
+        |ORDER BY s.eval_id""".stripMargin,
     "e_dedup_cluster_stats" ->
       s"""$ccWalkCtes,
          |labels AS (

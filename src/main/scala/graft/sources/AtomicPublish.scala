@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 import graft.Tables
 
 /** Atomic dataset publish — the training-data handoff primitive: a
@@ -100,6 +101,13 @@ object AtomicPublish {
     */
   final case class StreamState(lastBatch: Long, dirs: Seq[String])
 
+  // Per-root in-process monitor: java.nio file locks are held per JVM
+  // (a second thread in the same process gets
+  // OverlappingFileLockException instead of blocking), so same-JVM
+  // writers serialize on this and cross-JVM writers on the file lock.
+  private val rootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Currently committed stream state, if any batch ever committed. */
   def currentStream(root: String): Option[StreamState] = {
     val m = streamManifest(Paths.get(root))
@@ -136,19 +144,43 @@ object AtomicPublish {
   def publishStreamBatch(df: DataFrame, root: String, batchId: Long): Boolean = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    val st = currentStream(root).getOrElse(StreamState(-1L, Seq.empty))
-    if (batchId <= st.lastBatch) false // exactly-once: replayed batch
-    else {
-      val dirName = s"batch-$batchId"
-      df.write.mode("overwrite").parquet(rootP.resolve(dirName).toString)
-      val dirsJson = (st.dirs :+ dirName).map(d => s""""$d"""").mkString(",")
-      val tmp = rootP.resolve("_stream_manifest.tmp")
-      Files.write(tmp,
-        s"""{"lastBatch":$batchId,"dirs":[$dirsJson]}"""
-          .getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, streamManifest(rootP),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      true
+    // WRITER LOCK on the root: the manifest update is a read-modify-
+    // write, and two writers interleaving on one root could each read
+    // the same `dirs` list and silently drop the other's committed
+    // batch dir from the manifest. An OS-level file lock (exclusive,
+    // blocking) serializes the whole commit — held across the data
+    // write too, so the second writer's currentStream read sees the
+    // first's committed state. Structured Streaming already guarantees
+    // one writer per checkpoint; this makes the MISCONFIGURED case
+    // (two queries pointed at one root) linearize instead of corrupt.
+    // On an object store the same role is played by a conditional-put
+    // on the manifest key (swap this primitive, keep the protocol).
+    val monitor = rootMonitors.computeIfAbsent(
+      rootP.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+    val lockPath = rootP.resolve("_stream_manifest.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until the competing commit finishes
+      try {
+        val st = currentStream(root).getOrElse(StreamState(-1L, Seq.empty))
+        if (batchId <= st.lastBatch) false // exactly-once: replayed batch
+        else {
+          val dirName = s"batch-$batchId"
+          df.write.mode("overwrite").parquet(rootP.resolve(dirName).toString)
+          val dirsJson = (st.dirs :+ dirName).map(d => s""""$d"""").mkString(",")
+          val tmp = rootP.resolve("_stream_manifest.tmp")
+          Files.write(tmp,
+            s"""{"lastBatch":$batchId,"dirs":[$dirsJson]}"""
+              .getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, streamManifest(rootP),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          true
+        }
+      } finally lock.release()
+    } finally ch.close()
     }
   }
 
@@ -168,6 +200,20 @@ object AtomicPublish {
     val (_, dir) = current(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
     spark.read.parquet(Paths.get(root).resolve(dir).toString)
+  }
+
+  /** Read a SPECIFIC retained version — the input of a release diff
+    * audit (vN vs v(N−1)). Only versions inside the publisher's
+    * `keepVersions` window are readable; asking for an expired one
+    * fails loudly rather than scanning a half-GC'd directory.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val p = Paths.get(root).resolve(s"v$version")
+    if (!Files.isDirectory(p))
+      throw new IllegalStateException(
+        s"version $version is not retained under $root " +
+          "(outside the keepVersions window, or never published)")
+    spark.read.parquet(p.toString)
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -204,11 +250,98 @@ object AtomicPublish {
     (spark, dir) =>
       readLatest(spark, publishRoot(spark, dir)).orderBy("doc_id")
 
+  // -- published-version diff audit -----------------------------------
+
+  /** Keys added by the v2 release land above every fixture doc_id
+    * (the CdcOps.InsertOffset discipline; the assert in
+    * [[releaseChanges]] fails loudly if a corpus ever crosses it).
+    */
+  private val DiffAddOffset = 10000000000L
+
+  /** Deterministic "next release" of a published snapshot, derived
+    * from the snapshot itself by keyed arithmetic (so the DuckDB
+    * oracle reconstructs it exactly): every doc_id ≡ 0 (mod 7) is
+    * dropped, every surviving ≡ 0 (mod 5) changes value, and every
+    * ≡ 0 (mod 11) spawns an added key at doc_id + [[DiffAddOffset]].
+    */
+  private def releaseChanges(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce}
+    base.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("n_chars") + 1L)
+          .otherwise(col("n_chars")).as("n_chars"))
+      .unionByName(base.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + DiffAddOffset +
+          coalesce(assert_true(col("doc_id") < lit(DiffAddOffset),
+            lit(s"doc_id >= $DiffAddOffset: added-key range collides " +
+              "with snapshot keys; raise DiffAddOffset")).cast("long"),
+            lit(0L))).as("doc_id"),
+          col("n_chars")))
+  }
+
+  // publish-once memo for the two-version diff root (v1 = base
+  // projection, v2 = the derived release; keepVersions = 2 retains both)
+  private val diffPublished =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def diffRoot(spark: SparkSession, dir: String): String =
+    diffPublished.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val root = Files.createTempDirectory("graft_publish_diff").toString
+        val base = Tables.load(spark, dir, "documents")
+          .select("doc_id", "n_chars")
+        publish(base, root, keepVersions = 2)
+        publish(releaseChanges(base), root, keepVersions = 2)
+        root
+      })
+
+  /** "What changed in this release" — the audit every dataset handoff
+    * needs: diff the two RETAINED versions of a publish root (v(N−1)
+    * vs vN, resolved through the manifest + the keep-N retention
+    * window) into added/changed/removed/unchanged counts with exact
+    * key fingerprints. Composes [[publish]]'s retention with
+    * [[graft.operators.CdcOps.diffByKey]]: one full-outer shuffle over
+    * the two snapshots, 4 rows out at any scale.
+    */
+  private val publishDiff: (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val root = diffRoot(spark, dir)
+      val (v, _) = current(root).getOrElse(
+        throw new IllegalStateException(s"no published snapshot under $root"))
+      graft.operators.CdcOps.diffByKey(
+        readVersion(spark, root, v - 1), readVersion(spark, root, v),
+        "doc_id", "n_chars")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e_publish_roundtrip" -> publishRoundtrip)
+    "e_publish_roundtrip" -> publishRoundtrip,
+    "e_publish_diff" -> publishDiff)
 
   val oracles: Map[String, String] = Map(
     "e_publish_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // replay of the derived release + the full-outer classification
+    "e_publish_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id AS key, n_chars AS val FROM documents
+         |), v2 AS (
+         |  SELECT doc_id AS key,
+         |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+         |         ELSE n_chars END AS val
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $DiffAddOffset, n_chars FROM documents
+         |  WHERE doc_id % 11 = 0
+         |)
+         |SELECT diff_kind, count(*)::BIGINT AS n_rows,
+         |  CAST(sum(key) AS BIGINT) AS key_fp
+         |FROM (
+         |  SELECT coalesce(v1.key, v2.key) AS key,
+         |    CASE WHEN v1.key IS NULL THEN 'added'
+         |         WHEN v2.key IS NULL THEN 'removed'
+         |         WHEN v1.val <> v2.val THEN 'changed'
+         |         ELSE 'unchanged' END AS diff_kind
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+         |GROUP BY diff_kind ORDER BY diff_kind""".stripMargin)
 }

@@ -205,4 +205,55 @@ class AtomicPublishSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("concurrent duplicated writers serialize on the root lock — " +
+      "every batch commits exactly once, none is dropped") {
+    // 4 writers race the SAME ascending batch sequence at one root
+    // (the misconfigured two-queries-one-root case the writer lock
+    // exists for). Each manifest read-modify-write runs under the
+    // lock, so exactly one writer wins each id and no interleaving can
+    // drop a committed dir from the manifest; the rest skip on the
+    // replay guard. Ascending order is preserved by induction: an id
+    // is only ever skipped after a higher one committed, and a higher
+    // one commits only after its writer saw every lower id committed.
+    val root = freshRoot()
+    val df = Seq(1L).toDF("x")
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        try (0 until 6).foreach(b =>
+          AtomicPublish.publishStreamBatch(df, root, b))
+        catch { case _: Throwable => failures.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.get() == 0)
+    val st = AtomicPublish.currentStream(root).get
+    assert(st.lastBatch == 5L)
+    assert(st.dirs == (0 until 6).map(b => s"batch-$b"))
+    assert(AtomicPublish.readStreamPublished(spark, root).count() == 6L)
+  }
+
+  test("published-version diff: retained v(N-1) vs vN classify " +
+      "added/changed/removed/unchanged exactly") {
+    val root = freshRoot()
+    AtomicPublish.publish(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars"),
+      root, keepVersions = 2)
+    AtomicPublish.publish(
+      Seq((1L, 10L), (2L, 21L), (4L, 40L)).toDF("doc_id", "n_chars"),
+      root, keepVersions = 2)
+    val (v, _) = AtomicPublish.current(root).get
+    val diff = graft.operators.CdcOps.diffByKey(
+      AtomicPublish.readVersion(spark, root, v - 1),
+      AtomicPublish.readVersion(spark, root, v), "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(diff == Seq(("added", 1L, 4L), ("changed", 1L, 2L),
+      ("removed", 1L, 3L), ("unchanged", 1L, 1L)))
+    // a version outside the retention window fails loudly
+    intercept[IllegalStateException] {
+      AtomicPublish.readVersion(spark, root, v - 2)
+    }
+  }
 }

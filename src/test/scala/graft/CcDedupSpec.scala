@@ -25,6 +25,19 @@ class CcDedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 10L))
   }
 
+  test("cluster-canonical minhash dedup keeps a subset of the " +
+      "pair-greedy survivors on the fixture") {
+    // greedy drops the larger id of each verified pair; canonical
+    // keeps only component minima. A component minimum is never the
+    // larger id of any pair, so canonical ⊆ greedy — and the star
+    // divergence (test above) is where the containment is strict.
+    val cc = SparkEntry.queries("e_dedup_minhash_cc")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val greedy = SparkEntry.queries("e_dedup_minhash_md5")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cc.nonEmpty && cc.subsetOf(greedy))
+  }
+
   test("empty pair set yields no labels (callers keep everything)") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(DedupOps.ccSurvivorIds(pairs).count() == 0)

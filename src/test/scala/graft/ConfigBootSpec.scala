@@ -234,4 +234,21 @@ class ConfigBootSpec extends SparkSpec {
       "SELECT a FROM orders JOIN $other ON x = y")
     assert(t3 == Set("other"))
   }
+
+  test("identifierVars covers nested and union select-list segments") {
+    // every select-list segment is scanned, not just the first: a $var
+    // in a union arm or a subquery's list is an identifier position
+    val (_, cu) = ConfigBoot.identifierVars(
+      "SELECT a FROM orders UNION SELECT $u FROM customer")
+    assert(cu == Set("u"))
+    val (_, cn) = ConfigBoot.identifierVars(
+      "SELECT a FROM (SELECT $inner FROM orders) z")
+    assert(cn == Set("inner"))
+    // documented VALUE positions stay values: quoted literal in a
+    // union arm, unquoted right operand, function argument
+    val (_, cv) = ConfigBoot.identifierVars(
+      "SELECT a FROM orders UNION SELECT '$q' FROM customer " +
+        "WHERE x = $rhs AND f($arg) > 0")
+    assert(cv.isEmpty)
+  }
 }
