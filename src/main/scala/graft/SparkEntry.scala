@@ -143,6 +143,7 @@ object SparkEntry {
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
         |  ('e_bm25_incr', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
+        |  ('e_bm25_multi', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bm25_topk', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bpe_apply', 4, 'doc_id:bigint,n_before:bigint,n_after:bigint,seq_fp:string'),
         |  ('e_bpe_pairs', 3, 'pair:string,cnt:bigint,pair_rank:int'),

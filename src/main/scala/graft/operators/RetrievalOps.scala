@@ -46,17 +46,25 @@ import graft.Tables
 object RetrievalOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** A built index: the bucketed postings table `(term, doc_id, tf,
-    * dl)`, the document-frequency sidecar `(term, df)` (|vocab| rows —
-    * the small table every real incremental inverted index keeps
-    * SEPARATE from postings, because appending documents changes df
-    * for existing terms and a denormalized df would force a full
-    * postings rewrite), and the two corpus constants. The sidecar name
-    * is VERSIONED: an append writes a new sidecar and bumps the
-    * pointer, never overwriting a table a concurrent probe may be
-    * reading (the AtomicPublish manifest discipline in miniature).
+  /** A built index: the bucketed postings tables (base + one per
+    * committed append, all `(term, doc_id, tf, dl)` with the same
+    * bucket spec), the document-frequency sidecar `(term, df)`
+    * (|vocab| rows — the small table every real incremental inverted
+    * index keeps SEPARATE from postings, because appending documents
+    * changes df for existing terms and a denormalized df would force
+    * a full postings rewrite), and the two corpus constants. The
+    * sidecar name is VERSIONED: an append writes a new sidecar and
+    * bumps the pointer, never overwriting a table a concurrent probe
+    * may be reading (the AtomicPublish manifest discipline in
+    * miniature). Postings are versioned the same way — each append is
+    * its OWN table `<base>_b<ver>` (the Delta "commits add files, the
+    * log names them" shape), which is what makes a replayed append
+    * detectable and exactly-once (see [[appendToBm25Index]]); a
+    * long-lived daily index would periodically compact the batch
+    * tables back into the base (one rewrite, amortized).
     */
-  final case class Bm25Index(table: String, statsTable: String,
+  final case class Bm25Index(table: String, postingTables: Seq[String],
+      statsTable: String,
       nDocs: Long, totalTokens: Long, maxTf: Long, maxDl: Long)
 
   /** Build counter — observable by the reuse spec: repeated probes
@@ -76,6 +84,31 @@ object RetrievalOps {
   val DefaultQueries: Seq[(Int, String, String)] = Seq(
     (1, "table", "scan"), (2, "query", "join"), (3, "stream", "window"),
     (4, "vector", "data"), (5, "fast", "merge"))
+
+  /** N-term probe queries (3–4 terms) for the e_bm25_multi gate row —
+    * the arbitrary-arity surface a real user calls; the fixed-arity
+    * [[DefaultQueries]] stay as the 2-term regression anchor.
+    */
+  val MultiQueries: Seq[(Int, Seq[String])] = Seq(
+    (1, Seq("table", "scan", "data")),
+    (2, Seq("query", "join", "fast", "merge")),
+    (3, Seq("stream", "window", "batch")),
+    (4, Seq("vector", "hash", "sort", "group")),
+    (5, Seq("row", "column", "key")))
+
+  /** Canonical (query_id, term, term_pos) rows: terms are DEDUPED and
+    * SORTED, positions 1..n in sorted order. This single definition
+    * fixes the score-summation order for BOTH engines — the N-term
+    * total is a sequential left fold over term_pos, so identical
+    * positions ⇒ bit-identical double sums (adding a missing term's
+    * 0.0 anywhere is an exact identity, so the oracle's fixed-arity
+    * pivot sum equals the engine's fold over only-matched terms).
+    */
+  private[graft] def canonTerms(qs: Seq[(Int, Seq[String])])
+      : Seq[(Int, String, Int)] =
+    qs.flatMap { case (id, ts) =>
+      ts.distinct.sorted.zipWithIndex.map { case (t, i) => (id, t, i + 1) }
+    }
 
   /** THE tokenization of the index — build and append MUST tokenize
     * identically (the append ≡ rebuild oracle equivalence rests on
@@ -134,7 +167,13 @@ object RetrievalOps {
       tf.groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").format("parquet")
         .saveAsTable(s"${tblPrefix}_stats_v1")
-      Bm25Index(tblPrefix, s"${tblPrefix}_stats_v1", n, t, maxTf, maxDl)
+      // a REBUILD resets the append epoch: a stale marker from a prior
+      // index under the same prefix must not make a first append on
+      // the fresh index look like a replay
+      java.nio.file.Files.deleteIfExists(
+        epochMarker(docs.sparkSession, tblPrefix))
+      Bm25Index(tblPrefix, Seq(tblPrefix), s"${tblPrefix}_stats_v1",
+        n, t, maxTf, maxDl)
     } finally { tf.unpersist(); dl.unpersist() }
   }
 
@@ -168,27 +207,76 @@ object RetrievalOps {
     */
   val SidecarRetain = 2
 
-  /** Failure/visibility contract, in write order:
-    *  1. batch stats + the exact-lane guard run BEFORE any write — a
+  /** Epoch marker recording the last COMMITTED append of an index
+    * prefix — batch id, sidecar version, and the post-append corpus
+    * constants (everything a replayed caller needs to reconstruct the
+    * committed Bm25Index without touching data). Lives next to the
+    * managed tables under the session warehouse; committed with the
+    * AtomicPublish tmp-write + atomic-rename protocol.
+    */
+  private[graft] def epochMarker(spark: SparkSession,
+      table: String): java.nio.file.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = Option(new java.net.URI(wh).getPath).getOrElse(wh)
+    java.nio.file.Paths.get(dir).resolve(s"_graft_bm25_$table.epoch.json")
+  }
+
+  private def readEpoch(p: java.nio.file.Path)
+      : Option[(Long, Int, Long, Long, Long, Long)] = {
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def f(k: String) = (s""""$k"\\s*:\\s*(-?\\d+)""").r
+        .findFirstMatchIn(txt).map(_.group(1).toLong)
+      for (b <- f("lastBatch"); v <- f("ver"); n <- f("n"); t <- f("t");
+           mtf <- f("maxTf"); mdl <- f("maxDl"))
+        yield (b, v.toInt, n, t, mtf, mdl)
+    }
+  }
+
+  /** EXACTLY-ONCE failure/visibility contract (the publishStreamBatch
+    * protocol applied to index maintenance), in write order:
+    *  1. REPLAY GUARD: a `batchId` at or below the committed epoch's
+    *     lastBatch means this append fully committed before (the
+    *     caller crashed between commit and recording the returned
+    *     index) — reconstruct the committed index from the marker and
+    *     touch nothing. batchId = -1 opts out (single-shot callers).
+    *  2. batch stats + the exact-lane guard run BEFORE any write — a
     *     batch that would overflow the integer score leaves the index
     *     untouched (no half-committed append to retry into).
-    *  2. the merged df sidecar lands at _v(N+1) first. It merges from
-    *     the CALLER's sidecar version, so a retry after a crash here
+    *  3. batch postings land in their OWN versioned bucketed table
+    *     `<base>_b<ver>` with mode OVERWRITE — a torn or duplicated
+    *     retry replaces its own debris, never duplicates rows, and
+    *     the existing posting tables are never read or rewritten
+    *     (append cost stays O(batch postings + vocab)).
+    *  4. the merged df sidecar lands at _v<ver>, also OVERWRITE. It
+    *     merges from the CALLER's sidecar version, so a retry
     *     re-merges from the same v(N) — never double-counts.
-    *  3. the bucketed postings append commits last (Spark's job commit
-    *     protocol: a failed append leaves no visible files; the retry
-    *     starts clean).
-    * Probes hold a Bm25Index VALUE: anyone probing the old value mid-
-    * append reads old constants against a postings scan that may
-    * already list the new files — bounded staleness (new docs scored
-    * with last-epoch df), the tradeoff of appending in place to keep
-    * the bucket layout. A reader needing snapshot isolation re-probes
-    * through the returned index, exactly like re-resolving an
-    * AtomicPublish manifest.
+    *  5. the epoch marker's atomic rename is the COMMIT POINT: until
+    *     it lands, a probe through any committed Bm25Index value sees
+    *     no trace of the batch (its tables are named by no index
+    *     value); after it, the replay guard makes retries no-ops.
+    *  6. retention GC tracks its floor: each append drops exactly the
+    *     one sidecar version falling out of the window — O(1) catalog
+    *     calls per append, not O(appends).
+    * Probes hold a Bm25Index VALUE and read exactly the tables it
+    * names — full snapshot isolation (the in-place bucketed-append
+    * design this replaces had bounded staleness mid-append).
     */
   def appendToBm25Index(idx: Bm25Index, newDocs: DataFrame,
-      buckets: Int = 8): Bm25Index = {
+      buckets: Int = 8, batchId: Long = -1L): Bm25Index = {
     val spark = newDocs.sparkSession
+    val marker = epochMarker(spark, idx.table)
+    val committed = readEpoch(marker)
+    if (batchId >= 0 && committed.exists(batchId <= _._1)) {
+      // replayed append: reconstruct the committed index, change nothing
+      val (_, ver, n, t, mtf, mdl) = committed.get
+      val base = idx.statsTable.substring(0, idx.statsTable.lastIndexOf("_v"))
+      return Bm25Index(idx.table,
+        idx.table +: (2 to ver).map(v => s"${idx.table}_b$v"),
+        s"${base}_v$ver", n, t, mtf, mdl)
+    }
     val (tf0, dl0) = tokStats(newDocs)
     val tf = tf0.persist(); val dl = dl0.persist()
     try {
@@ -201,23 +289,36 @@ object RetrievalOps {
       val maxTf = math.max(idx.maxTf,
         tf.agg(coalesce(max("tf"), lit(0L))).head().getLong(0))
       requireExactLane(n, t, maxTf, maxDl)       // before any write
-      // df merge: old sidecar + batch term-doc counts, one hash agg
-      // over ~2·|vocab| rows; versioned write (readers of _vN are
-      // undisturbed), then retention GC of versions below the window
       val base = idx.statsTable.substring(0, idx.statsTable.lastIndexOf("_v"))
       val ver = idx.statsTable.substring(
         idx.statsTable.lastIndexOf("_v") + 2).toInt + 1
       val nextStats = s"${base}_v$ver"
+      val batchTable = s"${idx.table}_b$ver"
+      graft.sources.Bucketing.saveBucketed(
+        tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl"),
+        batchTable, "term", buckets)
+      // df merge: old sidecar + batch term-doc counts, one hash agg
+      // over ~2·|vocab| rows; versioned write (readers of _vN are
+      // undisturbed)
       tf.groupBy("term").agg(count(lit(1)).as("df"))
         .unionByName(spark.table(idx.statsTable))
         .groupBy("term").agg(sum("df").as("df"))
         .write.mode("overwrite").format("parquet").saveAsTable(nextStats)
-      tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
-        .write.mode("append").bucketBy(buckets, "term").sortBy("term")
-        .format("parquet").saveAsTable(idx.table)
-      (1 until ver - SidecarRetain + 1).foreach(v =>
-        spark.sql(s"DROP TABLE IF EXISTS ${base}_v$v"))
-      Bm25Index(idx.table, nextStats, n, t, maxTf, maxDl)
+      if (batchId >= 0) {
+        val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (s"""{"lastBatch":$batchId,"ver":$ver,"n":$n,"t":$t,""" +
+            s""""maxTf":$maxTf,"maxDl":$maxDl}""")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // floor-tracked GC: exactly the one version leaving the window
+      val expired = ver - SidecarRetain
+      if (expired >= 1) spark.sql(s"DROP TABLE IF EXISTS ${base}_v$expired")
+      Bm25Index(idx.table, idx.postingTables :+ batchTable, nextStats,
+        n, t, maxTf, maxDl)
     } finally { tf.unpersist(); dl.unpersist() }
   }
 
@@ -229,20 +330,38 @@ object RetrievalOps {
       k: Int = Bm25K): DataFrame =
     bm25TopKOver(spark, buildBm25Index(spark, dir), queries, k)
 
+  /** Two-term convenience wrapper over the N-term scorer (the original
+    * fixed-arity surface; e_bm25_topk/e_bm25_incr anchor on it).
+    */
   def bm25TopKOver(spark: SparkSession, idx: Bm25Index,
       queries: Seq[(Int, String, String)] = DefaultQueries,
-      k: Int = Bm25K): DataFrame = {
+      k: Int = Bm25K): DataFrame =
+    bm25TopKOverN(spark, idx,
+      queries.map { case (id, a, b) => (id, Seq(a, b)) }, k)
+
+  /** N-TERM BM25 top-k — arbitrary query-term sets (terms are a SET:
+    * deduped, sorted; see [[canonTerms]]). Determinism of the per-doc
+    * total: each term's score is one double division of exact
+    * integers, collected per (query, doc) and summed by a SEQUENTIAL
+    * LEFT FOLD in sorted-term order — a fixed association order both
+    * engines replay exactly (a plain SUM would add doubles in
+    * partition order). The fold runs over ≤ |query| elements per
+    * (query, doc) after the aggregation — bounded driver-free state.
+    */
+  def bm25TopKOverN(spark: SparkSession, idx: Bm25Index,
+      queries: Seq[(Int, Seq[String])], k: Int = Bm25K): DataFrame = {
     import spark.implicits._
     import graft.functions.{Scored, TopK}
     val n = idx.nDocs
     val t = idx.totalTokens
-    val qdf = queries.flatMap { case (id, a, b) => Seq((id, a, 1), (id, b, 2)) }
-      .toDF("query_id", "term", "term_pos")
-    val terms = queries.flatMap { case (_, a, b) => Seq(a, b) }.distinct
+    val qdf = canonTerms(queries).toDF("query_id", "term", "term_pos")
+    val terms = queries.flatMap(_._2).distinct
     // IN on the bucket column → bucket pruning: only the probed terms'
-    // buckets are read from the postings table; df rides in from the
+    // buckets are read from EACH posting table (base + committed
+    // batches scan independently, each pruned); df rides in from the
     // sidecar on a broadcast of the probed terms' rows only
-    val post = spark.table(idx.table).where(col("term").isin(terms: _*))
+    val post = idx.postingTables.map(spark.table).reduce(_ unionByName _)
+      .where(col("term").isin(terms: _*))
       .join(broadcast(spark.table(idx.statsTable)
         .where(col("term").isin(terms: _*))), "term")
     // exact integer numerator/denominator (both < 2^53 — see guard),
@@ -253,13 +372,13 @@ object RetrievalOps {
     val scored = post.join(broadcast(qdf), "term")
       .select(col("query_id"), col("doc_id"), col("term_pos"),
         (num.cast("double") / den.cast("double")).as("sc"))
-    // per-(query, doc) total as a FIXED-ORDER two-term sum (a SUM over
-    // term rows would add doubles in partition order — not
-    // deterministic; the pivoted s1 + s2 is)
+    // per-(query, doc) total: sort the matched (term_pos, sc) pairs,
+    // fold left — the fixed-order N-term sum (term_pos is unique per
+    // (query, doc), so the sort is total)
     val totals = scored.groupBy("query_id", "doc_id")
-      .agg((coalesce(max(when(col("term_pos") === 1, col("sc"))), lit(0.0)) +
-        coalesce(max(when(col("term_pos") === 2, col("sc"))), lit(0.0)))
-        .as("total"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term_pos"), col("sc")))),
+        lit(0.0), (acc, x) => acc + x.getField("sc")).as("total"))
     // bounded top-k per query (the knnJoin shape): partial aggregation
     // carries <= k rows per query through the shuffle; ties break
     // (score DESC, doc_id ASC) like the oracle's row_number
@@ -277,6 +396,9 @@ object RetrievalOps {
   }
 
   private val bm25TopkQ: Q = (spark, dir) => bm25TopK(spark, dir)
+
+  private val bm25MultiQ: Q = (spark, dir) =>
+    bm25TopKOverN(spark, buildBm25Index(spark, dir), MultiQueries)
 
   /** Deterministic base/batch split for the incremental gate row:
     * every 10th document arrives "later" and is appended.
@@ -296,7 +418,9 @@ object RetrievalOps {
         val base = buildBm25IndexFor(
           docs.where(col("doc_id") % 10 =!= 0),
           s"graft_bm25_incr_${Integer.toHexString(dir.hashCode)}")
-        appendToBm25Index(base, docs.where(col("doc_id") % 10 === 0))
+        // batchId = 0: the gate exercises the exactly-once epoch path
+        appendToBm25Index(base, docs.where(col("doc_id") % 10 === 0),
+          batchId = 0L)
       })
     bm25TopKOver(spark, idx)
   }
@@ -407,20 +531,34 @@ object RetrievalOps {
 
   val queries: Map[String, Q] = Map(
     "e_bm25_topk" -> bm25TopkQ,
+    "e_bm25_multi" -> bm25MultiQ,
     "e_bm25_incr" -> bm25IncrQ,
     "e_hybrid_retrieval" -> hybridQ,
     "e_retrieval_eval" -> retrievalEvalQ,
   )
 
+  /** The 2-term default queries in N-term form — ONE canonical term
+    * ordering ([[canonTerms]]) feeds the engine's qdf and every
+    * oracle's VALUES, so the fold order is pinned once.
+    */
+  private def defaultAsN: Seq[(Int, Seq[String])] =
+    DefaultQueries.map { case (id, a, b) => (id, Seq(a, b)) }
+
   /** WITH-body prefix computing BM25 totals per (query, doc) — shared
-    * by the plain top-k oracle and the hybrid-fusion oracle, so both
-    * replay the ONE scoring definition. Ends with `tot(query_id,
+    * by the top-k, multi, and hybrid-fusion oracles, so all replay the
+    * ONE scoring definition. The per-doc total is a fixed-arity pivot
+    * sum in term_pos order; adding a missing position's 0.0 is an
+    * exact IEEE identity, so this equals the engine's sequential fold
+    * over only-matched terms bit for bit. Ends with `tot(query_id,
     * doc_id, total)`.
     */
-  private def bm25TotalsCtes: String = {
-    val qValues = DefaultQueries.flatMap { case (id, a, b) =>
-      Seq(s"($id, '$a', 1)", s"($id, '$b', 2)")
-    }.mkString(", ")
+  private def bm25TotalsCtes(qs: Seq[(Int, Seq[String])]): String = {
+    val qValues = canonTerms(qs)
+      .map { case (id, t, p) => s"($id, '$t', $p)" }.mkString(", ")
+    val arity = qs.map(_._2.distinct.size).max
+    val pivotSum = (1 to arity).map(p =>
+      s"coalesce(max(CASE WHEN term_pos = $p THEN sc END), 0.0)")
+      .mkString(" +\n    ")
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |  FROM documents
@@ -444,18 +582,17 @@ object RetrievalOps {
        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
        |), tot AS (
        |  SELECT query_id, doc_id,
-       |    coalesce(max(CASE WHEN term_pos = 1 THEN sc END), 0.0) +
-       |    coalesce(max(CASE WHEN term_pos = 2 THEN sc END), 0.0) AS total
+       |    $pivotSum AS total
        |  FROM scored GROUP BY query_id, doc_id
        |)""".stripMargin
   }
 
   /** DuckDB replay: postings statistics from scratch, the identical
-    * integer-exact score, the same fixed-order two-term total, the
-    * same (total DESC, doc_id) ranking.
+    * integer-exact score, the same fixed-order total, the same
+    * (total DESC, doc_id) ranking.
     */
-  private def bm25Oracle: String =
-    s"""WITH $bm25TotalsCtes
+  private def bm25OracleFor(qs: Seq[(Int, Seq[String])]): String =
+    s"""WITH ${bm25TotalsCtes(qs)}
        |SELECT query_id, doc_id, round(total, 6) AS score_r,
        |  CAST(rank AS INT) AS rank
        |FROM (
@@ -465,13 +602,15 @@ object RetrievalOps {
        |  FROM tot) z
        |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
 
+  private def bm25Oracle: String = bm25OracleFor(defaultAsN)
+
   /** DuckDB replay of the hybrid fusion: the proven BM25 chain at
     * depth [[HybridDepth]], the proven knn cosine replay over the
     * example vectors, and the fixed-order RRF sum.
     */
   private def hybridOracle: String = {
     val qIds = DefaultQueries.map(_._1).mkString(", ")
-    s"""WITH $bm25TotalsCtes,
+    s"""WITH ${bm25TotalsCtes(defaultAsN)},
        |lexr AS (
        |  SELECT query_id, doc_id, rank AS lex_rank FROM (
        |    SELECT query_id, doc_id,
@@ -528,7 +667,7 @@ object RetrievalOps {
     val qValues = DefaultQueries.flatMap { case (id, a, b) =>
       Seq(s"($id, '$a')", s"($id, '$b')")
     }.mkString(", ")
-    s"""WITH $bm25TotalsCtes,
+    s"""WITH ${bm25TotalsCtes(defaultAsN)},
        |ranked AS (
        |  SELECT query_id, doc_id, rank FROM (
        |    SELECT query_id, doc_id,
@@ -559,6 +698,9 @@ object RetrievalOps {
 
   val oracles: Map[String, String] = Map(
     "e_bm25_topk" -> bm25Oracle,
+    // same chain at 3-4 terms: the fixed-arity pivot total equals the
+    // engine's sorted-order fold exactly (0.0 additions are identities)
+    "e_bm25_multi" -> bm25OracleFor(MultiQueries),
     // an appended index must equal a from-scratch build: the oracle is
     // the full-corpus replay, byte-identical SQL to e_bm25_topk
     "e_bm25_incr" -> bm25Oracle,

@@ -102,12 +102,14 @@ class RetrievalSpec extends SparkSpec {
     val appended = RetrievalOps.appendToBm25Index(base,
       docs.where(col("doc_id") % 10 === 0))
     // exactly one build (the base); the append went through the
-    // append path, and every base posting file survived untouched
+    // append path — the batch landed in its OWN versioned table and
+    // every base posting file survived byte-untouched
     assert(RetrievalOps.indexBuilds.get() - before == 1)
     assert(appended.table == base.table)
     assert(appended.statsTable.endsWith("_v2"))
-    assert(baseFiles.subsetOf(spark.table(pre).inputFiles.toSet),
-      "append rewrote existing posting files")
+    assert(appended.postingTables == Seq(pre, s"${pre}_b2"))
+    assert(spark.table(pre).inputFiles.toSet == baseFiles,
+      "append touched the base posting table")
     val full = RetrievalOps.bm25TopK(spark, sf).collect().toSeq
     val incr = RetrievalOps.bm25TopKOver(spark, appended).collect().toSeq
     assert(incr == full, "appended index diverges from full rebuild")
@@ -136,6 +138,62 @@ class RetrievalSpec extends SparkSpec {
     val full = RetrievalOps.bm25TopK(spark, sf).collect().toSeq
     assert(RetrievalOps.bm25TopKOver(spark, a2).collect().toSeq == full,
       "twice-appended index diverges from full rebuild")
+  }
+
+  test("a replayed append (crash after commit, before the caller " +
+      "recorded the returned index) is detected and skipped") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pre = s"graft_test_replay_${System.nanoTime()}"
+    val base = RetrievalOps.buildBm25IndexFor(
+      docs.where(col("doc_id") % 10 =!= 0), pre)
+    val first = RetrievalOps.appendToBm25Index(base,
+      docs.where(col("doc_id") % 10 === 0), batchId = 7L)
+    val batchFiles = spark.table(s"${pre}_b2").inputFiles.toSet
+    val probe1 = RetrievalOps.bm25TopKOver(spark, first).collect().toSeq
+    // the caller crashed and retries FROM ITS STALE BASE VALUE with
+    // the same batchId: the epoch marker names the committed batch, so
+    // the retry must reconstruct the committed index and write nothing
+    val retried = RetrievalOps.appendToBm25Index(base,
+      docs.where(col("doc_id") % 10 === 0), batchId = 7L)
+    assert(retried == first, "replayed append diverged from the commit")
+    assert(spark.table(s"${pre}_b2").inputFiles.toSet == batchFiles,
+      "replayed append rewrote the batch table")
+    assert(RetrievalOps.bm25TopKOver(spark, retried).collect().toSeq
+      == probe1)
+    // a LATER batch still appends normally
+    val next = RetrievalOps.appendToBm25Index(first,
+      docs.where(col("doc_id") % 10 === 0), batchId = 8L)
+    assert(next.postingTables == Seq(pre, s"${pre}_b2", s"${pre}_b3"))
+    // ... and a rebuild resets the epoch (a fresh index must not treat
+    // its first append as a replay of the old index's)
+    val rebuilt = RetrievalOps.buildBm25IndexFor(
+      docs.where(col("doc_id") % 10 =!= 0), pre)
+    val again = RetrievalOps.appendToBm25Index(rebuilt,
+      docs.where(col("doc_id") % 10 === 0), batchId = 0L)
+    assert(again.postingTables == Seq(pre, s"${pre}_b2"))
+  }
+
+  test("n-term scoring: the 2-term path is the n=2 case, and " +
+      "multi-term queries rank by the folded total") {
+    val idx = RetrievalOps.buildBm25Index(spark, sf)
+    val two = RetrievalOps.bm25TopKOver(spark, idx).collect().toSeq
+    val twoAsN = RetrievalOps.bm25TopKOverN(spark, idx,
+      RetrievalOps.DefaultQueries.map { case (id, a, b) => (id, Seq(a, b)) })
+      .collect().toSeq
+    assert(two == twoAsN)
+    // duplicate terms collapse (terms are a set): {scan, table, scan}
+    // scores identically to {scan, table}
+    val dup = RetrievalOps.bm25TopKOverN(spark, idx,
+      Seq((1, Seq("scan", "table", "scan")))).collect().toSeq
+    val set = RetrievalOps.bm25TopKOverN(spark, idx,
+      Seq((1, Seq("table", "scan")))).collect().toSeq
+    assert(dup == set)
+    // 3-term output exists for every query and ranks are dense
+    val multi = RetrievalOps.bm25TopKOverN(spark, idx,
+      RetrievalOps.MultiQueries).collect()
+    RetrievalOps.MultiQueries.foreach { case (qid, _) =>
+      assert(multi.count(_.getInt(0) == qid) == RetrievalOps.Bm25K)
+    }
   }
 
   test("the exact-lane guard bounds the real score products, not a " +
