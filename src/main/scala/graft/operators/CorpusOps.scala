@@ -266,16 +266,46 @@ object CorpusOps {
   }
 
   /** Merge rounds for [[bpeVocab]], and the sequence/merge markers:
-    * tokens are joined with \u0001 (never appears in a token — it IS
-    * the token boundary) and a merged pair is joined with \u0002, so
-    * boundary-anchored string replace is exactly the greedy
-    * left-to-right non-overlapping merge application (both engines'
-    * `replace` scans left to right past replaced text — "a a a" under
-    * merge (a,a) becomes [a+a, a], the BPE convention).
+    * every token is individually WRAPPED in \u0001 (never appears in
+    * a token — it IS the token boundary), so adjacent tokens read
+    * \u0001a\u0001\u0001b\u0001 and a merge rewrites exactly that
+    * pattern to \u0001a\u0002b\u0001. Each occurrence owns its own
+    * delimiters — nothing is shared with the neighboring pair — so one
+    * literal `replace` IS the greedy left-to-right non-overlapping
+    * merge application, back-to-back occurrences included ("x y x y"
+    * merges both under (x,y); "a a a" under (a,a) becomes [a+a, a],
+    * the BPE convention). The previous single-separator join consumed
+    * the shared boundary and under-merged back-to-back occurrences
+    * (CorpusOpsSpec pins the case).
     */
   val BpeMerges = 8
   private val Sep = "\u0001"
   private val Joiner = "\u0002"
+
+  /** Wrap a document's lowercased whitespace tokens as a marker
+    * string (every token in its own \u0001 pair — see the note above).
+    */
+  private def wrapTokens(text: org.apache.spark.sql.Column) =
+    concat(lit(Sep),
+      array_join(split(lower(text), " "), Sep + Sep), lit(Sep))
+
+  /** Adjacent-pair counts `(a, b, cnt)` over marker-string sequences —
+    * one map-side explode + hash aggregation (map-side partials), the
+    * inner statistic of every merge round. Two-stage staging keeps the
+    * split from re-evaluating per reference.
+    */
+  private[graft] def pairCounts(seqs: DataFrame): DataFrame = {
+    val staged = seqs
+      .select(split(col("s"), Sep).as("sp"))
+      .select(filter(col("sp"), x => length(x) > 0).as("t"))
+    val n = greatest(size(col("t")) - 1, lit(0))
+    staged
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), n), slice(col("t"), lit(2), n),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Multi-merge BPE vocabulary induction — N sequential merge rounds
     * over the corpus, each round ONE Spark aggregation: count every
@@ -286,16 +316,29 @@ object CorpusOps {
     * the ur-operator of tokenizer prep ([[bpePairs]] is round 1 of
     * this loop in isolation).
     *
-    * Sequences are carried as \u0001-joined strings with leading and
-    * trailing markers, so applying a merge is one codegen'd literal
-    * `replace` per row — no per-token state, no UDF. Each round: one
-    * map-side pair explode + hash aggregation (partial-agg combines
-    * pairs map-side) + a 1-row TakeOrdered to the driver (the merge
-    * decision is k·O(1) driver state, like the IVF centroid list);
-    * the round result is persisted and the previous round released
-    * ([[SimilarityOps.splitOversized]]'s level discipline), so round
-    * k never re-evaluates rounds 1..k-1. At 100 TB each round is one
-    * linear pass — exactly how distributed BPE trainers structure it.
+    * Sequences are carried as \u0001-wrapped marker strings, so
+    * applying a merge is one codegen'd literal `replace` per row — no
+    * per-token state, no UDF.
+    *
+    * DELTA-COUNTED rounds (how distributed BPE trainers amortize the
+    * count): only round 1 counts pairs over the whole corpus. After
+    * merging (a,b), pair counts change ONLY inside documents that
+    * contain the merged pattern, so each later round computes
+    * counts += pairs(touched-after) − pairs(touched-before) — two
+    * explode+aggregate passes over the TOUCHED docs (a map-side
+    * `contains` filter), never the corpus — then folds the delta into
+    * the running |pairs|-row count table with one bounded hash
+    * aggregation (CorpusOpsSpec pins delta ≡ recount every round).
+    * The merge decision is a 1-row TakeOrdered off that table —
+    * k·O(1) driver state, like the IVF centroid list. The corpus pass
+    * that remains per round is the replace projection itself (the
+    * string copy); the round result is persisted and the previous
+    * round released ([[SimilarityOps.splitOversized]]'s level
+    * discipline), and the count table is eagerly checkpointed so no
+    * round's lineage reaches back through unpersisted predecessors.
+    * At 100 TB a round costs O(touched docs) counting + one linear
+    * rewrite — the touch fraction decays as merges specialize, which
+    * is what makes 32k-merge induction plausible.
     */
   /** Result of the merge loop: the induced vocabulary and the FINAL
     * merged sequences (doc_id, s) — persisted, one string copy of the
@@ -304,40 +347,46 @@ object CorpusOps {
     * tokenizer is trained once and applied everywhere.
     */
   final case class BpeResult(vocab: Seq[(Int, String, String, Long)],
-      seqs: DataFrame)
+      seqs: DataFrame, counts: DataFrame)
 
   def bpeMergeLoop(docs: DataFrame, merges: Int = BpeMerges): BpeResult = {
-    var cur = docs.select(col("doc_id"),
-      concat(lit(Sep), array_join(split(lower(col("text")), " "), Sep),
-        lit(Sep)).as("s")).persist()
+    var cur = docs.select(col("doc_id"), wrapTokens(col("text")).as("s"))
+      .persist()
     cur.count()
+    // round 1 pays the one full corpus count; later rounds fold deltas
+    var counts = pairCounts(cur).localCheckpoint(true)
     val vocab = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (k <- 1 to merges) {
-      // two-stage projection: splitting once into `sp`, then slicing,
-      // keeps the split from being re-evaluated per reference
-      val staged = cur
-        .select(split(col("s"), Sep).as("sp"))
-        .select(slice(col("sp"), lit(2), size(col("sp")) - 2).as("t"))
-      val n = greatest(size(col("t")) - 1, lit(0))
-      val top = staged
-        .select(explode(zip_with(
-          slice(col("t"), lit(1), n), slice(col("t"), lit(2), n),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(count(lit(1)).as("cnt"))
+      val top = counts.where(col("cnt") > 0)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      require(top.nonEmpty, s"BPE merge round $k: no pair left to merge")
       val (a, b, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       vocab += ((k, a, b, cnt))
+      val pat = Sep + a + Sep + Sep + b + Sep
+      val rep = Sep + a + Joiner + b + Sep
+      // the delta's support: only docs containing the merged pattern
+      // change any pair count — a map-side filter, no shuffle of the
+      // corpus, and the rewrite of the touched subset is recomputed
+      // here (cheap: |touched| rows) rather than joined back from next
+      val touched = cur.where(col("s").contains(pat))
+      val delta = pairCounts(
+          touched.select(col("doc_id"), replace(col("s"),
+            lit(pat), lit(rep)).as("s")))
+        .unionByName(pairCounts(touched)
+          .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
+      counts = counts.unionByName(delta)
+        .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0)
+        .localCheckpoint(true) // eager: no lineage into unpersisted rounds
       val next = cur.select(col("doc_id"), replace(col("s"),
-        lit(Sep + a + Sep + b + Sep), lit(Sep + a + Joiner + b + Sep))
-        .as("s")).persist()
+        lit(pat), lit(rep)).as("s")).persist()
       next.count()
       cur.unpersist()
       cur = next
     }
-    BpeResult(vocab.toSeq, cur)
+    BpeResult(vocab.toSeq, cur, counts)
   }
 
   def bpeVocab(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
@@ -378,8 +427,9 @@ object CorpusOps {
     */
   private val bpeApplyQ: Q = (spark, dir) => {
     val seqs = bpeOf(spark, dir).seqs
+    // per-token wrap: a string of n tokens splits into 2n+1 parts
     seqs.select(col("doc_id"),
-      (size(split(col("s"), Sep)) - 2).cast("long").as("n_after"),
+      ((size(split(col("s"), Sep)) - 1) / 2).cast("long").as("n_after"),
       md5(col("s").cast("binary")).as("seq_fp"))
       .join(Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
@@ -512,8 +562,8 @@ object CorpusOps {
     val rounds = (1 to BpeMerges).map { k =>
       val src = s"r${k - 1}"
       s"""t$k AS (
-         |  SELECT list_slice(string_split(s, chr(1)), 2,
-         |    len(string_split(s, chr(1))) - 1) AS l FROM $src
+         |  SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS l
+         |  FROM $src
          |), p$k AS (
          |  SELECT a, b, cnt FROM (
          |    SELECT l[i] AS a, l[i+1] AS b, count(*)::BIGINT AS cnt
@@ -521,14 +571,16 @@ object CorpusOps {
          |    GROUP BY a, b) z
          |  ORDER BY cnt DESC, a, b LIMIT 1
          |), r$k AS (
-         |  SELECT doc_id, replace(s, chr(1) || p$k.a || chr(1) || p$k.b || chr(1),
-         |                            chr(1) || p$k.a || chr(2) || p$k.b || chr(1)) AS s
+         |  SELECT doc_id,
+         |    replace(s, chr(1) || p$k.a || chr(1) || chr(1) || p$k.b || chr(1),
+         |               chr(1) || p$k.a || chr(2) || p$k.b || chr(1)) AS s
          |  FROM $src, p$k
          |)""".stripMargin
     }.mkString(",\n")
     s"""r0 AS (
        |  SELECT doc_id, chr(1) ||
-       |    array_to_string(string_split(lower(text), ' '), chr(1)) ||
+       |    array_to_string(string_split(lower(text), ' '),
+       |                    chr(1) || chr(1)) ||
        |    chr(1) AS s
        |  FROM documents
        |),
@@ -552,7 +604,8 @@ object CorpusOps {
     s"""WITH $bpeRoundsCtes
        |SELECT r$BpeMerges.doc_id,
        |  len(string_split(lower(d.text), ' '))::BIGINT AS n_before,
-       |  (len(string_split(r$BpeMerges.s, chr(1))) - 2)::BIGINT AS n_after,
+       |  ((len(string_split(r$BpeMerges.s, chr(1))) - 1) // 2)::BIGINT
+       |    AS n_after,
        |  md5(r$BpeMerges.s) AS seq_fp
        |FROM r$BpeMerges JOIN documents d ON r$BpeMerges.doc_id = d.doc_id
        |ORDER BY r$BpeMerges.doc_id""".stripMargin

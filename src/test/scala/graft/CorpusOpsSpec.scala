@@ -200,6 +200,31 @@ class CorpusOpsSpec extends SparkSpec {
       v(1).getLong(3) == 1L)
   }
 
+  test("bpe merges back-to-back occurrences in one round " +
+      "(per-token wrap: no shared boundary to consume)") {
+    // "x y x y": both (x,y) occurrences must merge in round 1 — the
+    // single-separator encoding used to consume the shared boundary
+    // and merge only the first
+    val tiny = Seq((0L, "x y x y")).toDF("doc_id", "text")
+    val r = CorpusOps.bpeMergeLoop(tiny, merges = 1)
+    assert(r.vocab.head == ((1, "x", "y", 2L)))
+    val s = r.seqs.select("s").as[String].head()
+    assert(s.count(_ == '\u0002') == 2, s"under-merged: ${s.length} chars")
+    r.seqs.unpersist()
+  }
+
+  test("delta-counted pair table equals a full recount after every round") {
+    val docs = Tables.load(spark, sf, "documents")
+    (1 to 4).foreach { m =>
+      val r = CorpusOps.bpeMergeLoop(docs, merges = m)
+      val delta = r.counts.as[(String, String, Long)].collect().toSet
+      val recount = CorpusOps.pairCounts(r.seqs)
+        .as[(String, String, Long)].collect().toSet
+      assert(delta == recount, s"delta drifted from recount at round $m")
+      r.seqs.unpersist()
+    }
+  }
+
   test("dedupSubstring rewrite matches a driver-side replay of the " +
       "first-occurrence removal rule") {
     val k = CorpusOps.GramLen
