@@ -40,10 +40,11 @@ object SparkEntry {
     * Counts verified scale-stable (identical at sf0.001/0.01/0.1 —
     * broadcasts are explicit hints, not stats decisions).
     */
-  private val planAuditTargets = Seq("e_ann_ivf_persisted",
+  private val planAuditTargets = Seq("e_ann_filtered", "e_ann_ivf_persisted",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
     "e_dedup_exact", "e_dedup_paragraph",
-    "e_dedup_spans", "e_dedup_substring", "e_join_broadcast", "e_merge_upsert",
+    "e_dedup_spans", "e_dedup_substring", "e_dedup_substring_h",
+    "e_join_broadcast", "e_merge_upsert",
     "e_multimodal_dedup",
     "e_partition_prune", "e_pii_redact", "e_tfidf",
     "e_topk", "e_tpch_q3", "e_triangles", "e_window_running",
@@ -100,6 +101,7 @@ object SparkEntry {
     // counts per audited query, pinned as a VALUES literal.
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
+        |  ('e_ann_filtered', 0, 0, 0, 1, 1),
         |  ('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
         |  ('e_bm25_topk', 3, 2, 0, 2, 0),
         |  ('e_bucketed_join', 2, 0, 0, 2, 0),
@@ -108,6 +110,7 @@ object SparkEntry {
         |  ('e_dedup_paragraph', 3, 0, 1, 1, 0),
         |  ('e_dedup_spans', 3, 1, 3, 2, 0),
         |  ('e_dedup_substring', 4, 0, 4, 2, 0),
+        |  ('e_dedup_substring_h', 4, 0, 4, 2, 0),
         |  ('e_join_broadcast', 1, 1, 0, 2, 0),
         |  ('e_merge_upsert', 1, 1, 0, 3, 0),
         |  ('e_multimodal_dedup', 5, 2, 0, 0, 0),
@@ -129,6 +132,7 @@ object SparkEntry {
         |  ('e_agg_distinct', 2, 'l_returnflag:string,n_parts:bigint'),
         |  ('e_agg_group', 7, 'l_returnflag:string,l_linestatus:string,sum_qty:double,sum_base_price:double,sum_disc_price:double,avg_qty:double,cnt:bigint'),
         |  ('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
+        |  ('e_ann_filtered', 3, 'vec_id:bigint,label:int,cos_sim:double'),
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_ann_ivf_persisted', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_ann_ivfpq', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
@@ -176,6 +180,7 @@ object SparkEntry {
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),
         |  ('e_dedup_substring', 5, 'doc_id:bigint,n_chars:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
+        |  ('e_dedup_substring_h', 5, 'doc_id:bigint,n_chars:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
         |  ('e_dsir_select', 3, 'lang:string,n_sel:bigint,avg_score:double'),
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_embedding_quantize', 4, 'vec_id:bigint,scale_r:double,q_checksum:bigint,q_max:bigint'),

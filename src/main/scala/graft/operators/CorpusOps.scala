@@ -74,8 +74,19 @@ object CorpusOps {
     * per-doc window: a new island starts when the gap to the previous
     * qualifying position exceeds k (coverage no longer touches).
     */
+  /** `hashedKey = true` is the PRODUCTION SHUFFLE LANE: the gram text
+    * is replaced map-side by a 128-bit hash pair (two xxhash64 lanes —
+    * collision odds ~n²/2^129) and DROPPED before the gram window, so
+    * the one corpus-wide shuffle carries a fixed 24-byte row
+    * (doc_id, pos, key) regardless of gram length — at 50-token grams
+    * that is ~10× narrower than shuffling the text. The text lane
+    * stays the oracle bridge (DuckDB replays string grams verbatim);
+    * on a collision-free corpus both lanes produce identical islands,
+    * so the hashed gate row shares the text lane's oracle SQL (the
+    * e_dedup_minhash/_md5 twin pattern at positional granularity).
+    */
   private def dupIslands(docs: DataFrame, k: Int,
-      dropFirstOccurrence: Boolean): DataFrame = {
+      dropFirstOccurrence: Boolean, hashedKey: Boolean = false): DataFrame = {
     val grams = docs
       .where(col("n_chars") >= k)
       .select(col("doc_id"),
@@ -83,8 +94,15 @@ object CorpusOps {
           docs.sparkSession, col("text"), k)).as(Seq("idx", "gram")))
       .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
         col("gram"))
-    val wg = Window.partitionBy("gram")
-    val marked = grams
+    // the window key: the gram itself, or its 128-bit hash with the
+    // text projected AWAY so no string crosses the exchange
+    val keyed =
+      if (hashedKey) grams.select(col("doc_id"), col("pos"),
+        struct(xxhash64(col("gram")).as("h1"),
+          xxhash64(col("gram"), lit(7)).as("h2")).as("gk"))
+      else grams.select(col("doc_id"), col("pos"), col("gram").as("gk"))
+    val wg = Window.partitionBy("gk")
+    val marked = keyed
       .withColumn("lo", min("doc_id").over(wg))
       .withColumn("hi", max("doc_id").over(wg))
     val pos = (if (dropFirstOccurrence)
@@ -229,9 +247,10 @@ object CorpusOps {
     * per-character explode (the oracle replays at char grain because
     * DuckDB can afford it at sf0.01; the engine must not at 100 TB).
     */
-  def dedupSubstring(docs: DataFrame, k: Int = GramLen): DataFrame = {
+  def dedupSubstring(docs: DataFrame, k: Int = GramLen,
+      hashedKey: Boolean = false): DataFrame = {
     // rn > 1 on a cross-doc-duplicated gram ⇒ its coverage is removed
-    val islands = dupIslands(docs, k, dropFirstOccurrence = true)
+    val islands = dupIslands(docs, k, dropFirstOccurrence = true, hashedKey)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
         sum(col("e") - col("s") + k).as("n_removed"))
@@ -536,10 +555,14 @@ object CorpusOps {
   private val dedupSubstringQ: Q = (spark, dir) =>
     dedupSubstring(Tables.load(spark, dir, "documents"))
 
+  private val dedupSubstringHQ: Q = (spark, dir) =>
+    dedupSubstring(Tables.load(spark, dir, "documents"), hashedKey = true)
+
   val queries: Map[String, Q] = Map(
     "e_dedup_spans" -> dedupSpansQ,
     "e_dedup_paragraph" -> dedupParagraphsQ,
     "e_dedup_substring" -> dedupSubstringQ,
+    "e_dedup_substring_h" -> dedupSubstringHQ,
     "e_bpe_pairs" -> bpePairsQ,
     "e_bpe_vocab" -> bpeVocabQ,
     "e_bpe_apply" -> bpeApplyQ,
@@ -674,45 +697,11 @@ object CorpusOps {
     // positions exploded per non-first occurrence, and the rewrite as
     // an ordered string_agg over the UNCOVERED characters — a
     // different construction of the same defined string, so the md5
-    // match is a real two-implementation check
-    "e_dedup_substring" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), $GramLen) AS gram
-         |  FROM documents,
-         |    unnest(generate_series(1::BIGINT, len(text) - $GramLen + 1)) t(i)
-         |  WHERE n_chars >= $GramLen
-         |), occ AS (
-         |  SELECT doc_id, pos,
-         |    min(doc_id) OVER (PARTITION BY gram) AS lo,
-         |    max(doc_id) OVER (PARTITION BY gram) AS hi,
-         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-         |  FROM g
-         |), rem AS (
-         |  SELECT DISTINCT doc_id, rp
-         |  FROM occ, unnest(generate_series(pos, pos + $GramLen - 1)) t(rp)
-         |  WHERE lo <> hi AND rn > 1
-         |), chars AS (
-         |  SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS c
-         |  FROM documents, unnest(generate_series(1::BIGINT, len(text))) t(i)
-         |), kept AS (
-         |  SELECT ch.doc_id, string_agg(ch.c, '' ORDER BY ch.i) AS s
-         |  FROM chars ch
-         |  WHERE NOT EXISTS (SELECT 1 FROM rem
-         |                    WHERE rem.doc_id = ch.doc_id AND rem.rp = ch.i)
-         |  GROUP BY ch.doc_id
-         |), rc AS (
-         |  SELECT doc_id, count(*)::BIGINT AS n_removed FROM rem GROUP BY doc_id
-         |)
-         |SELECT d.doc_id, d.n_chars,
-         |  coalesce(rc.n_removed, 0)::BIGINT AS n_removed,
-         |  CASE WHEN d.n_chars > 0
-         |    THEN round(coalesce(rc.n_removed, 0)::DOUBLE / d.n_chars, 4)
-         |    ELSE 0.0 END AS removed_frac,
-         |  md5(coalesce(kept.s, '')) AS kept_fp
-         |FROM documents d
-         |LEFT JOIN rc ON d.doc_id = rc.doc_id
-         |LEFT JOIN kept ON d.doc_id = kept.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    // match is a real two-implementation check. The _h twin is the
+    // hashed-shuffle production lane: same output on a collision-free
+    // corpus, so it shares this oracle verbatim.
+    "e_dedup_substring_h" -> substringOracle,
+    "e_dedup_substring" -> substringOracle,
     "e_bpe_vocab" -> bpeVocabOracle,
     "e_bpe_apply" -> bpeApplyOracle,
     "e_bpe_pairs" ->
@@ -755,4 +744,43 @@ object CorpusOps {
          |FROM ordered WHERE cum <= $CharBudget
          |GROUP BY lang ORDER BY lang""".stripMargin,
   )
+
+  private def substringOracle: String =
+      s"""WITH g AS (
+         |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), $GramLen) AS gram
+         |  FROM documents,
+         |    unnest(generate_series(1::BIGINT, len(text) - $GramLen + 1)) t(i)
+         |  WHERE n_chars >= $GramLen
+         |), occ AS (
+         |  SELECT doc_id, pos,
+         |    min(doc_id) OVER (PARTITION BY gram) AS lo,
+         |    max(doc_id) OVER (PARTITION BY gram) AS hi,
+         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM g
+         |), rem AS (
+         |  SELECT DISTINCT doc_id, rp
+         |  FROM occ, unnest(generate_series(pos, pos + $GramLen - 1)) t(rp)
+         |  WHERE lo <> hi AND rn > 1
+         |), chars AS (
+         |  SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS c
+         |  FROM documents, unnest(generate_series(1::BIGINT, len(text))) t(i)
+         |), kept AS (
+         |  SELECT ch.doc_id, string_agg(ch.c, '' ORDER BY ch.i) AS s
+         |  FROM chars ch
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem
+         |                    WHERE rem.doc_id = ch.doc_id AND rem.rp = ch.i)
+         |  GROUP BY ch.doc_id
+         |), rc AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_removed FROM rem GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.n_chars,
+         |  coalesce(rc.n_removed, 0)::BIGINT AS n_removed,
+         |  CASE WHEN d.n_chars > 0
+         |    THEN round(coalesce(rc.n_removed, 0)::DOUBLE / d.n_chars, 4)
+         |    ELSE 0.0 END AS removed_frac,
+         |  md5(coalesce(kept.s, '')) AS kept_fp
+         |FROM documents d
+         |LEFT JOIN rc ON d.doc_id = rc.doc_id
+         |LEFT JOIN kept ON d.doc_id = kept.doc_id
+         |ORDER BY d.doc_id""".stripMargin
 }

@@ -382,6 +382,35 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** FILTERED vector search — attribute predicate + ANN probe in ONE
+    * cell-pruned scan, the standard "filtered vector search" surface
+    * every retrieval stack exposes ("nearest neighbors among docs
+    * WHERE …"). The metadata predicate is pushed INTO the pruned cell
+    * scan (on the persisted index: PartitionFilters prune to nprobe
+    * cell dirs AND the predicate reaches the parquet reader as a
+    * pushed filter — pinned by e_plan_audit), so a probe reads
+    * nprobe/nlist of the bytes and filters before scoring, never
+    * post-filtering a larger candidate list. Semantics note (same as
+    * every pre-filtered IVF): cells are ranked by the UNfiltered
+    * centroid geometry, then matching members of the nprobe cells are
+    * ranked exactly — identical recall behavior to [[probeIvf]]
+    * restricted to the predicate's stratum.
+    */
+  def probeIvfFiltered(index: IvfIndex, q: Seq[Double], pred: Column,
+      nprobe: Int = 4, k: Int = 10, excludeId: Long = -1L): DataFrame = {
+    val probeCells = index.centroids
+      .map { case (i, c) => (i, VectorOps.cosineSeq(q, c)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    index.assigned
+      .where(col("vec_id") =!= excludeId)
+      .where(col("cell").isin(probeCells: _*))
+      .where(pred)
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosineConst(col("embedding"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF ANN as registered: probe-only against the cached index
     * (nlist=16, nprobe=4). First invocation builds the index; every
     * later one reuses it.
@@ -424,6 +453,15 @@ object SimilarityOps {
   private val annIvfPersisted: Q = (spark, dir) =>
     probeIvf(loadIvfIndex(spark, persistedIndexPath(spark, dir)),
       vectorOf(spark, dir, 0L), nprobe = 4, k = 10, excludeId = 0L)
+
+  /** Gate form of the filtered probe: even-labeled vectors only,
+    * against the PERSISTED index (partition pruning + pushed
+    * predicate both land on the one scan).
+    */
+  private val annFiltered: Q = (spark, dir) =>
+    probeIvfFiltered(loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      vectorOf(spark, dir, 0L), col("label") % 2 === 0,
+      nprobe = 4, k = 10, excludeId = 0L)
 
   /** Symmetric int8 quantization of each embedding — the compression
     * step an ANN store applies before indexing (4× smaller than
@@ -904,6 +942,7 @@ object SimilarityOps {
     "e_similarity_topk" -> similarityTopk,
     "e_ann_ivf" -> annIvf,
     "e_ann_ivf_persisted" -> annIvfPersisted,
+    "e_ann_filtered" -> annFiltered,
     "e_ann_pq" -> annPq,
     "e_ann_ivfpq" -> annIvfPq,
     "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
@@ -950,6 +989,7 @@ object SimilarityOps {
     "e_ann_ivf" -> ivfOracle(),
     // identical oracle: persistence must not change the answer
     "e_ann_ivf_persisted" -> ivfOracle(),
+    "e_ann_filtered" -> ivfFilteredOracle(),
     // SemDeDup: quantizer-assignment replay (same CTE machinery the
     // IVF oracle proves) at the shared nlist=16 index, then the two
     // unrolled capped-split levels ([[splitOversized]]: oversized
@@ -1224,6 +1264,29 @@ object SimilarityOps {
        |FROM afinal a JOIN adc ad USING (vec_id)
        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
        |ORDER BY adc_micro ASC, vec_id LIMIT 10""".stripMargin
+
+  /** The IVF replay with the metadata predicate applied inside the
+    * pruned-cell member scan — the oracle twin of [[probeIvfFiltered]]
+    * (label rides in from the embeddings table; cell ranking is the
+    * unfiltered geometry, exactly like the engine).
+    */
+  private def ivfFilteredOracle(nlist: Int = 16, iters: Int = 2,
+      nprobe: Int = 4, k: Int = 10, dim: Int = 64): String = {
+    def cos(a: String, b: String): String = cosSql(a, b)
+    s"""WITH ${assignmentPrefix(nlist, iters, dim)},
+       |qv AS (
+       |  SELECT v FROM vecs WHERE vec_id = 0
+       |), probe AS (
+       |  SELECT c.cell FROM c$iters c CROSS JOIN qv
+       |  ORDER BY ${cos("qv.v", "c.c")} DESC, c.cell ASC LIMIT $nprobe
+       |)
+       |SELECT a.vec_id, e.label,
+       |  round(list_cosine_similarity(a.v, (SELECT v FROM qv)), 6) AS cos_sim
+       |FROM afinal a JOIN embeddings e ON a.vec_id = e.vec_id
+       |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+       |  AND e.label % 2 = 0
+       |ORDER BY cos_sim DESC, a.vec_id LIMIT $k""".stripMargin
+  }
 
   private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
       k: Int = 10, dim: Int = 64): String = {

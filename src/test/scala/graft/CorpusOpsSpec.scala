@@ -200,6 +200,47 @@ class CorpusOpsSpec extends SparkSpec {
       v(1).getLong(3) == 1L)
   }
 
+  test("hashed-gram lane: identical output to the text lane, and no " +
+      "gram string crosses any exchange") {
+    val docs = Tables.load(spark, sf, "documents")
+    val textLane = CorpusOps.dedupSubstring(docs)
+    val hashLane = CorpusOps.dedupSubstring(docs, hashedKey = true)
+    // structural shuffle-width claim: in the hashed plan, every
+    // exchange row is fixed-width — the gram text never ships. The
+    // window exchange carries (doc_id, pos, gk: struct<long,long>)
+    // = 24 bytes + framing per gram row, independent of gram length.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children
+    }).flatMap(flat)
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      flat(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+    // the positional exchanges (the ones that carry a gram-position
+    // row) are identified by the `pos` attribute: the gram window's
+    // and the per-doc island window's. In the text lane the gram
+    // window's carries the string key; in the hashed lane none of
+    // them may carry ANY string.
+    def positional(df: org.apache.spark.sql.DataFrame) =
+      exchanges(df).filter(_.output.exists(_.name == "pos"))
+    val isStr = (a: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.StringType]
+    // walk BEFORE executing: once AQE runs, materialized exchanges
+    // are replaced by query-stage leaves and disappear from the walk
+    val textEx = positional(textLane)
+    val hashEx = positional(hashLane)
+    assert(textEx.exists(_.output.exists(isStr)),
+      "sanity: the text lane's gram exchange should carry the string key")
+    assert(hashEx.nonEmpty, "no positional exchange found in hashed lane")
+    hashEx.foreach(e => assert(!e.output.exists(isStr),
+      s"string column crosses a positional exchange: ${e.output}"))
+    assert(hashLane.collect().toSeq == textLane.collect().toSeq,
+      "hashed lane diverged from the text lane (hash collision or bug)")
+  }
+
   test("bpe merges back-to-back occurrences in one round " +
       "(per-token wrap: no shared boundary to consume)") {
     // "x y x y": both (x,y) occurrences must merge in round 1 — the

@@ -102,6 +102,32 @@ class SimilaritySpec extends SparkSpec {
       s"probe must prune cell partitions: ${audit.render}")
   }
 
+  test("filtered probe: predicate pushed into the pruned cell scan, " +
+      "answers equal post-filtering the unfiltered member set") {
+    val built = SimilarityOps.buildIvfIndex(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_flt").toString
+    SimilarityOps.saveIvfIndex(built, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    val q = SimilarityOps.vectorOf(spark, sf, 0L)
+    val filtered = SimilarityOps.probeIvfFiltered(loaded, q,
+      org.apache.spark.sql.functions.col("label") % 2 === 0,
+      nprobe = 4, k = 10, excludeId = 0L)
+    // semantics: identical to taking the UNFILTERED probe at full
+    // depth over the same cells and keeping even labels
+    val wide = SimilarityOps.probeIvfFiltered(loaded, q,
+      org.apache.spark.sql.functions.lit(true),
+      nprobe = 4, k = 1 << 20, excludeId = 0L)
+      .collect().filter(_.getInt(1) % 2 == 0).take(10).toSeq
+    assert(filtered.collect().toSeq == wide)
+    // scale shape: ONE scan, cell-partition-pruned AND with the label
+    // predicate pushed to the parquet reader
+    val audit = graft.engine.PlanAudit.audit(filtered)
+    assert(audit.partitionPrunedScans == 1,
+      s"filtered probe must prune cell partitions: ${audit.render}")
+    assert(audit.scans.head.pushedFilters.exists(_.contains("label")),
+      s"label predicate not pushed to the scan: ${audit.render}")
+  }
+
   test("incremental append to the persisted index equals one-shot assignment") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.load(spark, sf, "embeddings")
