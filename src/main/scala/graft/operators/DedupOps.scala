@@ -199,6 +199,122 @@ object DedupOps {
     survivors
   }
 
+  // -- exactly-once streaming variant ---------------------------------
+
+  /** Epoch marker of a versioned LSH index prefix: the last committed
+    * batch id and the committed batch list (`{"lastBatch":N,
+    * "batches":[..]}`), committed by atomic rename — the
+    * publishStreamBatch/appendToBm25Index commit-point discipline.
+    */
+  private def lshEpochMarker(spark: SparkSession,
+      prefix: String): java.nio.file.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = Option(new java.net.URI(wh).getPath).getOrElse(wh)
+    java.nio.file.Paths.get(dir).resolve(s"_graft_lsh_$prefix.epoch.json")
+  }
+
+  private def readLshEpoch(p: java.nio.file.Path): (Long, Seq[Long]) = {
+    if (!java.nio.file.Files.exists(p)) (-1L, Seq.empty)
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val last = """"lastBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      val batches = """"batches"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSeq).getOrElse(Seq.empty)
+      (last, batches)
+    }
+  }
+
+  /** EXACTLY-ONCE per-batch near-dup dedup against a VERSIONED
+    * persisted LSH index — [[minhashIncrementalDedup]] restructured
+    * for an at-least-once caller (Structured Streaming's foreachBatch):
+    *
+    *  1. REPLAY GUARD: a batchId at or below the committed epoch means
+    *     this batch's dedup+append fully committed before. Survivors
+    *     are RECOVERED, not recomputed: only survivors were ever
+    *     appended, so batch ⋉ committed-feats IS the survivor set
+    *     (one semi-join, no index mutation).
+    *  2. within-batch + cross-index dedup, exactly the
+    *     [[minhashIncrementalDedup]] protocol (same features, banding,
+    *     bucket cap, threshold), against the UNION of committed batch
+    *     tables only — an uncommitted predecessor's debris is
+    *     invisible because nothing names it.
+    *  3. the batch's survivor bands/feats land in their OWN bucketed
+    *     tables `<prefix>_b<id>` / `<prefix>_f<id>` with OVERWRITE —
+    *     a torn or duplicated retry replaces its own debris; committed
+    *     tables are never rewritten (day-N cost stays O(batch +
+    *     matching buckets)).
+    *  4. the epoch marker's atomic rename is the commit point.
+    * Combined with [[graft.sources.AtomicPublish.publishStreamBatch]]
+    * downstream (its own batchId guard), a crash at ANY point of
+    * dedup → index-append → publish loses no document, publishes no
+    * duplicate, and double-indexes nothing (IngestDedupSpec replays
+    * every window).
+    */
+  def minhashDedupBatchVersioned(batch: DataFrame, prefix: String,
+      batchId: Long, threshold: Double = 0.8,
+      buckets: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val marker = lshEpochMarker(spark, prefix)
+    val (lastBatch, committed) = readLshEpoch(marker)
+    def unionTbls(tbls: Seq[String]): DataFrame =
+      tbls.map(spark.table).reduce(_ unionByName _)
+    if (batchId <= lastBatch) {
+      // replayed batch: recover the committed survivor set, touch nothing
+      return batch.join(
+        unionTbls(committed.map(b => s"${prefix}_f$b")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    val f = batch.select(col("doc_id"),
+      array_distinct(transform(TS.wordShingles(col("text"), 3),
+        s => TS.md5Hash60(s))).as("feat")).persist()
+    try {
+      val b = sigBands(f, 16, 7L, 4, 4, TS.bandKeysMd5)
+      val withinDups = verifiedPairs(f, bandPairs(b, "doc_id"), threshold)
+        .select(col("id_b").as("doc_id"))
+      val idxDups =
+        if (committed.nonEmpty) {
+          val idxBands = unionTbls(committed.map(bi => s"${prefix}_b$bi"))
+          val idxFeats = unionTbls(committed.map(bi => s"${prefix}_f$bi"))
+          b.select(col("doc_id"), explode(col("bands")).as("bk"))
+            .select(col("doc_id"), col("bk.band").as("band"),
+              col("bk.key").as("key"))
+            .join(idxBands.withColumnRenamed("doc_id", "idx_id"),
+              Seq("band", "key"))
+            .select("idx_id", "doc_id").distinct()
+            .join(idxFeats
+              .select(col("doc_id").as("idx_id"), col("feat").as("feat_i")),
+              "idx_id")
+            .join(f.select(col("doc_id"), col("feat").as("feat_n")), "doc_id")
+            .where(TS.jaccard(col("feat_i"), col("feat_n")) >= threshold)
+            .select("doc_id").distinct()
+        } else batch.select("doc_id").limit(0)
+      val dups = withinDups.union(idxDups).distinct()
+      val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val survIds = survivors.select("doc_id")
+      graft.sources.Bucketing.saveBucketed(
+        b.join(survIds, "doc_id")
+          .select(col("doc_id"), explode(col("bands")).as("bk"))
+          .select(col("bk.band").as("band"), col("bk.key").as("key"),
+            col("doc_id")),
+        s"${prefix}_b$batchId", "key", buckets)
+      graft.sources.Bucketing.saveBucketed(
+        f.join(survIds, "doc_id"), s"${prefix}_f$batchId", "doc_id", buckets)
+      val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (s"""{"lastBatch":$batchId,""" +
+          s""""batches":[${(committed :+ batchId).mkString(",")}]}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      survivors
+    } finally f.unpersist()
+  }
+
   // Driver-side two-day replay ⇒ constructing the frame runs Spark
   // jobs and index writes — memoize per (app, dataset), drop/recreate
   // the tables inside the build for idempotence (the dedupIncr DROP

@@ -608,6 +608,82 @@ object StreamingOps {
     }
   }
 
+  /** THE full streaming crawl-ingest loop — the composition every
+    * production training-data pipeline actually runs, wired from the
+    * three proven protocols: file stream → per-micro-batch NEAR-DUP
+    * dedup against the persisted LSH index (within-batch AND
+    * cross-index, [[graft.operators.DedupOps.minhashDedupBatchVersioned]]
+    * — exactly-once via per-batch versioned tables + an epoch marker)
+    * → survivors-only index append → exactly-once atomic publish
+    * ([[graft.sources.AtomicPublish.publishStreamBatch]] — its own
+    * batchId replay guard + atomic manifest swap). Documents arrive as
+    * two "days" (even doc_ids, then odd — the e_dedup_incr_minhash
+    * split) staged one file at a time with a drain in between, so
+    * batch 0 IS day 1 and batch 1 IS day 2 deterministically; the
+    * drained published output must therefore hash-equal the batch
+    * two-day replay oracle VERBATIM. Crash behavior at every window —
+    * mid-index, between index commit and publish, after publish —
+    * loses/duplicates/double-indexes nothing (IngestDedupSpec).
+    */
+  def runIngestDedupStream(spark: SparkSession, dir: String,
+      prefix: String, root: String): Unit = {
+    val replayDir = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_ingest_cp")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val schema = raw.schema
+    def ship(half: DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ingest_$tag")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $tag"))
+      java.nio.file.Files.move(part, replayDir.resolve(s"$tag.parquet"))
+      dropReplayDir(tmp)
+    }
+    ship(raw.where(col("doc_id") % 2 === 0), "day1")
+    val q = spark.readStream
+      .schema(schema).format("parquet").load(replayDir.toString)
+      .writeStream
+      .option("checkpointLocation", cpDir.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // both halves carry their own replay guard, so this body is
+        // safe under foreachBatch's at-least-once delivery
+        val survivors = graft.operators.DedupOps
+          .minhashDedupBatchVersioned(batch, prefix, batchId)
+        graft.sources.AtomicPublish.publishStreamBatch(
+          survivors.select("doc_id", "lang", "source", "n_chars"),
+          root, batchId)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0 = day 1
+      ship(raw.where(col("doc_id") % 2 === 1), "day2")
+      q.processAllAvailable() // batch 1 = day 2
+    } finally {
+      q.stop()
+      dropReplayDir(replayDir)
+      dropReplayDir(cpDir)
+    }
+  }
+
+  private val ingestPublished =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val streamIngestDedup: Q = (spark, dir) => {
+    val root = ingestPublished.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_ingest_pub").toString
+        runIngestDedupStream(spark, dir,
+          s"graft_ingest_lsh_${Integer.toHexString(dir.hashCode)}", r)
+        r
+      })
+    graft.sources.AtomicPublish.readStreamPublished(spark, root)
+      .orderBy("doc_id")
+  }
+
   // publish-once memo (the AtomicPublish.publishRoot shape): first
   // call streams + commits, every later pass reads the manifest
   private val streamPublished =
@@ -628,6 +704,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "e_stream_session" -> streamSession,
     "e_stream_publish" -> streamPublish,
+    "e_stream_ingest_dedup" -> streamIngestDedup,
     "e_stream_dedup_replay" -> (replayDedupStream(_, _)),
     "e_stream_upsert_replay" -> (replayUpsertStream(_, _)),
     "e_stream_static_replay" -> (replayStreamStaticJoin(_, _)),
@@ -714,6 +791,11 @@ object StreamingOps {
     "e_stream_publish" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // the streamed ingest loop must equal the BATCH two-day
+    // incremental near-dup replay exactly — byte-identical oracle SQL
+    // to e_dedup_incr_minhash
+    "e_stream_ingest_dedup" ->
+      graft.operators.DedupOps.oracles("e_dedup_incr_minhash"),
     // the batch exact-dedup answer — the streaming stateful path must
     // reproduce it exactly (same SQL as e_dedup_exact)
     "e_stream_dedup_replay" ->

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+import graft.sources.AtomicPublish
+
+/** The streaming crawl-ingest loop's crash contract: dedup →
+  * survivors-only index append → exactly-once publish, killed and
+  * replayed at every window, must lose no document, publish no
+  * duplicate, and double-index nothing.
+  */
+class IngestDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def proj(df: DataFrame): DataFrame =
+    df.select("doc_id", "lang", "source", "n_chars")
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  test("the streamed ingest loop equals the batch two-day replay") {
+    val pub = ids(SparkEntry.queries("e_stream_ingest_dedup")(spark, sf))
+    val batch = ids(SparkEntry.queries("e_dedup_incr_minhash")(spark, sf))
+    assert(pub == batch,
+      "streamed ingest diverged from the batch incremental replay")
+  }
+
+  test("kill between index commit and publish, then after publish: " +
+      "no doc lost, duplicated, or double-indexed") {
+    val docs = Tables.load(spark, sf, "documents")
+    val day1 = docs.where(col("doc_id") % 2 === 0)
+    val day2 = docs.where(col("doc_id") % 2 === 1)
+    val prefix = s"ingest_crash_${System.nanoTime()}"
+    val root = java.nio.file.Files
+      .createTempDirectory("ingest_spec_pub").toString
+
+    // batch 0 commits fully
+    val s1 = DedupOps.minhashDedupBatchVersioned(day1, prefix, 0L)
+    assert(AtomicPublish.publishStreamBatch(proj(s1), root, 0L))
+
+    // batch 1: dedup + index append commit, then CRASH before publish
+    val s2a = DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L)
+    val s2aIds = ids(s2a)
+    val bandsFiles = spark.table(s"${prefix}_b1").inputFiles.toSet
+    val featsFiles = spark.table(s"${prefix}_f1").inputFiles.toSet
+
+    // RESTART: foreachBatch redelivers batch 1 — the epoch guard must
+    // RECOVER the committed survivor set without touching the index
+    val s2b = DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L)
+    assert(ids(s2b) == s2aIds, "recovered survivors diverged")
+    assert(spark.table(s"${prefix}_b1").inputFiles.toSet == bandsFiles,
+      "replay double-indexed the band table")
+    assert(spark.table(s"${prefix}_f1").inputFiles.toSet == featsFiles,
+      "replay double-indexed the feature table")
+    assert(AtomicPublish.publishStreamBatch(proj(s2b), root, 1L))
+
+    // crash AFTER the publish commit: a further replay recovers the
+    // survivors again and the publish guard skips — nothing changes
+    val s2c = DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L)
+    assert(ids(s2c) == s2aIds)
+    assert(!AtomicPublish.publishStreamBatch(proj(s2c), root, 1L),
+      "a committed batch id must be skipped by the publish guard")
+    val st = AtomicPublish.currentStream(root).get
+    assert(st.lastBatch == 1L && st.dirs == Seq("batch-0", "batch-1"))
+
+    // end state: the published corpus IS the batch two-day replay —
+    // every survivor exactly once
+    val pub = AtomicPublish.readStreamPublished(spark, root)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(pub.distinct.size == pub.size, "duplicate published doc")
+    assert(pub.toSet ==
+      ids(SparkEntry.queries("e_dedup_incr_minhash")(spark, sf)))
+  }
+
+  test("a torn attempt (crash BEFORE the epoch commit) leaves debris " +
+      "the retry overwrites — the answer is unaffected") {
+    val docs = Tables.load(spark, sf, "documents")
+    val day1 = docs.where(col("doc_id") % 2 === 0)
+    val day2 = docs.where(col("doc_id") % 2 === 1)
+    val torn = s"ingest_torn_${System.nanoTime()}"
+    val clean = s"ingest_clean_${System.nanoTime()}"
+    val s1t = DedupOps.minhashDedupBatchVersioned(day1, torn, 0L)
+    val s1c = DedupOps.minhashDedupBatchVersioned(day1, clean, 0L)
+    assert(ids(s1t) == ids(s1c))
+    // simulate the torn batch-1 attempt: WRONG content lands in the
+    // batch tables, but the crash happened before the marker rename —
+    // the epoch still says lastBatch = 0, so nothing names the debris
+    graft.sources.Bucketing.saveBucketed(
+      spark.table(s"${torn}_b0"), s"${torn}_b1", "key", 8)
+    graft.sources.Bucketing.saveBucketed(
+      spark.table(s"${torn}_f0"), s"${torn}_f1", "doc_id", 8)
+    // the retry re-runs batch 1 for real: overwrites the debris, and
+    // the survivor set equals the never-crashed twin's
+    val s2t = DedupOps.minhashDedupBatchVersioned(day2, torn, 1L)
+    val s2c = DedupOps.minhashDedupBatchVersioned(day2, clean, 1L)
+    assert(ids(s2t) == ids(s2c),
+      "torn-attempt debris leaked into the retried batch's answer")
+    assert(spark.table(s"${torn}_f1").count() ==
+      spark.table(s"${clean}_f1").count(),
+      "retry did not overwrite the torn batch table")
+  }
+}
