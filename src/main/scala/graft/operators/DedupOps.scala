@@ -606,7 +606,7 @@ object DedupOps {
   private val lshCcCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def lshCcLabels(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lshCcLabels(spark: SparkSession, dir: String): DataFrame =
     lshCcCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}#$dir", _ => {
         val docs = Tables.load(spark, dir, "documents")

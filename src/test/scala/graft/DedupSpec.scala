@@ -133,7 +133,10 @@ class DedupSpec extends SparkSpec {
 
   test("splitLeakfree: clusters never straddle splits, totals cover " +
       "the corpus, and the naive-hash leak count is real") {
-    val labels = SparkEntry.queries("e_dedup_cc")(spark, sf).collect()
+    // r12: the split keys on the REAL duplicate graph — the
+    // LSH-verified component labels (singletons label themselves),
+    // not the synthetic chain closure
+    val labels = DedupOps.lshCcLabels(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val out = SparkEntry.queries("e_split_leakfree")(spark, sf).collect()
       .map(r => r.getString(0) ->
