@@ -42,7 +42,7 @@ object SparkEntry {
     */
   private val planAuditTargets = Seq("e_ann_filtered", "e_ann_ivf_persisted",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
-    "e_dedup_exact", "e_dedup_paragraph",
+    "e_dedup_exact", "e_dedup_paragraph", "e_dedup_paragraph_h",
     "e_dedup_spans", "e_dedup_substring", "e_dedup_substring_h",
     "e_join_broadcast", "e_merge_upsert",
     "e_multimodal_dedup",
@@ -108,6 +108,7 @@ object SparkEntry {
         |  ('e_collapse_repeats', 1, 0, 0, 1, 0),
         |  ('e_dedup_exact', 2, 0, 1, 1, 0),
         |  ('e_dedup_paragraph', 3, 0, 1, 1, 0),
+        |  ('e_dedup_paragraph_h', 4, 0, 1, 2, 0),
         |  ('e_dedup_spans', 3, 1, 3, 2, 0),
         |  ('e_dedup_substring', 4, 0, 4, 2, 0),
         |  ('e_dedup_substring_h', 4, 0, 4, 2, 0),
@@ -146,6 +147,7 @@ object SparkEntry {
         |  ('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |  ('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
         |  ('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
+        |  ('e_bm25_compact', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bm25_incr', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bm25_multi', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |  ('e_bm25_topk', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
@@ -176,6 +178,7 @@ object SparkEntry {
         |  ('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_ngram_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_dedup_paragraph', 5, 'doc_id:bigint,n_paras:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
+        |  ('e_dedup_paragraph_h', 5, 'doc_id:bigint,n_paras:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
         |  ('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |  ('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),

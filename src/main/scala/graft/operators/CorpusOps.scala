@@ -196,36 +196,85 @@ object CorpusOps {
     * |doc| paragraphs). Both shuffles are linear in corpus tokens —
     * nothing is pairwise, nothing global-sorts.
     */
-  def dedupParagraphs(docs: DataFrame, p: Int = ParaLen): DataFrame = {
+  /** The paragraph windows of a staged token-array column, as one
+    * map-side array — shared by both lanes so the window definition
+    * exists once.
+    */
+  private def paraWindows(t: org.apache.spark.sql.Column, p: Int) = {
+    val lastIdx = floor((size(t) - 1) / lit(p)).cast("int")
+    transform(sequence(lit(0), lastIdx), i =>
+      array_join(slice(t, i * p + 1, lit(p)), " "))
+  }
+
+  /** `hashedKey = true` is the PRODUCTION SHUFFLE LANE (the
+    * [[dedupSubstring]] move at paragraph granularity): the
+    * first-seen window keys on a 128-bit hash pair of the paragraph
+    * with the TEXT projected away, so the corpus-wide window shuffle
+    * carries a fixed ~28-byte row per paragraph instead of the
+    * paragraph text; reassembly then re-derives the paragraphs
+    * map-side from the original document and keeps the surviving
+    * INDICES (ints — the only other narrow shuffle), joined back to
+    * the docs table on doc_id with the 100 TB-legal shuffle-hash hint
+    * (the one unavoidable text movement, same count as the text
+    * lane's). Identical output on a collision-free corpus ⟹ shares
+    * the text lane's oracle.
+    */
+  def dedupParagraphs(docs: DataFrame, p: Int = ParaLen,
+      hashedKey: Boolean = false): DataFrame = {
     // stage the token array: referencing an unstaged split() from the
     // paragraph transform would duplicate it per reference (the
     // minhashDedup staging note)
     val toked = docs.select(col("doc_id"),
       split(lower(col("text")), " ").as("t"))
-    val lastIdx = floor((size(col("t")) - 1) / lit(p)).cast("int")
     val paras = toked
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lastIdx), i =>
-          array_join(slice(col("t"), i * p + 1, lit(p)), " ")))
-          .as(Seq("para_idx", "para")))
-    // the corpus-wide shuffle: first occurrence per paragraph in
-    // (doc_id, para_idx) order
-    val w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
-    val marked = paras.withColumn("rn", row_number().over(w))
-    marked.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
-        // reassembled doc = surviving paragraphs in original order;
-        // the md5 pins the TRANSFORM itself (collapseRepeats precedent)
-        md5(array_join(transform(
-          sort_array(collect_list(when(col("rn") === 1,
-            struct(col("para_idx"), col("para"))))),
-          s => s.getField("para")), " ").cast("binary")).as("kept_fp"))
-      .select(col("doc_id"), col("n_paras"), col("n_removed"),
-        round(col("n_removed").cast("double") / col("n_paras"), 4)
-          .as("removed_frac"),
-        col("kept_fp"))
-      .orderBy("doc_id")
+        posexplode(paraWindows(col("t"), p)).as(Seq("para_idx", "para")))
+    if (!hashedKey) {
+      // the corpus-wide shuffle: first occurrence per paragraph in
+      // (doc_id, para_idx) order
+      val w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+      val marked = paras.withColumn("rn", row_number().over(w))
+      marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+          // reassembled doc = surviving paragraphs in original order;
+          // the md5 pins the TRANSFORM itself (collapseRepeats precedent)
+          md5(array_join(transform(
+            sort_array(collect_list(when(col("rn") === 1,
+              struct(col("para_idx"), col("para"))))),
+            s => s.getField("para")), " ").cast("binary")).as("kept_fp"))
+        .select(col("doc_id"), col("n_paras"), col("n_removed"),
+          round(col("n_removed").cast("double") / col("n_paras"), 4)
+            .as("removed_frac"),
+          col("kept_fp"))
+        .orderBy("doc_id")
+    } else {
+      // narrow lane: hash the paragraph, drop the text pre-shuffle
+      val keyed = paras.select(col("doc_id"), col("para_idx"),
+        struct(xxhash64(col("para")).as("h1"),
+          xxhash64(col("para"), lit(7)).as("h2")).as("pk"))
+      val w = Window.partitionBy("pk").orderBy("doc_id", "para_idx")
+      val kept = keyed.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+          sort_array(collect_list(when(col("rn") === 1, col("para_idx"))))
+            .as("kept_idx"))
+      // kept-lists are corpus-sized (one row/doc) — pin the co-hashed
+      // join; reassembly re-derives the windows map-side and picks the
+      // surviving indices (element_at over a STAGED array: computed
+      // once per row, indexed per kept paragraph)
+      toked.join(kept.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_paras"), col("n_removed"),
+          col("kept_idx"), paraWindows(col("t"), p).as("pa"))
+        .select(col("doc_id"), col("n_paras"), col("n_removed"),
+          round(col("n_removed").cast("double") / col("n_paras"), 4)
+            .as("removed_frac"),
+          md5(array_join(transform(col("kept_idx"),
+            i => element_at(col("pa"), i + 1)), " ").cast("binary"))
+            .as("kept_fp"))
+        .orderBy("doc_id")
+    }
   }
 
   /** Duplicated-substring REMOVAL with document rewrite — the full
@@ -552,6 +601,9 @@ object CorpusOps {
   private val dedupParagraphsQ: Q = (spark, dir) =>
     dedupParagraphs(Tables.load(spark, dir, "documents"))
 
+  private val dedupParagraphsHQ: Q = (spark, dir) =>
+    dedupParagraphs(Tables.load(spark, dir, "documents"), hashedKey = true)
+
   private val dedupSubstringQ: Q = (spark, dir) =>
     dedupSubstring(Tables.load(spark, dir, "documents"))
 
@@ -561,6 +613,7 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "e_dedup_spans" -> dedupSpansQ,
     "e_dedup_paragraph" -> dedupParagraphsQ,
+    "e_dedup_paragraph_h" -> dedupParagraphsHQ,
     "e_dedup_substring" -> dedupSubstringQ,
     "e_dedup_substring_h" -> dedupSubstringHQ,
     "e_bpe_pairs" -> bpePairsQ,
@@ -671,27 +724,11 @@ object CorpusOps {
     // (doc_id, para_idx) order, reassembly fingerprint over the
     // surviving paragraphs; list slicing clamps the last partial
     // window in both engines
-    "e_dedup_paragraph" ->
-      s"""WITH toked AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
-         |), paras AS (
-         |  SELECT doc_id, i AS para_idx,
-         |    array_to_string(l[(i*$ParaLen+1):(i*$ParaLen+$ParaLen)], ' ') AS para
-         |  FROM toked,
-         |    unnest(generate_series(0, CAST((len(l) - 1) // $ParaLen AS INT))) t(i)
-         |), marked AS (
-         |  SELECT doc_id, para_idx, para,
-         |    row_number() OVER (PARTITION BY para
-         |      ORDER BY doc_id, para_idx) AS rn
-         |  FROM paras
-         |)
-         |SELECT doc_id, count(*)::BIGINT AS n_paras,
-         |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
-         |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
-         |    AS removed_frac,
-         |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
-         |    ORDER BY para_idx), '')) AS kept_fp
-         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e_dedup_paragraph" -> paragraphOracle,
+    // hashed-window production twin: identical output on a
+    // collision-free corpus, same oracle verbatim
+    "e_dedup_paragraph_h" -> paragraphOracle,
+    
     // duplicated-substring removal replayed at character grain: the
     // same grams / cross-doc test / corpus-first rank, coverage
     // positions exploded per non-first occurrence, and the rewrite as
@@ -744,6 +781,34 @@ object CorpusOps {
          |FROM ordered WHERE cum <= $CharBudget
          |GROUP BY lang ORDER BY lang""".stripMargin,
   )
+
+  /** Paragraph windows, corpus-wide first-occurrence replay in
+    * (doc_id, para_idx) order, reassembly fingerprint over the
+    * surviving paragraphs; list slicing clamps the last partial
+    * window in both engines. Shared by the text lane and the
+    * hashed-window production twin.
+    */
+  private def paragraphOracle: String =
+    s"""WITH toked AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+         |), paras AS (
+         |  SELECT doc_id, i AS para_idx,
+         |    array_to_string(l[(i*$ParaLen+1):(i*$ParaLen+$ParaLen)], ' ') AS para
+         |  FROM toked,
+         |    unnest(generate_series(0, CAST((len(l) - 1) // $ParaLen AS INT))) t(i)
+         |), marked AS (
+         |  SELECT doc_id, para_idx, para,
+         |    row_number() OVER (PARTITION BY para
+         |      ORDER BY doc_id, para_idx) AS rn
+         |  FROM paras
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_paras,
+         |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         |    AS removed_frac,
+         |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+         |    ORDER BY para_idx), '')) AS kept_fp
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def substringOracle: String =
       s"""WITH g AS (

@@ -221,17 +221,25 @@ object RetrievalOps {
     java.nio.file.Paths.get(dir).resolve(s"_graft_bm25_$table.epoch.json")
   }
 
+  /** (lastBatch, statsVer, n, t, maxTf, maxDl, postingTables). The
+    * table list is stored EXPLICITLY (not derived from the version
+    * counter) so compaction — which collapses many tables into one —
+    * composes with the replay guard.
+    */
   private def readEpoch(p: java.nio.file.Path)
-      : Option[(Long, Int, Long, Long, Long, Long)] = {
+      : Option[(Long, Int, Long, Long, Long, Long, Seq[String])] = {
     if (!java.nio.file.Files.exists(p)) None
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
       def f(k: String) = (s""""$k"\\s*:\\s*(-?\\d+)""").r
         .findFirstMatchIn(txt).map(_.group(1).toLong)
+      val tbls = """"tables"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
       for (b <- f("lastBatch"); v <- f("ver"); n <- f("n"); t <- f("t");
-           mtf <- f("maxTf"); mdl <- f("maxDl"))
-        yield (b, v.toInt, n, t, mtf, mdl)
+           mtf <- f("maxTf"); mdl <- f("maxDl"); tb <- tbls)
+        yield (b, v.toInt, n, t, mtf, mdl, tb)
     }
   }
 
@@ -271,11 +279,9 @@ object RetrievalOps {
     val committed = readEpoch(marker)
     if (batchId >= 0 && committed.exists(batchId <= _._1)) {
       // replayed append: reconstruct the committed index, change nothing
-      val (_, ver, n, t, mtf, mdl) = committed.get
+      val (_, ver, n, t, mtf, mdl, tbls) = committed.get
       val base = idx.statsTable.substring(0, idx.statsTable.lastIndexOf("_v"))
-      return Bm25Index(idx.table,
-        idx.table +: (2 to ver).map(v => s"${idx.table}_b$v"),
-        s"${base}_v$ver", n, t, mtf, mdl)
+      return Bm25Index(idx.table, tbls, s"${base}_v$ver", n, t, mtf, mdl)
     }
     val (tf0, dl0) = tokStats(newDocs)
     val tf = tf0.persist(); val dl = dl0.persist()
@@ -305,10 +311,12 @@ object RetrievalOps {
         .groupBy("term").agg(sum("df").as("df"))
         .write.mode("overwrite").format("parquet").saveAsTable(nextStats)
       if (batchId >= 0) {
+        val tblsJson = (idx.postingTables :+ batchTable)
+          .map(t => s""""$t"""").mkString(",")
         val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
         java.nio.file.Files.write(tmp,
           (s"""{"lastBatch":$batchId,"ver":$ver,"n":$n,"t":$t,""" +
-            s""""maxTf":$maxTf,"maxDl":$maxDl}""")
+            s""""maxTf":$maxTf,"maxDl":$maxDl,"tables":[$tblsJson]}""")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.move(tmp, marker,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -320,6 +328,37 @@ object RetrievalOps {
       Bm25Index(idx.table, idx.postingTables :+ batchTable, nextStats,
         n, t, maxTf, maxDl)
     } finally { tf.unpersist(); dl.unpersist() }
+  }
+
+  /** COMPACTION — the maintenance op the versioned-append layout
+    * calls for: fold the base + every committed batch posting table
+    * into ONE fresh bucketed table, so probe plans stop unioning N
+    * scans and the whole index is again a single co-located bucket
+    * layout. One distributed rewrite of the postings, amortized over
+    * all the appends it absorbs; the df sidecar is untouched (it
+    * already IS the merged view) and the corpus constants carry over.
+    * The append epoch resets with the new table name — a later append
+    * starts a fresh batch sequence against the compacted base.
+    * Contract: run at a quiescent point (no concurrent appends); the
+    * absorbed tables are dropped AFTER the new base commits, so a
+    * probe through the RETURNED value is complete and a reader still
+    * pinned to the pre-compaction value must re-resolve first (the
+    * AtomicPublish retention-window discipline, window = 0 here).
+    */
+  def compactBm25Index(spark: SparkSession, idx: Bm25Index,
+      buckets: Int = 8): Bm25Index = {
+    if (idx.postingTables.size == 1) return idx
+    val ver = idx.statsTable.substring(
+      idx.statsTable.lastIndexOf("_v") + 2).toInt
+    val newBase = s"${idx.table}_c$ver"
+    graft.sources.Bucketing.saveBucketed(
+      idx.postingTables.map(spark.table).reduce(_ unionByName _),
+      newBase, "term", buckets)
+    // fresh epoch for the compacted prefix; absorbed tables drop last
+    java.nio.file.Files.deleteIfExists(epochMarker(spark, newBase))
+    idx.postingTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Bm25Index(newBase, Seq(newBase), idx.statsTable,
+      idx.nDocs, idx.totalTokens, idx.maxTf, idx.maxDl)
   }
 
   /** Top-k docs per query by BM25 over the persisted index. Probe-only:
@@ -421,6 +460,28 @@ object RetrievalOps {
         // batchId = 0: the gate exercises the exactly-once epoch path
         appendToBm25Index(base, docs.where(col("doc_id") % 10 === 0),
           batchId = 0L)
+      })
+    bm25TopKOver(spark, idx)
+  }
+
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Bm25Index]()
+
+  /** Gate row: build-without-tenth, append the tenth (epoch path),
+    * COMPACT, probe. A compacted index must be indistinguishable from
+    * a from-scratch full build — the oracle is the full-corpus replay
+    * VERBATIM (the e_bm25_incr contract extended through compaction).
+    */
+  private val bm25CompactQ: Q = (spark, dir) => {
+    val idx = compactCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val docs = Tables.load(spark, dir, "documents")
+        val base = buildBm25IndexFor(
+          docs.where(col("doc_id") % 10 =!= 0),
+          s"graft_bm25_cpt_${Integer.toHexString(dir.hashCode)}")
+        compactBm25Index(spark,
+          appendToBm25Index(base, docs.where(col("doc_id") % 10 === 0),
+            batchId = 0L))
       })
     bm25TopKOver(spark, idx)
   }
@@ -533,6 +594,7 @@ object RetrievalOps {
     "e_bm25_topk" -> bm25TopkQ,
     "e_bm25_multi" -> bm25MultiQ,
     "e_bm25_incr" -> bm25IncrQ,
+    "e_bm25_compact" -> bm25CompactQ,
     "e_hybrid_retrieval" -> hybridQ,
     "e_retrieval_eval" -> retrievalEvalQ,
   )
@@ -704,6 +766,8 @@ object RetrievalOps {
     // an appended index must equal a from-scratch build: the oracle is
     // the full-corpus replay, byte-identical SQL to e_bm25_topk
     "e_bm25_incr" -> bm25Oracle,
+    // ... and compaction must preserve that equality exactly
+    "e_bm25_compact" -> bm25Oracle,
     "e_hybrid_retrieval" -> hybridOracle,
     "e_retrieval_eval" -> retrievalEvalOracle,
   )

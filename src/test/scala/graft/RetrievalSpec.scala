@@ -173,6 +173,42 @@ class RetrievalSpec extends SparkSpec {
     assert(again.postingTables == Seq(pre, s"${pre}_b2"))
   }
 
+  test("compaction folds the batch tables into one base, preserves " +
+      "answers exactly, and appends keep working afterwards") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pre = s"graft_test_cpt_${System.nanoTime()}"
+    val base = RetrievalOps.buildBm25IndexFor(
+      docs.where(col("doc_id") % 3 === 0), pre)
+    val a1 = RetrievalOps.appendToBm25Index(base,
+      docs.where(col("doc_id") % 3 === 1), batchId = 0L)
+    val a2 = RetrievalOps.appendToBm25Index(a1,
+      docs.where(col("doc_id") % 3 === 2), batchId = 1L)
+    assert(a2.postingTables.size == 3)
+    val before = RetrievalOps.bm25TopKOver(spark, a2).collect().toSeq
+    val compacted = RetrievalOps.compactBm25Index(spark, a2)
+    assert(compacted.postingTables == Seq(compacted.table),
+      "compaction must leave exactly one posting table")
+    assert(compacted.statsTable == a2.statsTable,
+      "compaction must not touch the df sidecar")
+    assert(RetrievalOps.bm25TopKOver(spark, compacted).collect().toSeq
+      == before, "compaction changed the answers")
+    // absorbed tables are gone; the full-build equality still holds
+    a2.postingTables.foreach(t => assert(!spark.catalog.tableExists(t),
+      s"absorbed table $t survived compaction"))
+    assert(before == RetrievalOps.bm25TopK(spark, sf).collect().toSeq)
+    // the epoch reset: a fresh append against the compacted base works
+    // and starts a new batch table under the NEW name
+    val a3 = RetrievalOps.appendToBm25Index(compacted,
+      docs.where(col("doc_id") % 3 === 0), batchId = 0L)
+    assert(a3.postingTables.head == compacted.table &&
+      a3.postingTables.size == 2 &&
+      a3.postingTables(1).startsWith(compacted.table))
+    // ... and its replay reconstructs the committed table list
+    val a3replay = RetrievalOps.appendToBm25Index(compacted,
+      docs.where(col("doc_id") % 3 === 0), batchId = 0L)
+    assert(a3replay == a3)
+  }
+
   test("n-term scoring: the 2-term path is the n=2 case, and " +
       "multi-term queries rank by the folded total") {
     val idx = RetrievalOps.buildBm25Index(spark, sf)
