@@ -202,9 +202,13 @@ object DedupOps {
   // -- exactly-once streaming variant ---------------------------------
 
   /** Epoch marker of a versioned LSH index prefix: the last committed
-    * batch id and the committed batch list (`{"lastBatch":N,
-    * "batches":[..]}`), committed by atomic rename — the
-    * publishStreamBatch/appendToBm25Index commit-point discipline.
+    * batch id and the committed band/feature TABLE LISTS
+    * (`{"lastBatch":N,"tables_b":[..],"tables_f":[..]}`), committed
+    * by atomic rename — the publishStreamBatch/appendToBm25Index
+    * commit-point discipline. Tables are listed EXPLICITLY (not
+    * derived from batch ids) so [[compactLshIndex]] — which collapses
+    * many tables into one while PRESERVING lastBatch — composes with
+    * the replay guard: exactly-once must survive maintenance.
     */
   private def lshEpochMarker(spark: SparkSession,
       prefix: String): java.nio.file.Path = {
@@ -213,18 +217,35 @@ object DedupOps {
     java.nio.file.Paths.get(dir).resolve(s"_graft_lsh_$prefix.epoch.json")
   }
 
-  private def readLshEpoch(p: java.nio.file.Path): (Long, Seq[Long]) = {
-    if (!java.nio.file.Files.exists(p)) (-1L, Seq.empty)
+  final case class LshEpoch(lastBatch: Long, bandTables: Seq[String],
+      featTables: Seq[String])
+
+  private def readLshEpoch(p: java.nio.file.Path): LshEpoch = {
+    if (!java.nio.file.Files.exists(p)) LshEpoch(-1L, Seq.empty, Seq.empty)
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
       val last = """"lastBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong).getOrElse(-1L)
-      val batches = """"batches"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
-          .map(_.toLong).toSeq).getOrElse(Seq.empty)
-      (last, batches)
+      def tbls(k: String) =
+        (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+      LshEpoch(last, tbls("tables_b"), tbls("tables_f"))
     }
+  }
+
+  private def writeLshEpoch(p: java.nio.file.Path, e: LshEpoch): Unit = {
+    def arr(ts: Seq[String]) = ts.map(t => s""""$t"""").mkString(",")
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (s"""{"lastBatch":${e.lastBatch},"tables_b":[${arr(e.bandTables)}],""" +
+        s""""tables_f":[${arr(e.featTables)}]}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** EXACTLY-ONCE per-batch near-dup dedup against a VERSIONED
@@ -258,13 +279,13 @@ object DedupOps {
       buckets: Int = 8): DataFrame = {
     val spark = batch.sparkSession
     val marker = lshEpochMarker(spark, prefix)
-    val (lastBatch, committed) = readLshEpoch(marker)
+    val epoch = readLshEpoch(marker)
     def unionTbls(tbls: Seq[String]): DataFrame =
       tbls.map(spark.table).reduce(_ unionByName _)
-    if (batchId <= lastBatch) {
+    if (batchId <= epoch.lastBatch) {
       // replayed batch: recover the committed survivor set, touch nothing
       return batch.join(
-        unionTbls(committed.map(b => s"${prefix}_f$b")).select("doc_id"),
+        unionTbls(epoch.featTables).select("doc_id"),
         Seq("doc_id"), "left_semi")
     }
     val f = batch.select(col("doc_id"),
@@ -275,9 +296,9 @@ object DedupOps {
       val withinDups = verifiedPairs(f, bandPairs(b, "doc_id"), threshold)
         .select(col("id_b").as("doc_id"))
       val idxDups =
-        if (committed.nonEmpty) {
-          val idxBands = unionTbls(committed.map(bi => s"${prefix}_b$bi"))
-          val idxFeats = unionTbls(committed.map(bi => s"${prefix}_f$bi"))
+        if (epoch.featTables.nonEmpty) {
+          val idxBands = unionTbls(epoch.bandTables)
+          val idxFeats = unionTbls(epoch.featTables)
           b.select(col("doc_id"), explode(col("bands")).as("bk"))
             .select(col("doc_id"), col("bk.band").as("band"),
               col("bk.key").as("key"))
@@ -303,16 +324,44 @@ object DedupOps {
         s"${prefix}_b$batchId", "key", buckets)
       graft.sources.Bucketing.saveBucketed(
         f.join(survIds, "doc_id"), s"${prefix}_f$batchId", "doc_id", buckets)
-      val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp,
-        (s"""{"lastBatch":$batchId,""" +
-          s""""batches":[${(committed :+ batchId).mkString(",")}]}""")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, marker,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writeLshEpoch(marker, LshEpoch(batchId,
+        epoch.bandTables :+ s"${prefix}_b$batchId",
+        epoch.featTables :+ s"${prefix}_f$batchId"))
       survivors
     } finally f.unpersist()
+  }
+
+  /** COMPACTION of a versioned LSH index — the maintenance op a
+    * long-lived daily ingest runs: fold the committed per-batch
+    * band/feature tables into ONE bucketed pair (one rewrite of the
+    * index, amortized over the batches it absorbs), PRESERVING the
+    * epoch's lastBatch — exactly-once must survive maintenance, so a
+    * stream restart that replays a pre-compaction batch still hits
+    * the replay guard and recovers its survivors from the compacted
+    * feature table (identical content, fewer files). Contract: run at
+    * a quiescent point (between micro-batches — e.g. from a
+    * foreachBatch hook every N batches); absorbed tables drop after
+    * the marker commits. Returns the number of tables absorbed.
+    */
+  def compactLshIndex(spark: SparkSession, prefix: String,
+      buckets: Int = 8): Int = {
+    val marker = lshEpochMarker(spark, prefix)
+    val epoch = readLshEpoch(marker)
+    if (epoch.featTables.size <= 1) return 0
+    val bc = s"${prefix}_bc${epoch.lastBatch}"
+    val fc = s"${prefix}_fc${epoch.lastBatch}"
+    graft.sources.Bucketing.saveBucketed(
+      epoch.bandTables.map(spark.table).reduce(_ unionByName _),
+      bc, "key", buckets)
+    graft.sources.Bucketing.saveBucketed(
+      epoch.featTables.map(spark.table).reduce(_ unionByName _),
+      fc, "doc_id", buckets)
+    val absorbed = epoch.bandTables ++ epoch.featTables
+    // the marker rename is the commit point: readers resolve either
+    // the old table list or the new one, never a mix
+    writeLshEpoch(marker, LshEpoch(epoch.lastBatch, Seq(bc), Seq(fc)))
+    absorbed.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    absorbed.size
   }
 
   // Driver-side two-day replay ⇒ constructing the frame runs Spark

@@ -74,6 +74,38 @@ class IngestDedupSpec extends SparkSpec {
       ids(SparkEntry.queries("e_dedup_incr_minhash")(spark, sf)))
   }
 
+  test("index compaction mid-stream preserves exactly-once: replays " +
+      "of pre-compaction batches recover, new batches dedup against " +
+      "the compacted index") {
+    val docs = Tables.load(spark, sf, "documents")
+    val day1 = docs.where(col("doc_id") % 2 === 0)
+    val day2 = docs.where(col("doc_id") % 2 === 1)
+    val prefix = s"ingest_cpt_${System.nanoTime()}"
+    val s1 = DedupOps.minhashDedupBatchVersioned(day1, prefix, 0L)
+    val s2 = DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L)
+    val survivors = ids(s1) ++ ids(s2)
+    // quiescent-point maintenance: 2 band + 2 feat tables fold to one pair
+    assert(DedupOps.compactLshIndex(spark, prefix) == 4)
+    assert(!spark.catalog.tableExists(s"${prefix}_b0") &&
+      !spark.catalog.tableExists(s"${prefix}_f1"),
+      "absorbed batch tables survived compaction")
+    // a stream restart replaying batch 1 AFTER compaction must still
+    // hit the replay guard and recover from the compacted feats
+    val s2r = DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L)
+    assert(ids(s2r) == ids(s2),
+      "post-compaction replay diverged from the committed survivors")
+    // idempotent: compacting an already-compacted index is a no-op
+    assert(DedupOps.compactLshIndex(spark, prefix) == 0)
+    // a NEW batch re-sending the whole corpus dedups against the
+    // compacted index: every doc matches an indexed survivor (or its
+    // own copy) and is dropped in full
+    val s3 = DedupOps.minhashDedupBatchVersioned(docs, prefix, 2L)
+    assert(ids(s3).isEmpty,
+      s"re-sent corpus not fully dropped post-compaction: ${ids(s3).size}")
+    assert(survivors ==
+      ids(SparkEntry.queries("e_dedup_incr_minhash")(spark, sf)))
+  }
+
   test("a torn attempt (crash BEFORE the epoch commit) leaves debris " +
       "the retry overwrites — the answer is unaffected") {
     val docs = Tables.load(spark, sf, "documents")
