@@ -97,13 +97,21 @@ object CdcOps {
     */
   def diffByKey(before: DataFrame, after: DataFrame,
       keyCol: String, valCol: String): DataFrame = {
-    val a = before.select(col(keyCol).as("key"), col(valCol).as("val_a"))
-    val b = after.select(col(keyCol).as("key"), col(valCol).as("val_b"))
+    // Row presence is carried by an explicit lit(true) flag per side —
+    // NOT inferred from value nullability, which would misclassify any
+    // nullable value column (key present on both sides with a NULL
+    // `before` value is "changed"/"unchanged", never "added").
+    val a = before.select(col(keyCol).as("key"), col(valCol).as("val_a"),
+      lit(true).as("in_a"))
+    val b = after.select(col(keyCol).as("key"), col(valCol).as("val_b"),
+      lit(true).as("in_b"))
     a.join(b, Seq("key"), "full_outer")
       .select(col("key"),
-        when(col("val_a").isNull, "added")
-          .when(col("val_b").isNull, "removed")
-          .when(col("val_a") =!= col("val_b"), "changed")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          // null-safe compare: NULL vs non-NULL is a real change,
+          // NULL vs NULL is not — =!= would send both to "unchanged"
+          .when(!(col("val_a") <=> col("val_b")), "changed")
           .otherwise("unchanged").as("diff_kind"))
       .groupBy("diff_kind")
       .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("key_fp"))

@@ -236,6 +236,35 @@ object DedupOps {
     }
   }
 
+  // Per-prefix in-process monitor + OS file lock (the
+  // publishStreamBatch writer-lock protocol): the epoch marker update
+  // is a read-modify-write, and two writers sharing a prefix could
+  // each read the same table lists and silently drop the other's
+  // committed batch tables from the marker. java.nio file locks are
+  // per-JVM (same-process contention throws
+  // OverlappingFileLockException instead of blocking), so same-JVM
+  // writers serialize on the monitor and cross-JVM writers on the
+  // file lock. Held across the whole dedup+append+commit so the
+  // second writer's epoch read sees the first's committed state.
+  private val lshPrefixMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withLshLock[T](marker: java.nio.file.Path)(body: => T): T = {
+    val monitor = lshPrefixMonitors.computeIfAbsent(
+      marker.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val lockPath = marker.resolveSibling(
+        marker.getFileName.toString + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until the competing commit finishes
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   private def writeLshEpoch(p: java.nio.file.Path, e: LshEpoch): Unit = {
     def arr(ts: Seq[String]) = ts.map(t => s""""$t"""").mkString(",")
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
@@ -255,8 +284,14 @@ object DedupOps {
     *  1. REPLAY GUARD: a batchId at or below the committed epoch means
     *     this batch's dedup+append fully committed before. Survivors
     *     are RECOVERED, not recomputed: only survivors were ever
-    *     appended, so batch ⋉ committed-feats IS the survivor set
-    *     (one semi-join, no index mutation).
+    *     appended and every feat row carries the batch_id that
+    *     appended it, so batch ⋉ feats[batch_id = this batch] IS the
+    *     survivor set (one semi-join, no index mutation). Filtering to
+    *     THIS batch's rows — not the union of all committed feats —
+    *     keeps the guard correct when doc_ids repeat across batches
+    *     (re-crawled docs under an at-least-once upstream): a doc this
+    *     batch dropped but an earlier batch indexed must NOT be
+    *     republished.
     *  2. within-batch + cross-index dedup, exactly the
     *     [[minhashIncrementalDedup]] protocol (same features, banding,
     *     bucket cap, threshold), against the UNION of committed batch
@@ -279,13 +314,21 @@ object DedupOps {
       buckets: Int = 8): DataFrame = {
     val spark = batch.sparkSession
     val marker = lshEpochMarker(spark, prefix)
+    withLshLock(marker) {
     val epoch = readLshEpoch(marker)
     def unionTbls(tbls: Seq[String]): DataFrame =
       tbls.map(spark.table).reduce(_ unionByName _)
     if (batchId <= epoch.lastBatch) {
-      // replayed batch: recover the committed survivor set, touch nothing
+      // Replayed batch: recover the committed survivor set, touch
+      // nothing. Recovery filters the feature tables to THIS batch's
+      // own rows (every feat row carries the batch_id that appended
+      // it, preserved through compaction) — a semi-join against ALL
+      // committed feats would falsely republish a doc_id this batch
+      // dropped but an EARLIER batch indexed (re-crawled doc under an
+      // at-least-once upstream), breaking "publishes no duplicate".
       return batch.join(
-        unionTbls(epoch.featTables).select("doc_id"),
+        unionTbls(epoch.featTables)
+          .where(col("batch_id") === batchId).select("doc_id"),
         Seq("doc_id"), "left_semi")
     }
     val f = batch.select(col("doc_id"),
@@ -323,12 +366,14 @@ object DedupOps {
             col("doc_id")),
         s"${prefix}_b$batchId", "key", buckets)
       graft.sources.Bucketing.saveBucketed(
-        f.join(survIds, "doc_id"), s"${prefix}_f$batchId", "doc_id", buckets)
+        f.join(survIds, "doc_id").withColumn("batch_id", lit(batchId)),
+        s"${prefix}_f$batchId", "doc_id", buckets)
       writeLshEpoch(marker, LshEpoch(batchId,
         epoch.bandTables :+ s"${prefix}_b$batchId",
         epoch.featTables :+ s"${prefix}_f$batchId"))
       survivors
     } finally f.unpersist()
+    }
   }
 
   /** COMPACTION of a versioned LSH index — the maintenance op a
@@ -337,8 +382,9 @@ object DedupOps {
     * index, amortized over the batches it absorbs), PRESERVING the
     * epoch's lastBatch — exactly-once must survive maintenance, so a
     * stream restart that replays a pre-compaction batch still hits
-    * the replay guard and recovers its survivors from the compacted
-    * feature table (identical content, fewer files). Contract: run at
+    * the replay guard and recovers its OWN survivors from the
+    * compacted feature table (per-row batch_id provenance survives
+    * the fold — identical content, fewer files). Contract: run at
     * a quiescent point (between micro-batches — e.g. from a
     * foreachBatch hook every N batches); absorbed tables drop after
     * the marker commits. Returns the number of tables absorbed.
@@ -346,6 +392,7 @@ object DedupOps {
   def compactLshIndex(spark: SparkSession, prefix: String,
       buckets: Int = 8): Int = {
     val marker = lshEpochMarker(spark, prefix)
+    withLshLock(marker) {
     val epoch = readLshEpoch(marker)
     if (epoch.featTables.size <= 1) return 0
     val bc = s"${prefix}_bc${epoch.lastBatch}"
@@ -362,6 +409,7 @@ object DedupOps {
     writeLshEpoch(marker, LshEpoch(epoch.lastBatch, Seq(bc), Seq(fc)))
     absorbed.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     absorbed.size
+    }
   }
 
   // Driver-side two-day replay ⇒ constructing the frame runs Spark

@@ -243,6 +243,21 @@ object RetrievalOps {
     }
   }
 
+  /** Commit an epoch marker atomically (tmp write + rename). */
+  private def writeEpoch(marker: java.nio.file.Path, lastBatch: Long,
+      ver: Int, n: Long, t: Long, maxTf: Long, maxDl: Long,
+      tables: Seq[String]): Unit = {
+    val tblsJson = tables.map(t => s""""$t"""").mkString(",")
+    val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (s"""{"lastBatch":$lastBatch,"ver":$ver,"n":$n,"t":$t,""" +
+        s""""maxTf":$maxTf,"maxDl":$maxDl,"tables":[$tblsJson]}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** EXACTLY-ONCE failure/visibility contract (the publishStreamBatch
     * protocol applied to index maintenance), in write order:
     *  1. REPLAY GUARD: a `batchId` at or below the committed epoch's
@@ -311,16 +326,8 @@ object RetrievalOps {
         .groupBy("term").agg(sum("df").as("df"))
         .write.mode("overwrite").format("parquet").saveAsTable(nextStats)
       if (batchId >= 0) {
-        val tblsJson = (idx.postingTables :+ batchTable)
-          .map(t => s""""$t"""").mkString(",")
-        val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
-        java.nio.file.Files.write(tmp,
-          (s"""{"lastBatch":$batchId,"ver":$ver,"n":$n,"t":$t,""" +
-            s""""maxTf":$maxTf,"maxDl":$maxDl,"tables":[$tblsJson]}""")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, marker,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        writeEpoch(marker, batchId, ver, n, t, maxTf, maxDl,
+          idx.postingTables :+ batchTable)
       }
       // floor-tracked GC: exactly the one version leaving the window
       val expired = ver - SidecarRetain
@@ -354,6 +361,17 @@ object RetrievalOps {
     graft.sources.Bucketing.saveBucketed(
       idx.postingTables.map(spark.table).reduce(_ unionByName _),
       newBase, "term", buckets)
+    // exactly-once must survive maintenance: the OLD prefix's epoch
+    // marker still gates replayed appends (batchId <= lastBatch — the
+    // crash-retry case), and its reconstruction path names the table
+    // list verbatim. Rewrite it to name the compacted table, lastBatch
+    // and corpus constants preserved, BEFORE the absorbed tables drop —
+    // a replayed append after compaction then reconstructs a
+    // Bm25Index over tables that exist (the compactLshIndex protocol).
+    val oldMarker = epochMarker(spark, idx.table)
+    readEpoch(oldMarker).foreach { case (b, v, n, t, mtf, mdl, _) =>
+      writeEpoch(oldMarker, b, v, n, t, mtf, mdl, Seq(newBase))
+    }
     // fresh epoch for the compacted prefix; absorbed tables drop last
     java.nio.file.Files.deleteIfExists(epochMarker(spark, newBase))
     idx.postingTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

@@ -50,6 +50,27 @@ class CdcOpsSpec extends SparkSpec {
       ("unchanged", 3L, 13L + 14L + 19L)))
   }
 
+  test("diffByKey classifies nullable value columns by row presence, " +
+      "not value nullability") {
+    val before = Seq[(Long, Option[Double])](
+      (1L, None),          // NULL -> 9.0  : changed (not "added")
+      (2L, Some(2.0)),     // 2.0  -> NULL : changed (not "removed")
+      (3L, None),          // NULL -> NULL : unchanged (null-safe eq)
+      (4L, Some(4.0)))     // row absent after: removed
+      .toDF("k", "v")
+    val after = Seq[(Long, Option[Double])](
+      (1L, Some(9.0)), (2L, None), (3L, None),
+      (5L, None))          // new row with NULL value: added
+      .toDF("k", "v")
+    val r = CdcOps.diffByKey(before, after, "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(r === List(
+      ("added", 1L, 5L),
+      ("changed", 2L, 3L),
+      ("removed", 1L, 4L),
+      ("unchanged", 1L, 3L)))
+  }
+
   test("diff of a snapshot with itself is all-unchanged") {
     val r = CdcOps.snapshotDiff(snapshot, snapshot).collect()
     assert(r.length === 1)

@@ -106,6 +106,35 @@ class IngestDedupSpec extends SparkSpec {
       ids(SparkEntry.queries("e_dedup_incr_minhash")(spark, sf)))
   }
 
+  test("replay recovery is per-batch: a re-crawled doc indexed by an " +
+      "earlier batch is not falsely republished, before or after " +
+      "compaction") {
+    val docs = Tables.load(spark, sf, "documents")
+    val day1 = docs.where(col("doc_id") % 2 === 0)
+    // day 2 re-crawls a slice of day 1 alongside the odd half — the
+    // at-least-once-upstream case where doc_ids repeat across batches
+    val recrawl = docs.where(col("doc_id") % 10 === 0)
+    val day2 = docs.where(col("doc_id") % 2 === 1).unionByName(recrawl)
+    val prefix = s"ingest_recrawl_${System.nanoTime()}"
+    DedupOps.minhashDedupBatchVersioned(day1, prefix, 0L)
+    val live = ids(DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L))
+    assert(live.forall(_ % 2 == 1),
+      "a re-crawled even doc survived batch 1's live dedup")
+    // restart replays batch 1: recovery must return EXACTLY batch 1's
+    // own survivor set — recovering against the union of ALL committed
+    // feats would resurrect the re-crawled docs (they sit in batch 0's
+    // feature table) and publish duplicates downstream
+    val recovered = ids(DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L))
+    assert(recovered == live,
+      "replay republished docs this batch dropped")
+    // and the per-batch provenance survives compaction
+    assert(DedupOps.compactLshIndex(spark, prefix) == 4)
+    val recovered2 =
+      ids(DedupOps.minhashDedupBatchVersioned(day2, prefix, 1L))
+    assert(recovered2 == live,
+      "compaction lost the per-batch survivor provenance")
+  }
+
   test("a torn attempt (crash BEFORE the epoch commit) leaves debris " +
       "the retry overwrites — the answer is unaffected") {
     val docs = Tables.load(spark, sf, "documents")

@@ -209,6 +209,30 @@ class RetrievalSpec extends SparkSpec {
     assert(a3replay == a3)
   }
 
+  test("a pre-compaction append replay arriving AFTER compaction " +
+      "reconstructs a probe-able index — the old marker follows the " +
+      "compacted table") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pre = s"graft_test_cptrpl_${System.nanoTime()}"
+    val base = RetrievalOps.buildBm25IndexFor(
+      docs.where(col("doc_id") % 3 === 0), pre)
+    val a1 = RetrievalOps.appendToBm25Index(base,
+      docs.where(col("doc_id") % 3 === 1), batchId = 0L)
+    val a2 = RetrievalOps.appendToBm25Index(a1,
+      docs.where(col("doc_id") % 3 === 2), batchId = 1L)
+    val before = RetrievalOps.bm25TopKOver(spark, a2).collect().toSeq
+    val compacted = RetrievalOps.compactBm25Index(spark, a2)
+    // the exact crash-retry case the guard exists for: the caller's
+    // stale base value + the committed batchId, arriving after the
+    // maintenance window dropped the per-batch tables
+    val replayed = RetrievalOps.appendToBm25Index(a1,
+      docs.where(col("doc_id") % 3 === 2), batchId = 1L)
+    assert(replayed.postingTables == Seq(compacted.table),
+      "replay must reconstruct over the compacted posting table")
+    assert(RetrievalOps.bm25TopKOver(spark, replayed).collect().toSeq
+      == before, "post-compaction replay probe diverged")
+  }
+
   test("n-term scoring: the 2-term path is the n=2 case, and " +
       "multi-term queries rank by the folded total") {
     val idx = RetrievalOps.buildBm25Index(spark, sf)
