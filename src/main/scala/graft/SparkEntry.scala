@@ -40,14 +40,17 @@ object SparkEntry {
     * Counts verified scale-stable (identical at sf0.001/0.01/0.1 —
     * broadcasts are explicit hints, not stats decisions).
     */
-  private val planAuditTargets = Seq("e_ann_filtered", "e_ann_ivf_persisted",
+  private val planAuditTargets = Seq("e_ann_bulk", "e_ann_filtered",
+    "e_ann_ivf_persisted",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
     "e_dedup_exact", "e_dedup_paragraph", "e_dedup_paragraph_h",
     "e_dedup_spans", "e_dedup_substring", "e_dedup_substring_h",
+    "e_fuzzy_join", "e_heavy_hitters", "e_jaccard_join",
     "e_join_broadcast", "e_merge_upsert",
     "e_multimodal_dedup",
     "e_partition_prune", "e_pii_redact", "e_tfidf",
-    "e_topk", "e_tpch_q3", "e_triangles", "e_window_running",
+    "e_topk", "e_tpch_q18", "e_tpch_q21", "e_tpch_q3", "e_triangles",
+    "e_window_running",
     "r_jdbc_two_backends", "r_soql_proj")
 
   // The audit compiles every pinned plan (a driver-side analysis
@@ -101,6 +104,7 @@ object SparkEntry {
     // counts per audited query, pinned as a VALUES literal.
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
+        |  ('e_ann_bulk', 2, 1, 0, 2, 1),
         |  ('e_ann_filtered', 0, 0, 0, 1, 1),
         |  ('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
         |  ('e_bm25_topk', 3, 2, 0, 2, 0),
@@ -112,6 +116,9 @@ object SparkEntry {
         |  ('e_dedup_spans', 3, 1, 3, 2, 0),
         |  ('e_dedup_substring', 4, 0, 4, 2, 0),
         |  ('e_dedup_substring_h', 4, 0, 4, 2, 0),
+        |  ('e_fuzzy_join', 3, 3, 0, 5, 0),
+        |  ('e_heavy_hitters', 2, 1, 0, 2, 0),
+        |  ('e_jaccard_join', 5, 3, 6, 0, 0),
         |  ('e_join_broadcast', 1, 1, 0, 2, 0),
         |  ('e_merge_upsert', 1, 1, 0, 3, 0),
         |  ('e_multimodal_dedup', 5, 2, 0, 0, 0),
@@ -119,6 +126,8 @@ object SparkEntry {
         |  ('e_pii_redact', 1, 0, 0, 1, 0),
         |  ('e_tfidf', 5, 1, 1, 2, 0),
         |  ('e_topk', 0, 0, 0, 1, 0),
+        |  ('e_tpch_q18', 1, 1, 0, 2, 0),
+        |  ('e_tpch_q21', 2, 4, 0, 5, 0),
         |  ('e_tpch_q3', 1, 2, 0, 3, 0),
         |  ('e_triangles', 8, 2, 0, 0, 0),
         |  ('e_window_running', 2, 0, 1, 1, 0),
@@ -133,6 +142,7 @@ object SparkEntry {
         |  ('e_agg_distinct', 2, 'l_returnflag:string,n_parts:bigint'),
         |  ('e_agg_group', 7, 'l_returnflag:string,l_linestatus:string,sum_qty:double,sum_base_price:double,sum_disc_price:double,avg_qty:double,cnt:bigint'),
         |  ('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
+        |  ('e_ann_bulk', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
         |  ('e_ann_filtered', 3, 'vec_id:bigint,label:int,cos_sim:double'),
         |  ('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |  ('e_ann_ivf_persisted', 2, 'vec_id:bigint,cos_sim:double'),

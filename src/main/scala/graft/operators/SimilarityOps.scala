@@ -174,6 +174,63 @@ object SimilarityOps {
   private[graft] def assignCell(centroids: Seq[(Int, Seq[Double])]): Column =
     if (centroids.size <= 32) cellExpr(centroids) else cellUdf(centroids)
 
+  /** nprobe-NEAREST cells per ROW — the bulk twin of [[probeIvf]]'s
+    * driver-side centroid ranking, as a map-side column: same cosine
+    * arithmetic (left-fold dot and norms over the double-cast
+    * elements), same tie-break (similarity DESC, cell id ASC — the
+    * driver path's stable sortBy, and the oracle's ORDER BY ... DESC,
+    * cell ASC). Expression form sorts struct(0.0 - sim, cell) with
+    * array_sort (lexicographic ascending = sim descending, id
+    * ascending; 0.0 - sim instead of unary minus keeps a zero
+    * similarity at +0.0 on both engines) and slices the first nprobe;
+    * above the [[assignCell]] centroid-count threshold the
+    * broadcast-matrix UDF takes over (same codegen-blowup reason as
+    * [[cellUdf]]).
+    */
+  private[graft] def probeCellsExpr(centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int, v: Column): Column =
+    slice(transform(array_sort(array(centroids.sortBy(_._1).map {
+      case (i, c) =>
+        struct((lit(0.0) - VectorOps.cosineConst(v, c)).as("ns"),
+          lit(i).as("cid"))
+    }: _*)), x => x.getField("cid")), 1, nprobe)
+
+  private[graft] def probeCellsUdf(centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int, vcol: Column): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val mat = sorted.map(_._2.toArray).toArray
+    val norms = mat.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      math.sqrt(s)
+    }
+    val f = udf { (emb: Seq[Float]) =>
+      val e = new Array[Double](emb.length)
+      var na = 0.0
+      var i = 0
+      while (i < e.length) {
+        e(i) = emb(i).toDouble; na += e(i) * e(i); i += 1
+      }
+      val an = math.sqrt(na)
+      val scored = Array.tabulate(mat.length) { cI =>
+        val c = mat(cI)
+        var d = 0.0; var j = 0
+        while (j < c.length) { d += e(j) * c(j); j += 1 }
+        val n = an * norms(cI)
+        ((if (n == 0.0) 0.0 else d / n), ids(cI))
+      }
+      scored.sortBy { case (s, id) => (0.0 - s, id) }
+        .take(nprobe).map(_._2)
+    }
+    f(vcol)
+  }
+
+  private[graft] def probeCells(centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int, v: Column): Column =
+    if (centroids.size <= 32) probeCellsExpr(centroids, nprobe, v)
+    else probeCellsUdf(centroids, nprobe, v)
+
   /** Deterministic k-means (Lloyd) for the IVF coarse quantizer:
     * seeded with the first k vectors, `iters` assignment/mean rounds.
     * Each round is one Spark aggregation (posexplode → per-(cell,dim)
@@ -411,6 +468,69 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BULK join-form ANN probe: top-k neighbors for EVERY row of a
+    * query DataFrame against an IVF index in ONE distributed plan —
+    * the many-query twin of [[probeIvf]], which takes a single
+    * driver-side vector. A training-data pipeline probes millions of
+    * queries; routing them through the driver one probeIvf call at a
+    * time is a non-starter. `queries` schema: (q_id BIGINT, q_vec
+    * ARRAY<FLOAT>).
+    *
+    * Shape (the production IVF batch-search plan):
+    *  1. centroids ride to executors inside the ranking expression /
+    *     UDF closure (broadcast once, never shuffled);
+    *  2. each query maps to its nprobe nearest cells map-side (same
+    *     arithmetic + tie-break as probeIvf's driver ranking —
+    *     [[probeCells]]) and explodes to (q_id, q_vec, cell);
+    *  3. the UNION of probed cells — at most nlist ints, a bounded
+    *     collect — statically prunes the index scan, so on the
+    *     persisted layout only touched cell directories are read
+    *     (PartitionFilters, spec-pinned) no matter the corpus size;
+    *  4. queries×cells join the pruned index on cell. Default
+    *     `broadcastQueries`: probe batches are bounded (an eval set,
+    *     a dedup candidate batch), so the corpus never moves — scores
+    *     and per-query top-k heaps fold map-side and only ≤k rows per
+    *     query cross the one shuffle ([[graft.functions.TopK]]
+    *     partial aggregation). For query sets beyond broadcast size
+    *     flip it: both sides exchange on cell (shuffle-hash, no
+    *     nested loop, never all-pairs).
+    * Each corpus vector lives in exactly one cell, so the join emits
+    * each (query, member) pair at most once — no dedup pass needed.
+    * A query's own row (vec_id = q_id) is excluded, matching
+    * probeIvf's excludeId contract.
+    */
+  def probeIvfMany(index: IvfIndex, queries: DataFrame, nprobe: Int = 4,
+      k: Int = 10, broadcastQueries: Boolean = true): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopK}
+    val qc = queries.select(col("q_id"), col("q_vec"),
+      VectorOps.l2Norm(col("q_vec")).as("q_norm"),
+      explode(probeCells(index.centroids, nprobe, col("q_vec")))
+        .as("cell"))
+    val touched = qc.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val corpus = index.assigned
+      .where(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("a_norm"))
+    val qSide = if (broadcastQueries) broadcast(qc)
+                else qc.hint("shuffle_hash")
+    val norm = col("a_norm") * col("q_norm")
+    val cos = when(norm === 0.0, lit(0.0))
+      .otherwise(VectorOps.dot(col("embedding"), col("q_vec")) / norm)
+    corpus.join(qSide, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cos, 6).as("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, sim) => Scored(sim, id) }
+      .agg(TopK.aggregator(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, s.id, s.score, i + 1) } }
+      .toDF("q_id", "vec_id", "cos_sim", "nn_rank")
+  }
+
   /** IVF ANN as registered: probe-only against the cached index
     * (nlist=16, nprobe=4). First invocation builds the index; every
     * later one reuses it.
@@ -462,6 +582,18 @@ object SimilarityOps {
     probeIvfFiltered(loadIvfIndex(spark, persistedIndexPath(spark, dir)),
       vectorOf(spark, dir, 0L), col("label") % 2 === 0,
       nprobe = 4, k = 10, excludeId = 0L)
+
+  /** Gate form of the bulk probe: the first 8 embeddings as the query
+    * batch, top-5 each against the PERSISTED index — every query's
+    * cells ranked map-side, one pruned scan, one bounded top-k shuffle.
+    */
+  private val annBulk: Q = (spark, dir) =>
+    probeIvfMany(
+      loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < 8L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      nprobe = 4, k = 5)
+      .orderBy("q_id", "nn_rank")
 
   /** Symmetric int8 quantization of each embedding — the compression
     * step an ANN store applies before indexing (4× smaller than
@@ -943,6 +1075,7 @@ object SimilarityOps {
     "e_ann_ivf" -> annIvf,
     "e_ann_ivf_persisted" -> annIvfPersisted,
     "e_ann_filtered" -> annFiltered,
+    "e_ann_bulk" -> annBulk,
     "e_ann_pq" -> annPq,
     "e_ann_ivfpq" -> annIvfPq,
     "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
@@ -990,6 +1123,10 @@ object SimilarityOps {
     // identical oracle: persistence must not change the answer
     "e_ann_ivf_persisted" -> ivfOracle(),
     "e_ann_filtered" -> ivfFilteredOracle(),
+    // bulk probe: the single-query replay per-query-windowed — cell
+    // ranking (DESC, cell ASC) and member ranking (cos DESC, vec_id)
+    // replay probeCells and the TopK aggregator ordering exactly
+    "e_ann_bulk" -> ivfBulkOracle(),
     // SemDeDup: quantizer-assignment replay (same CTE machinery the
     // IVF oracle proves) at the shared nlist=16 index, then the two
     // unrolled capped-split levels ([[splitOversized]]: oversized
@@ -1286,6 +1423,42 @@ object SimilarityOps {
        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
        |  AND e.label % 2 = 0
        |ORDER BY cos_sim DESC, a.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Multi-query generalization of [[ivfOracle]]: the same proven
+    * quantizer-replay prefix, then per-query probe-cell ranking and
+    * per-query member top-k as window functions — replaying
+    * [[probeIvfMany]] decision for decision (q_id < nQueries is the
+    * gate's query batch; each query's own vec_id is excluded).
+    */
+  private def ivfBulkOracle(nlist: Int = 16, iters: Int = 2,
+      nprobe: Int = 4, k: Int = 5, dim: Int = 64,
+      nQueries: Int = 8): String = {
+    s"""WITH ${assignmentPrefix(nlist, iters, dim)},
+       |qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < $nQueries
+       |), probe AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cell ASC) AS crn
+       |    FROM c$iters c CROSS JOIN qs q
+       |  ) rc WHERE crn <= $nprobe
+       |), cand AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN afinal a USING (cell)
+       |  JOIN qs q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id
+       |)
+       |SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS nn_rank FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM cand
+       |) r WHERE rn <= $k
+       |ORDER BY q_id, nn_rank""".stripMargin
   }
 
   private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,

@@ -71,6 +71,69 @@ class SimilaritySpec extends SparkSpec {
       s"query side must broadcast in:\n$plan")
   }
 
+  test("bulk probe equals the single-vector probe for every query, " +
+      "over a pruned scan with the query batch broadcast") {
+    import org.apache.spark.sql.functions.col
+    val built = SimilarityOps.buildIvfIndex(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_bulk").toString
+    SimilarityOps.saveIvfIndex(built, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    val qs = Tables.load(spark, sf, "embeddings")
+      .where(col("vec_id") < 8L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val bulk = SimilarityOps.probeIvfMany(loaded, qs, nprobe = 4, k = 5)
+    val byQuery = bulk.orderBy("q_id", "nn_rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.groupBy(_._1)
+    assert(byQuery.keySet == (0L until 8L).toSet, "one group per query")
+    // semantics: each query's rows ARE probeIvf's answer for that query
+    for (q <- 0L until 8L) {
+      val single = SimilarityOps.probeIvf(loaded,
+          SimilarityOps.vectorOf(spark, sf, q), nprobe = 4, k = 5,
+          excludeId = q)
+        .as[(Long, Double)].collect().toSeq
+      assert(byQuery(q).sortBy(_._4).map(r => (r._2, r._3)) == single,
+        s"bulk result for query $q diverged from the single-vector probe")
+    }
+    // scale shape: the index scan is cell-partition-pruned to the
+    // UNION of probed cells, the bounded query batch broadcasts (the
+    // corpus never moves), and nothing degenerates to a nested loop
+    val audit = graft.engine.PlanAudit.audit(bulk)
+    assert(audit.partitionPrunedScans >= 1,
+      s"bulk probe must prune cell partitions: ${audit.render}")
+    val plan = bulk.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "query batch must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"bulk probe degenerated to a product join:\n$plan")
+  }
+
+  test("probe-cell ranking: expression tree and broadcast-matrix UDF " +
+      "agree on every vector, and both replay the driver ranking") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = SimilarityOps.kmeansCentroids(emb, 16, 1)
+    val viaExpr = emb.select(col("vec_id"),
+      SimilarityOps.probeCellsExpr(centroids, 4, col("embedding"))
+        .as("cells"))
+    val viaUdf = emb.select(col("vec_id"),
+      SimilarityOps.probeCellsUdf(centroids, 4, col("embedding"))
+        .as("cells"))
+    assert(viaExpr.exceptAll(viaUdf).isEmpty &&
+      viaUdf.exceptAll(viaExpr).isEmpty,
+      "the two probe-cell paths must agree on every vector")
+    // spot-check the map-side ranking against probeIvf's driver path
+    // (stable sortBy: similarity DESC, ties keep ascending cell order)
+    val sample = viaExpr.where(col("vec_id") < 4L).orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    for ((id, cells) <- sample) {
+      val q = SimilarityOps.vectorOf(spark, sf, id)
+      val driver = centroids
+        .map { case (i, c) => (i, graft.functions.VectorOps.cosineSeq(q, c)) }
+        .sortBy(-_._2).take(4).map(_._1)
+      assert(cells == driver, s"map-side ranking for $id diverged")
+    }
+  }
+
   test("IVF index is built once and probes reuse it") {
     val idx1 = SimilarityOps.buildIvfIndex(spark, sf)
     val idx2 = SimilarityOps.buildIvfIndex(spark, sf)
