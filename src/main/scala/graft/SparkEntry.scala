@@ -280,6 +280,7 @@ object SparkEntry {
         |  ('e_stats_agg', 5, 'l_returnflag:string,sd_price:double,var_qty:double,corr_qp:double,cov_qp:double'),
         |  ('e_str_funcs', 5, 'p_partkey:bigint,upper_name:string,name_prefix:string,brand_type:string,name_len:bigint'),
         |  ('e_stream_dedup_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |  ('e_stream_ingest_compact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_stream_ingest_dedup', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |  ('e_stream_join_capped', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |  ('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),

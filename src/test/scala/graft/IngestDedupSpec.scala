@@ -27,6 +27,15 @@ class IngestDedupSpec extends SparkSpec {
       "streamed ingest diverged from the batch incremental replay")
   }
 
+  test("the compacted-index twin publishes the identical corpus — " +
+      "index maintenance is invisible in the answer") {
+    val compact =
+      ids(SparkEntry.queries("e_stream_ingest_compact")(spark, sf))
+    val plain = ids(SparkEntry.queries("e_stream_ingest_dedup")(spark, sf))
+    assert(compact == plain,
+      "mid-stream LSH compaction changed the published survivor set")
+  }
+
   test("kill between index commit and publish, then after publish: " +
       "no doc lost, duplicated, or double-indexed") {
     val docs = Tables.load(spark, sf, "documents")
