@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, RetrievalOps, SetJoinOps, SimilarityOps, SkewOps, SubqueryOps}
+import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, DomainOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, RetrievalOps, SetJoinOps, SimilarityOps, SkewOps, SubqueryOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -29,7 +29,7 @@ object SparkEntry {
       AsOfOps.queries ++ PrepOps.queries ++ EventAnalytics.queries ++
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
       CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries ++
-      SubqueryOps.queries ++ RetrievalOps.queries ++
+      SubqueryOps.queries ++ RetrievalOps.queries ++ DomainOps.queries ++
       graft.sources.AtomicPublish.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
@@ -94,7 +94,7 @@ object SparkEntry {
       AsOfOps.oracles ++ PrepOps.oracles ++ EventAnalytics.oracles ++
       LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
       CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++
-      SubqueryOps.oracles ++ RetrievalOps.oracles ++
+      SubqueryOps.oracles ++ RetrievalOps.oracles ++ DomainOps.oracles ++
       graft.sources.AtomicPublish.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
@@ -194,6 +194,8 @@ object SparkEntry {
         |  ('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),
         |  ('e_dedup_substring', 5, 'doc_id:bigint,n_chars:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
         |  ('e_dedup_substring_h', 5, 'doc_id:bigint,n_chars:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
+        |  ('e_domain_cap', 4, 'source:string,doc_id:bigint,n_chars:bigint,keep_rank:int'),
+        |  ('e_domain_report', 6, 'source:string,n_docs:bigint,n_dup:bigint,dup_rate:double,blocked:boolean,n_kept:bigint'),
         |  ('e_dsir_select', 3, 'lang:string,n_sel:bigint,avg_score:double'),
         |  ('e_embedding_centroids', 3, 'label:int,n_vecs:bigint,centroid_norm:double'),
         |  ('e_embedding_quantize', 4, 'vec_id:bigint,scale_r:double,q_checksum:bigint,q_max:bigint'),

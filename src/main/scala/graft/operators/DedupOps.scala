@@ -1437,7 +1437,13 @@ object DedupOps {
     * interpolated from the same [[TS.hashParams]] call the Spark side
     * uses. `featsCte` must define `feats(doc_id, feat)` over documents.
     */
-  private def lshMd5Oracle(featsCte: String, k: Int, seed: Long,
+  /** WITH-body CTE chain ending in `dups(doc_id)` — the docs the md5
+    * LSH pipeline drops (shingle → minhash → band → bucket cap →
+    * candidate pairs → exact-Jaccard verify, drop the larger id of
+    * each verified pair). Shared by the minhash/ngram dedup oracles
+    * and the per-domain dup-rate report.
+    */
+  private[graft] def lshMd5DupsCtes(featsCte: String, k: Int, seed: Long,
       bands: Int, rowsPerBand: Int, threshold: Double): String = {
     val p = 2147483647L
     val params = TS.hashParams(k, seed)
@@ -1449,7 +1455,7 @@ object DedupOps {
         .map(r => s"m${j * rowsPerBand + r}").mkString(", ")
       s"  SELECT doc_id, $j AS band, ('0x' || substr(md5(array_to_string([$cols], ',')), 1, 15))::BIGINT AS key FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $featsCte, sigs AS (
+    s"""$featsCte, sigs AS (
        |  SELECT doc_id,
        |$minExprs
        |  FROM feats WHERE len(feat) > 0
@@ -1470,7 +1476,19 @@ object DedupOps {
        |  WHERE CASE WHEN len(list_distinct(fa.feat || fb.feat)) = 0 THEN 0.0
        |        ELSE len(list_intersect(fa.feat, fb.feat))::DOUBLE
        |             / len(list_distinct(fa.feat || fb.feat)) END >= $threshold
-       |)
+       |)""".stripMargin
+  }
+
+  /** The verified-pair dup chain for the gate's 3-word-shingle md5
+    * minhash family (16 hashes, 4×4 bands, J ≥ 0.8) — the exact
+    * machinery e_dedup_minhash_md5 proves, exposed for composition.
+    */
+  private[graft] def minhashMd5DupsCtes: String =
+    lshMd5DupsCtes(shingleFeatsCte, 16, 7L, 4, 4, 0.8)
+
+  private def lshMd5Oracle(featsCte: String, k: Int, seed: Long,
+      bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    s"""WITH ${lshMd5DupsCtes(featsCte, k, seed, bands, rowsPerBand, threshold)}
        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
        |LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
        |ORDER BY d.doc_id""".stripMargin
