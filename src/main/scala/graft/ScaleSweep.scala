@@ -45,6 +45,18 @@ object ScaleSweep {
     if (skewMode) graft.sources.SyntheticScale.ensureSkewed(spark, base, synth)
     else graft.sources.SyntheticScale.ensure(spark, base, synth)
 
+    // --longgram: measure the text-vs-hashed shuffle lanes at the gram
+    // and paragraph sizes they are DESIGNED for (Lee et al. dedups at
+    // ~50 BPE tokens ≈ 200+ chars; the fixture gate runs k=20 chars /
+    // p=4 tokens, where a 24-byte hash pair is no narrower than the
+    // text it replaces). One row per (family, size, lane) at 1x and
+    // the synthetic 10x — the crossover artifact SURVEY cites.
+    if (args.contains("--longgram")) {
+      runLongGram(spark, base, synth)
+      spark.stop()
+      return
+    }
+
     def runFull(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -112,6 +124,39 @@ object ScaleSweep {
       s""""flagged":${flagged.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")}""" +
       skewField + "}")
     spark.stop()
+  }
+
+  /** Time the text-vs-hashed lanes of the substring and paragraph
+    * dedups across gram/paragraph sizes, 1x and 10x. Gate sizes
+    * (k=20 chars / p=4 tokens) ride along as the reference points;
+    * the long sizes are where the hashed lane's fixed-width shuffle
+    * row is narrower than the text it replaces.
+    */
+  private def runLongGram(spark: SparkSession, base: String,
+      synth: String): Unit = {
+    import graft.operators.CorpusOps
+    def timed(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def docs(dir: String) = Tables.load(spark, dir, "documents")
+    val lanes: Seq[(String, Seq[Int],
+        (String, Int, Boolean) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("substring", Seq(20, 100, 200),
+        (dir, k, h) => CorpusOps.dedupSubstring(docs(dir), k, h)),
+      ("paragraph", Seq(4, 50),
+        (dir, p, h) => CorpusOps.dedupParagraphs(docs(dir), p, h)))
+    for ((fam, ks, f) <- lanes; k <- ks; hashed <- Seq(false, true)) {
+      val lane = s"${fam}_${if (hashed) "hashed" else "text"}_$k"
+      // min-of-2 at both scales (the sweep's steady-state discipline)
+      val t1 = math.min(timed(f(base, k, hashed)), timed(f(base, k, hashed)))
+      val t10 = math.min(timed(f(synth, k, hashed)), timed(f(synth, k, hashed)))
+      val g = t10 / math.max(t1, 0.05)
+      System.err.println(
+        f"[longgram] $lane%-24s 1x=$t1%6.2f s  10x=$t10%7.2f s  growth=$g%6.1fx")
+      println(f"""{"metric":"longgram","lane":"$lane","t1_sec":$t1%.3f,"t10_sec":$t10%.3f,"growth":$g%.2f}""")
+    }
   }
 
   /** Prove AQE's skew-join machinery ENGAGES on the forged hot key: a

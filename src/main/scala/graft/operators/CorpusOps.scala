@@ -95,13 +95,18 @@ object CorpusOps {
       .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"),
         col("gram"))
     // the window key: the gram itself, or its 128-bit hash with the
-    // text projected AWAY so no string crosses the exchange
-    val keyed =
-      if (hashedKey) grams.select(col("doc_id"), col("pos"),
-        struct(xxhash64(col("gram")).as("h1"),
-          xxhash64(col("gram"), lit(7)).as("h2")).as("gk"))
-      else grams.select(col("doc_id"), col("pos"), col("gram").as("gk"))
-    val wg = Window.partitionBy("gk")
+    // text projected AWAY so no string crosses the exchange. The two
+    // hash lanes ride as FLAT longs, not a struct — the struct header
+    // is 8 wasted bytes on every row of the one corpus-wide shuffle
+    // (the r13 spill audit: the k=20 hashed lane was spilling MORE
+    // than text because 24-byte struct+header ≥ 20-byte gram)
+    val (keyed, wg) =
+      if (hashedKey) (grams.select(col("doc_id"), col("pos"),
+          xxhash64(col("gram")).as("h1"),
+          xxhash64(col("gram"), lit(7)).as("h2")),
+        Window.partitionBy("h1", "h2"))
+      else (grams.select(col("doc_id"), col("pos"), col("gram").as("gk")),
+        Window.partitionBy("gk"))
     val marked = keyed
       .withColumn("lo", min("doc_id").over(wg))
       .withColumn("hi", max("doc_id").over(wg))
@@ -249,11 +254,13 @@ object CorpusOps {
           col("kept_fp"))
         .orderBy("doc_id")
     } else {
-      // narrow lane: hash the paragraph, drop the text pre-shuffle
+      // narrow lane: hash the paragraph, drop the text pre-shuffle;
+      // flat hash columns, not a struct (the dupIslands spill-audit
+      // note — a struct header is 8 wasted bytes per shuffled row)
       val keyed = paras.select(col("doc_id"), col("para_idx"),
-        struct(xxhash64(col("para")).as("h1"),
-          xxhash64(col("para"), lit(7)).as("h2")).as("pk"))
-      val w = Window.partitionBy("pk").orderBy("doc_id", "para_idx")
+        xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(7)).as("h2"))
+      val w = Window.partitionBy("h1", "h2").orderBy("doc_id", "para_idx")
       val kept = keyed.withColumn("rn", row_number().over(w))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_paras"),
@@ -453,6 +460,95 @@ object CorpusOps {
       next.count()
       cur.unpersist()
       cur = next
+    }
+    BpeResult(vocab.toSeq, cur, counts)
+  }
+
+  /** BATCHED merge rounds — the scale lever for deep (32k-merge)
+    * induction when the per-round driver round-trip dominates, the
+    * standard move of distributed BPE trainers: each ROUND picks up
+    * to `batch` pairs greedily in the canonical (cnt DESC, a, b)
+    * order, skipping any pair sharing a token with an earlier pick
+    * (or equal to one's merged form), and applies them all in ONE
+    * corpus projection — `batch` merges now cost one count-delta pass
+    * and one rewrite instead of `batch` of each, dividing the number
+    * of Spark job waves by the batch size.
+    *
+    * Exactness contract:
+    *  - the COUNT TABLE stays exact at every round: the delta is
+    *    measured between the actual before/after states of the
+    *    touched docs (delta ≡ recount, spec-pinned for batches too);
+    *  - `batch = 1` IS the canonical greedy loop ([[bpeMergeLoop]]'s
+    *    semantics; spec pins vocab equality);
+    *  - `batch > 1` is the documented batched-greedy approximation:
+    *    within a round, later picks don't see earlier picks' effect
+    *    on counts. Token-disjointness makes the common case exact —
+    *    merging (a,b) cannot change the count of (c,d) when the token
+    *    sets are disjoint — the residual divergence is the canonical
+    *    sequence preferring a JUST-CREATED pair (x, a⊕b) whose count
+    *    exceeds the round's remaining picks; it surfaces one round
+    *    later here. Recorded `cnt` is the selection-time count.
+    */
+  def bpeMergeLoopBatched(docs: DataFrame, merges: Int = BpeMerges,
+      batch: Int = 1,
+      roundHook: (Int, Int, Long) => Unit = (_, _, _) => ()): BpeResult = {
+    // eager localCheckpoint, not persist: at hundreds of rounds a
+    // persisted-but-lineaged plan nests one replace projection per
+    // round and overflows the stack near round ~85 (measured); the
+    // checkpoint truncates the plan every round at the same
+    // materialize cost. (At a real deployment depth, checkpoint to
+    // reliable storage every N rounds instead.)
+    var cur = docs.select(col("doc_id"), wrapTokens(col("text")).as("s"))
+      .localCheckpoint(true)
+    var counts = pairCounts(cur).localCheckpoint(true)
+    val vocab =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = 0
+    var round = 0
+    while (done < merges) {
+      val t0 = System.nanoTime()
+      round += 1
+      val want = math.min(batch, merges - done)
+      // pull enough candidates to fill a token-disjoint batch; heavy
+      // token reuse in the top of the table just yields a smaller
+      // round (progress is still ≥ 1 merge — the canonical top-1 is
+      // always disjoint with nothing)
+      val cands = counts.where(col("cnt") > 0)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(math.max(want * 4, 16)).collect()
+      require(cands.nonEmpty,
+        s"BPE batched round $round: no pair left to merge")
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (r <- cands if picked.size < want) {
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (!used(a) && !used(b)) {
+          picked += ((a, b, r.getLong(2)))
+          used += a; used += b; used += (a + Joiner + b)
+        }
+      }
+      picked.foreach { case (a, b, cnt) =>
+        done += 1; vocab += ((done, a, b, cnt))
+      }
+      val pats = picked.map { case (a, b, _) =>
+        (Sep + a + Sep + Sep + b + Sep, Sep + a + Joiner + b + Sep) }
+      def applyAll(c: org.apache.spark.sql.Column) =
+        pats.foldLeft(c) { case (acc, (p, r)) =>
+          replace(acc, lit(p), lit(r)) }
+      val touched = cur.where(
+        pats.map { case (p, _) => col("s").contains(p) }.reduce(_ || _))
+      val delta = pairCounts(
+          touched.select(col("doc_id"), applyAll(col("s")).as("s")))
+        .unionByName(pairCounts(touched)
+          .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
+      counts = counts.unionByName(delta)
+        .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0)
+        .localCheckpoint(true)
+      cur = cur.select(col("doc_id"), applyAll(col("s")).as("s"))
+        .localCheckpoint(true)
+      roundHook(round, picked.size, (System.nanoTime() - t0) / 1000000L)
     }
     BpeResult(vocab.toSeq, cur, counts)
   }

@@ -294,6 +294,47 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("batched BPE with batch=1 IS the canonical greedy loop") {
+    val docs = Tables.load(spark, sf, "documents")
+    val seqr = CorpusOps.bpeMergeLoop(docs, merges = 6)
+    val batr = CorpusOps.bpeMergeLoopBatched(docs, merges = 6, batch = 1)
+    assert(batr.vocab == seqr.vocab,
+      "batch=1 vocab diverged from the sequential loop")
+    val a = seqr.seqs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val b = batr.seqs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a == b, "batch=1 sequences diverged")
+    seqr.seqs.unpersist(); batr.seqs.unpersist()
+  }
+
+  test("batched BPE rounds: token-disjoint picks, exact count table " +
+      "(delta == recount), and full merge quota delivered") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rounds =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val r = CorpusOps.bpeMergeLoopBatched(docs, merges = 12, batch = 4,
+      (round, n, _) => rounds += ((round, n)))
+    assert(r.vocab.size == 12, "merge quota not delivered")
+    assert(rounds.map(_._2).sum == 12)
+    // within-round picks never share a token (the non-overlap rule)
+    var off = 0
+    for ((_, n) <- rounds) {
+      val picks = r.vocab.slice(off, off + n)
+      // a pick may be a self-pair (a,a); disjointness is CROSS-pick
+      val toksets = picks.map(v => Set(v._2, v._3))
+      for (i <- toksets.indices; j <- 0 until i)
+        assert((toksets(i) & toksets(j)).isEmpty,
+          s"overlapping tokens across picks in one batched round: $picks")
+      off += n
+    }
+    // exactness survives batching: the running count table equals a
+    // full recount of the final sequences
+    val delta = r.counts.as[(String, String, Long)].collect().toSet
+    val recount = CorpusOps.pairCounts(r.seqs)
+      .as[(String, String, Long)].collect().toSet
+    assert(delta == recount, "batched delta drifted from recount")
+    r.seqs.unpersist()
+  }
+
   test("dedupSubstring rewrite matches a driver-side replay of the " +
       "first-occurrence removal rule") {
     val k = CorpusOps.GramLen
