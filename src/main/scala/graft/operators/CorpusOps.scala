@@ -125,8 +125,9 @@ object CorpusOps {
       .agg(min("pos").as("s"), max("pos").as("e"))
   }
 
-  def dedupSpans(docs: DataFrame, k: Int = GramLen): DataFrame = {
-    val spans = dupIslands(docs, k, dropFirstOccurrence = false)
+  def dedupSpans(docs: DataFrame, k: Int = GramLen,
+      hashedKey: Boolean = false): DataFrame = {
+    val spans = dupIslands(docs, k, dropFirstOccurrence = false, hashedKey)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + k).as("dup_chars"))
@@ -685,6 +686,9 @@ object CorpusOps {
   private val dedupSpansQ: Q = (spark, dir) =>
     dedupSpans(Tables.load(spark, dir, "documents"))
 
+  private val dedupSpansHQ: Q = (spark, dir) =>
+    dedupSpans(Tables.load(spark, dir, "documents"), hashedKey = true)
+
   private val tokenBudgetQ: Q = (spark, dir) =>
     tokenBudgetSelect(Tables.load(spark, dir, "documents"))
 
@@ -708,6 +712,7 @@ object CorpusOps {
 
   val queries: Map[String, Q] = Map(
     "e_dedup_spans" -> dedupSpansQ,
+    "e_dedup_spans_h" -> dedupSpansHQ,
     "e_dedup_paragraph" -> dedupParagraphsQ,
     "e_dedup_paragraph_h" -> dedupParagraphsHQ,
     "e_dedup_substring" -> dedupSubstringQ,
@@ -782,8 +787,7 @@ object CorpusOps {
        |FROM r$BpeMerges JOIN documents d ON r$BpeMerges.doc_id = d.doc_id
        |ORDER BY r$BpeMerges.doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "e_dedup_spans" ->
+  private def spansOracle: String =
       s"""WITH g AS (
          |  SELECT doc_id, i AS pos,
          |    substr(text, CAST(i AS INT), $GramLen) AS gram
@@ -815,7 +819,15 @@ object CorpusOps {
          |    round(CAST(COALESCE(agg.dup_chars, 0) AS DOUBLE) / doc.n_chars, 4)
          |  ELSE 0.0 END AS dup_frac
          |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "e_dedup_spans" -> spansOracle,
+    // hashed-window production twin of the span report: the one
+    // corpus-wide shuffle carries (doc_id, pos, h1, h2) = 32 flat
+    // bytes instead of the 20-char gram; identical islands on a
+    // collision-free corpus, same oracle verbatim
+    "e_dedup_spans_h" -> spansOracle,
     // paragraph windows, corpus-wide first-occurrence replay in
     // (doc_id, para_idx) order, reassembly fingerprint over the
     // surviving paragraphs; list slicing clamps the last partial

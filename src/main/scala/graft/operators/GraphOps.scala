@@ -112,32 +112,141 @@ object GraphOps {
   private val trianglesQ: Q = (spark, dir) =>
     triangleStats(coPurchaseEdges(Tables.load(spark, dir, "lineitem")))
 
+  /** PageRank damping factor and fixed iteration count — fixed so the
+    * oracle can replay the exact computation as a CTE chain.
+    */
+  val PrDamping = 0.85
+  val PrIters = 3
+
+  /** PageRank over the undirected co-purchase graph (each edge walks
+    * both ways), `PrIters` synchronous iterations.
+    *
+    * Determinism contract (the engine-vs-oracle hash must survive any
+    * partitioning): each edge's contribution r/deg is one IEEE double
+    * division (identical in any engine); the per-node accumulation —
+    * the only order-sensitive step — sums those contributions as
+    * DECIMAL(28,16) (associative, so Spark's map-side combine and
+    * DuckDB's single-threaded sum agree bit-for-bit); the damping
+    * update is double arithmetic on that exact sum, rounded to 12 dp
+    * per iteration so representation noise cannot compound across
+    * rounds.
+    *
+    * 100 TB shape: one shuffle per iteration (contributions hash-
+    * partitioned on dst) + the rank join on src — the standard
+    * Pregel-style plan. Rank frames are eagerly localCheckpointed per
+    * iteration: each is O(|V|), and without the cut Catalyst would
+    * re-derive the whole iteration chain per downstream reference
+    * (the triangleStats lesson). No node is dangling by construction
+    * (every vertex of an undirected edge has degree ≥ 1).
+    */
+  def pageRank(rawEdges: DataFrame, iters: Int = PrIters,
+      damping: Double = PrDamping): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = rawEdges.localCheckpoint(true)
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    // |V| is one driver long — the bounded-collect class (seed means,
+    // top-1 merge rows), not a data-sized collect
+    val n = deg.count()
+    val base = (1.0 - damping) / n
+    var rank = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          (col("r") / col("outdeg")).cast(DecimalType(28, 16)).as("c"))
+      rank = contrib.groupBy(col("dst").as("node"))
+        .agg(round(lit(base) +
+          lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    // pr IS the 12-dp iterate — no second rounding: re-rounding an
+    // already-rounded value hits an exact .5 tie with probability
+    // ~10^-(Δdp) per node (measured: 1 node in 500 at 12→10 dp), and
+    // Spark (HALF_UP on the shortest repr) and DuckDB (binary round)
+    // break those ties differently.
+    rank.select(col("node"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("node"))
+  }
+
+  private val pageRankQ: Q = (spark, dir) =>
+    pageRank(coPurchaseEdges(Tables.load(spark, dir, "lineitem")))
+
   val queries: Map[String, Q] = Map(
     "e_triangles" -> trianglesQ,
+    "e_pagerank" -> pageRankQ,
   )
 
   /** The oracle counts triangles WITHOUT the orientation machinery
     * (plain u<v<w closure) — the degree-ordered plan must be invisible
     * in the result.
     */
+  /** The co-purchase edge derivation as DuckDB CTEs — shared by the
+    * triangle and PageRank oracles so both replay [[coPurchaseEdges]]
+    * from one definition.
+    */
+  private def edgeCtes: String =
+    s"""items0 AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_partkey % 4 = 0
+       |),
+       |ok AS (
+       |  SELECT l_orderkey FROM items0 GROUP BY l_orderkey
+       |  HAVING count(*) <= $MaxBasket
+       |),
+       |items AS (
+       |  SELECT i.l_orderkey, i.l_partkey FROM items0 i JOIN ok USING (l_orderkey)
+       |),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |)""".stripMargin
+
+  /** DuckDB replay of [[pageRank]]: the same fixed-iteration chain —
+    * per-edge double division, DECIMAL(28,16) accumulation, double
+    * damping update rounded to 12 dp — one CTE pair per iteration.
+    * The damping constants are spelled as the same expressions the
+    * Spark side evaluates ((1.0 - d) is NOT the literal 0.15 in IEEE
+    * arithmetic) so both engines run identical double ops.
+    */
+  private def pageRankOracle: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT dir.dst AS node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST($PrDamping AS DOUBLE))
+         |        / (SELECT c FROM n)
+         |      + CAST($PrDamping AS DOUBLE) *
+         |        CAST(sum(CAST(p.r / deg.outdeg AS DECIMAL(28,16)))
+         |          AS DOUBLE), 12) AS r
+         |  FROM dir JOIN r${k - 1} p ON dir.src = p.node
+         |  JOIN deg ON dir.src = deg.src
+         |  GROUP BY dir.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |dir AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v, u FROM edges
+       |),
+       |deg AS (SELECT src, count(*) AS outdeg FROM dir GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM deg),
+       |r0 AS (
+       |  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS r
+       |  FROM deg
+       |),
+       |$iters
+       |SELECT node, r AS pr FROM r$PrIters
+       |ORDER BY pr DESC, node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e_pagerank" -> pageRankOracle,
     "e_triangles" ->
-      s"""WITH items0 AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_partkey % 4 = 0
-        |),
-        |ok AS (
-        |  SELECT l_orderkey FROM items0 GROUP BY l_orderkey
-        |  HAVING count(*) <= $MaxBasket
-        |),
-        |items AS (
-        |  SELECT i.l_orderkey, i.l_partkey FROM items0 i JOIN ok USING (l_orderkey)
-        |),
-        |edges AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM items a JOIN items b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |),
+      s"""WITH $edgeCtes,
         |deg AS (
         |  SELECT x AS node, count(*) AS d
         |  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)

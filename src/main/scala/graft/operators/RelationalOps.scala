@@ -359,6 +359,175 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** TPC-H Q1 shape (pricing summary report): the canonical one-pass
+    * scan-heavy aggregate — every money statistic in DECIMAL(18,6)
+    * (associative, so map-side combine stays on and the result is
+    * bit-identical under any partitioning); averages divide the exact
+    * decimal sums by the group count instead of averaging doubles,
+    * which would be order-dependent. At 100 TB this is the query the
+    * columnar scan + partial aggregation exist for: 6 output rows,
+    * one shuffle of 6×|partitions| partial rows.
+    */
+  private val tpchQ1: Q = (spark, dir) => {
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+    val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).as("bp"),
+        sum(disc.cast(DecimalType(18, 6))).as("dp"),
+        sum((disc * (lit(1) + col("l_tax"))).cast(DecimalType(18, 6)))
+          .as("ch"),
+        sum(col("l_discount").cast(DecimalType(18, 6))).as("dsum"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"),
+        col("bp").cast("double").as("sum_base_price"),
+        col("dp").cast("double").as("sum_disc_price"),
+        col("ch").cast("double").as("sum_charge"),
+        round(col("sum_qty") / col("count_order"), 6).as("avg_qty"),
+        round(col("bp").cast("double") / col("count_order"), 6)
+          .as("avg_price"),
+        round(col("dsum").cast("double") / col("count_order"), 6)
+          .as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg —
+    * all three predicates push to the parquet scan, no join, no
+    * shuffle beyond the single-row final aggregate. The discount
+    * bounds compare doubles directly: both engines evaluate the same
+    * IEEE comparison on the same stored bits, so the boundary rows
+    * cannot diverge.
+    */
+  private val tpchQ6: Q = (spark, dir) => {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8 shape (national market share): the widest classic join
+    * tree — fact chain lineitem⋈orders⋈customer shuffles on its keys;
+    * part, supplier, and BOTH nation copies plus region broadcast.
+    * Share is a conditional decimal sum over the same rows as the
+    * total, so one aggregate computes both. Adapted to the fixture
+    * (p_type = 'ECONOMY', customers in AMERICA, supplier nation
+    * NATION_19 — chosen non-degenerate at both gate SFs).
+    */
+  private val tpchQ8: Q = (spark, dir) => {
+    val p = Tables.load(spark, dir, "part").where(col("p_type") === "ECONOMY")
+    val o = Tables.load(spark, dir, "orders").where(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val l = Tables.load(spark, dir, "lineitem")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region").where(col("r_name") === "AMERICA")
+    val n1 = n.select(col("n_nationkey").as("c_nk"),
+      col("n_regionkey").as("c_rk"))
+    val n2 = n.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val v = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 6))
+    val zero = lit(0).cast(DecimalType(18, 6))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_19", v).otherwise(zero))
+          .as("nat"),
+        sum(v).as("tot"))
+      .select(col("o_year"),
+        round(col("nat").cast("double") / col("tot").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): the fixture has no partsupp
+    * / ps_supplycost, so cost is p_retailprice·quantity — same join
+    * tree (part + supplier + nation broadcast, orders shuffled on
+    * orderkey), same amount expression shape, profit per supplier
+    * nation per order year.
+    */
+  private val tpchQ9: Q = (spark, dir) => {
+    val p = Tables.load(spark, dir, "part")
+      .where(col("p_name").like("%widget%"))
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity")).cast(DecimalType(18, 6))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shape (shipping-priority lines): the fixture has no
+    * l_shipmode/l_commitdate/l_receiptdate, so "late" is the same
+    * l_shipdate > o_orderdate predicate Q4/Q21 use and the group key
+    * is l_linestatus — the shape (fact⋈fact join + conditional
+    * two-way priority counts) is Q12's.
+    */
+  private val tpchQ12: Q = (spark, dir) => {
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem").where(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    * quarter, then the supplier(s) AT the maximum — the max rides an
+    * unpartitioned window over the POST-AGGREGATE frame (|suppliers|
+    * rows, the bounded-window discipline the histogram quantiles use),
+    * and the equality test compares the exact decimals, not doubles,
+    * so a tie is a true tie in both engines.
+    */
+  private val tpchQ15: Q = (spark, dir) => {
+    val l = Tables.load(spark, dir, "lineitem").where(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val s = Tables.load(spark, dir, "supplier")
+    val rev = l.groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).as("total_rev"))
+    val top = rev
+      .withColumn("mx",
+        max("total_rev").over(Window.partitionBy(lit(1))))
+      .where(col("total_rev") === col("mx"))
+    top.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Ratio-to-report: each nation's share of total order revenue — the
     * percent-of-total window pattern. The denominator is a window over
     * the 25-row aggregate, not the fact table, so the "global total"
@@ -887,8 +1056,14 @@ object RelationalOps {
     "e_group_concat" -> groupConcat,
     "e_bitmask" -> bitmask,
     "e_argmax" -> argmax,
+    "e_tpch_q1" -> tpchQ1,
     "e_tpch_q3" -> tpchQ3,
     "e_tpch_q5" -> tpchQ5,
+    "e_tpch_q6" -> tpchQ6,
+    "e_tpch_q8" -> tpchQ8,
+    "e_tpch_q9" -> tpchQ9,
+    "e_tpch_q12" -> tpchQ12,
+    "e_tpch_q15" -> tpchQ15,
     "e_tpch_q7" -> tpchQ7,
     "e_tpch_q10" -> tpchQ10,
     "e_tpch_q13" -> tpchQ13,
@@ -1102,6 +1277,89 @@ object RelationalOps {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "e_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "e_tpch_q8" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_19' THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(v) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v,
+        |    n2.n_name AS supp_nation
+        |  FROM part, lineitem, orders, customer, supplier,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |    AND s_nationkey = n2.n_nationkey AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |) t GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "e_tpch_q9" ->
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount)
+        |      - p_retailprice * l_quantity AS DECIMAL(18,6)) AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%widget%'
+        |) t GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "e_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "e_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "e_tpch_q14" ->
       """WITH j AS (
         |  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))

@@ -130,6 +130,77 @@ object SubqueryOps {
         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.00)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q2 shape: correlated MIN subquery over the derived part-supplier
+    // relation (the fixture has no partsupp; lineitem's observed
+    // (partkey, suppkey) pairs with min extendedprice stand in for
+    // ps_supplycost) — the minimum-cost-supplier-per-part pattern with
+    // the region join repeated inside the correlation, the query
+    // Catalyst must decorrelate into an aggregate-then-rejoin. The
+    // ORDER BY is a total order (s_name unique per supplier, p_partkey
+    // breaks the final tie) so the LIMIT cut is deterministic.
+    "e_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(l_extendedprice) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_type = 'SMALL'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q11 shape: grouped value per part for one nation's suppliers,
+    // HAVING against an uncorrelated scalar-subquery fraction of the
+    // total — the threshold is cross-multiplied in decimal (sum·500 >
+    // total) so no double division sits on the HAVING boundary.
+    // NATION_19 and 1/500 keep the result non-degenerate at both gate
+    // SFs (the TPC-H fraction scales with SF; a fixture constant must
+    // hold at 0.001 and 0.01).
+    "e_tpch_q11" ->
+      """WITH lv AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_19')
+        |SELECT l_partkey AS ps_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+        |FROM lv GROUP BY 1
+        |HAVING sum(v) * 500 > (SELECT sum(v) FROM lv)
+        |ORDER BY part_value DESC, ps_partkey""".stripMargin,
+    // Q20 shape: the nested IN chain (supplier IN parts-supplied IN
+    // name-filtered parts) with a correlated scalar threshold — a
+    // supplier qualifies by shipping more than HALF of a widget-part's
+    // total windowed quantity (availqty > 0.5·sum in the original;
+    // quantities are integer-valued doubles so qty·2 > total is
+    // exact). No s_address in the fixture; s_acctbal rides along.
+    "e_tpch_q20" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |      AND qty * 2 > (
+        |        SELECT sum(b.qty) FROM ps b
+        |        WHERE b.ps_partkey = ps.ps_partkey))
+        |ORDER BY s_name""".stripMargin,
     // IN + NOT IN in one predicate: semi on c_custkey, anti on
     // l_orderkey (null-free subquery columns, so NOT IN keeps simple
     // anti-join semantics on both engines).
