@@ -40,7 +40,8 @@ object SparkEntry {
     * Counts verified scale-stable (identical at sf0.001/0.01/0.1 —
     * broadcasts are explicit hints, not stats decisions).
     */
-  private val planAuditTargets = Seq("e_ann_bulk", "e_ann_filtered",
+  private val planAuditTargets = Seq("e_ann_bulk", "e_ann_bulk_pq",
+    "e_ann_filtered",
     "e_ann_ivf_persisted",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
     "e_dedup_exact", "e_dedup_paragraph", "e_dedup_paragraph_h",
@@ -107,6 +108,7 @@ object SparkEntry {
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
         |('e_ann_bulk', 2, 1, 0, 2, 1),
+        |('e_ann_bulk_pq', 2, 1, 0, 2, 1),
         |('e_ann_filtered', 0, 0, 0, 1, 1),
         |('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
         |('e_bm25_topk', 3, 2, 0, 2, 0),
@@ -148,6 +150,7 @@ object SparkEntry {
         |('e_agg_group', 7, 'l_returnflag:string,l_linestatus:string,sum_qty:double,sum_base_price:double,sum_disc_price:double,avg_qty:double,cnt:bigint'),
         |('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |('e_ann_bulk', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
+        |('e_ann_bulk_pq', 4, 'q_id:bigint,vec_id:bigint,adc_micro:bigint,nn_rank:int'),
         |('e_ann_filtered', 3, 'vec_id:bigint,label:int,cos_sim:double'),
         |('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |('e_ann_ivf_persisted', 2, 'vec_id:bigint,cos_sim:double'),

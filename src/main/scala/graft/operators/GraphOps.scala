@@ -133,23 +133,31 @@ object GraphOps {
     *
     * 100 TB shape: one shuffle per iteration (contributions hash-
     * partitioned on dst) + the rank join on src — the standard
-    * Pregel-style plan. Rank frames are eagerly localCheckpointed per
-    * iteration: each is O(|V|), and without the cut Catalyst would
-    * re-derive the whole iteration chain per downstream reference
-    * (the triangleStats lesson). No node is dangling by construction
-    * (every vertex of an undirected edge has degree ≥ 1).
+    * Pregel-style plan. The multiply-referenced frames (dir: once per
+    * iteration; deg: the per-edge divisor each iteration) are
+    * DISK_ONLY persists, NOT localCheckpoints: the spill rehearsal
+    * caught the checkpointed form dying with UNABLE_TO_ACQUIRE_MEMORY
+    * at the 768 MB cap — (local)checkpoint blocks are the data's ONLY
+    * copy, so the storage manager cannot evict them, and enough pinned
+    * blocks starve execution memory outright (spilling sorts need
+    * execution pages too). Evictable persisted blocks degrade to
+    * recompute instead. The rank chain is single-reference per
+    * iteration, so it needs no cut at all — one job pipelines all
+    * iterations. No node is dangling by construction (every vertex of
+    * an undirected edge has degree ≥ 1).
     */
   def pageRank(rawEdges: DataFrame, iters: Int = PrIters,
       damping: Double = PrDamping): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = rawEdges.localCheckpoint(true)
-    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+    import org.apache.spark.storage.StorageLevel
+    val dir = rawEdges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(rawEdges.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.DISK_ONLY)
     val deg = dir.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.DISK_ONLY)
     // |V| is one driver long — the bounded-collect class (seed means,
-    // top-1 merge rows), not a data-sized collect
+    // top-1 merge rows), not a data-sized collect; the action also
+    // materializes both persists.
     val n = deg.count()
     val base = (1.0 - damping) / n
     var rank = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
@@ -162,7 +170,6 @@ object GraphOps {
       rank = contrib.groupBy(col("dst").as("node"))
         .agg(round(lit(base) +
           lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
-        .localCheckpoint(true)
     }
     // pr IS the 12-dp iterate — no second rounding: re-rounding an
     // already-rounded value hits an exact .5 tie with probability

@@ -531,6 +531,78 @@ object SimilarityOps {
       .toDF("q_id", "vec_id", "cos_sim", "nn_rank")
   }
 
+  /** Bulk IVFADC probe — [[probeIvfMany]]'s join shape with PQ/ADC
+    * scoring: the query relation is answered against the persisted
+    * cell-partitioned index with COMPRESSED-domain arithmetic. Corpus
+    * members of the touched cells are PQ-encoded ONCE (m code ids per
+    * vector — the scalar-UDF-holding-the-codebook precedent of
+    * [[pqAdcColumn]], evaluated per corpus row, NOT per pair); each
+    * query precomputes its flattened m×k ADC distance table likewise
+    * once. The per-pair score — the only work that scales with
+    * |candidates| — is then m codegen'd `element_at` lookups summed
+    * (integer micro-distances, bit-deterministic at any partitioning),
+    * never a UDF in the pair loop. Per-query top-k rides the bounded
+    * TopK aggregator on the NEGATED distance (exact for these
+    * integer-valued doubles), giving (adc ASC, vec_id ASC) order.
+    *
+    * At 100 TB this is the batch-embedding-lookup plan: pruned index
+    * scan (nprobe/nlist of the data) + broadcast query tables + m adds
+    * per candidate, with k rows per query crossing the final shuffle.
+    */
+  def probeIvfPqMany(index: IvfIndex, cb: Array[Array[Array[Double]]],
+      queries: DataFrame, nprobe: Int = 4, k: Int = 10,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopK}
+    val encode = udf { (emb: Seq[Float]) =>
+      val e = emb.toArray.map(_.toDouble)
+      Array.tabulate(PqM) { m =>
+        val sub = e.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        var bestD = Long.MaxValue
+        var bestC = 0
+        var c = 0
+        while (c < PqK) {
+          val d = l2MicroSq(sub, cb(m)(c))
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        bestC
+      }
+    }
+    val dtUdf = udf { (qv: Seq[Float]) =>
+      val q = qv.toArray.map(_.toDouble)
+      Array.tabulate(PqM * PqK) { i =>
+        val m = i / PqK
+        l2MicroSq(q.slice(m * PqSubDim, (m + 1) * PqSubDim), cb(m)(i % PqK))
+      }
+    }
+    val qc = queries.select(col("q_id"),
+      dtUdf(col("q_vec")).as("dt"),
+      explode(probeCells(index.centroids, nprobe, col("q_vec"))).as("cell"))
+    val touched = qc.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val corpus = index.assigned
+      .where(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("cell"),
+        encode(col("embedding")).as("codes"))
+    val qSide = if (broadcastQueries) broadcast(qc) else qc.hint("shuffle_hash")
+    val adc = (0 until PqM).map { m =>
+      expr(s"element_at(dt, element_at(codes, ${m + 1}) + ${m * PqK} + 1)")
+    }.reduce(_ + _)
+    corpus.join(qSide, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc_micro"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, a) => Scored(-a.toDouble, id) }
+      .agg(TopK.aggregator(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) =>
+          (qid, s.id, -s.score.toLong, i + 1) } }
+      .toDF("q_id", "vec_id", "adc_micro", "nn_rank")
+  }
+
   /** IVF ANN as registered: probe-only against the cached index
     * (nlist=16, nprobe=4). First invocation builds the index; every
     * later one reuses it.
@@ -590,6 +662,15 @@ object SimilarityOps {
   private val annBulk: Q = (spark, dir) =>
     probeIvfMany(
       loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < 8L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      nprobe = 4, k = 5)
+      .orderBy("q_id", "nn_rank")
+
+  private val annBulkPq: Q = (spark, dir) =>
+    probeIvfPqMany(
+      loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      pqCodebooks(spark, dir),
       Tables.load(spark, dir, "embeddings").where(col("vec_id") < 8L)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
       nprobe = 4, k = 5)
@@ -840,7 +921,7 @@ object SimilarityOps {
     * tripwire, so the codebook convention cannot drift between the
     * guarded path and its guard.
     */
-  private def pqCodebooksOf(emb: DataFrame): Array[Array[Array[Double]]] = {
+  private[graft] def pqCodebooksOf(emb: DataFrame): Array[Array[Array[Double]]] = {
     val seeds = emb
       .where(col("vec_id") < PqK.toLong).orderBy("vec_id")
       .select("embedding").collect()
@@ -1076,6 +1157,7 @@ object SimilarityOps {
     "e_ann_ivf_persisted" -> annIvfPersisted,
     "e_ann_filtered" -> annFiltered,
     "e_ann_bulk" -> annBulk,
+    "e_ann_bulk_pq" -> annBulkPq,
     "e_ann_pq" -> annPq,
     "e_ann_ivfpq" -> annIvfPq,
     "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
@@ -1127,6 +1209,7 @@ object SimilarityOps {
     // ranking (DESC, cell ASC) and member ranking (cos DESC, vec_id)
     // replay probeCells and the TopK aggregator ordering exactly
     "e_ann_bulk" -> ivfBulkOracle(),
+    "e_ann_bulk_pq" -> ivfBulkPqOracle(),
     // SemDeDup: quantizer-assignment replay (same CTE machinery the
     // IVF oracle proves) at the shared nlist=16 index, then the two
     // unrolled capped-split levels ([[splitOversized]]: oversized
@@ -1353,7 +1436,10 @@ object SimilarityOps {
     * `vecs(vec_id, v DOUBLE[])` CTE is in scope. Shared by the e_ann_pq
     * and e_ann_ivfpq oracles.
     */
-  private def pqCtes: String =
+  /** Codebook + corpus-encode replay (cw/subv/dist/codes) — shared by
+    * the single-query ADC tail below and the bulk per-query oracle.
+    */
+  private def pqCoreCtes: String =
     s"""cw AS (
        |  SELECT s.vec_id::INT AS code, gs.m AS sub,
        |    s.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS c
@@ -1376,13 +1462,61 @@ object SimilarityOps {
        |  SELECT vec_id, sub, code FROM dist
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
        |    ORDER BY dmicro ASC, code ASC) = 1
-       |),
+       |)""".stripMargin
+
+  private def pqCtes: String =
+    s"""$pqCoreCtes,
        |qdt AS (SELECT sub, code, dmicro FROM dist WHERE vec_id = 0),
        |adc AS (
        |  SELECT c.vec_id, sum(q.dmicro)::BIGINT AS adc_micro
        |  FROM codes c JOIN qdt q ON c.sub = q.sub AND c.code = q.code
        |  GROUP BY c.vec_id
        |)""".stripMargin
+
+  /** Per-query generalization of the ADC replay — [[ivfBulkOracle]]'s
+    * probe CTEs composed with [[pqCoreCtes]], the ADC sum joined per
+    * (query, candidate): replays [[probeIvfPqMany]] decision for
+    * decision.
+    */
+  private def ivfBulkPqOracle(nlist: Int = 16, iters: Int = 2,
+      nprobe: Int = 4, k: Int = 5, dim: Int = 64,
+      nQueries: Int = 8): String = {
+    s"""WITH ${assignmentPrefix(nlist, iters, dim)},
+       |qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < $nQueries
+       |), probe AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cell ASC) AS crn
+       |    FROM c$iters c CROSS JOIN qs q
+       |  ) rc WHERE crn <= $nprobe
+       |),
+       |$pqCoreCtes,
+       |qdtq AS (
+       |  SELECT vec_id AS q_id, sub, code, dmicro FROM dist
+       |  WHERE vec_id < $nQueries
+       |), cand AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM probe p JOIN afinal a USING (cell)
+       |  WHERE a.vec_id <> p.q_id
+       |), adcq AS (
+       |  SELECT cd.q_id, cd.vec_id, CAST(sum(q.dmicro) AS BIGINT)
+       |    AS adc_micro
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN qdtq q ON q.q_id = cd.q_id AND q.sub = c.sub
+       |    AND q.code = c.code
+       |  GROUP BY cd.q_id, cd.vec_id
+       |)
+       |SELECT q_id, vec_id, adc_micro, CAST(rn AS INT) AS nn_rank FROM (
+       |  SELECT q_id, vec_id, adc_micro,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_micro ASC, vec_id ASC) AS rn
+       |  FROM adcq
+       |) r WHERE rn <= $k
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
 
   /** Shared by e_ann_ivfpq and e_ann_ivfpq_persisted. */
   private def ivfPqOracle: String = ivfPqOracleWith(DefaultVecsSql)

@@ -107,6 +107,44 @@ class SimilaritySpec extends SparkSpec {
       s"bulk probe degenerated to a product join:\n$plan")
   }
 
+  test("bulk ADC probe equals the single-vector IVFADC probe per query, " +
+      "with codegen pair scoring (no UDF in the pair loop)") {
+    import org.apache.spark.sql.functions.col
+    val built = SimilarityOps.buildIvfIndex(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_bulkpq").toString
+    SimilarityOps.saveIvfIndex(built, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    val cb = SimilarityOps.pqCodebooksOf(Tables.load(spark, sf, "embeddings"))
+    val qs = Tables.load(spark, sf, "embeddings")
+      .where(col("vec_id") < 8L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val bulk = SimilarityOps.probeIvfPqMany(loaded, cb, qs, nprobe = 4, k = 5)
+    val byQuery = bulk.orderBy("q_id", "nn_rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq.groupBy(_._1)
+    assert(byQuery.keySet == (0L until 8L).toSet, "one group per query")
+    for (q <- 0L until 8L) {
+      val single = SimilarityOps.ivfPqProbe(loaded, cb,
+          SimilarityOps.vectorOf(spark, sf, q), nprobe = 4, k = 5,
+          excludeId = q)
+        .select("vec_id", "adc_micro")
+        .as[(Long, Long)].collect().toSeq
+      assert(byQuery(q).sortBy(_._4).map(r => (r._2, r._3)) == single,
+        s"bulk ADC result for query $q diverged from the single probe")
+    }
+    // the per-pair scorer must be the codegen element_at sum — the two
+    // UDFs (corpus encode, query table) evaluate per ROW, never per
+    // pair: the join's projection above the pruned scan carries no
+    // ScalaUDF whose inputs span both sides
+    val audit = graft.engine.PlanAudit.audit(bulk)
+    assert(audit.partitionPrunedScans >= 1,
+      s"bulk ADC probe must prune cell partitions: ${audit.render}")
+    val plan = bulk.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "query batch must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"bulk ADC probe degenerated to a product join:\n$plan")
+  }
+
   test("probe-cell ranking: expression tree and broadcast-matrix UDF " +
       "agree on every vector, and both replay the driver ranking") {
     import org.apache.spark.sql.functions.col
