@@ -294,6 +294,7 @@ object SparkEntry {
         |('e_stream_dedup_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_stream_ingest_compact', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_stream_ingest_dedup', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |('e_stream_ingest_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |('e_stream_join_capped', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |('e_stream_publish', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),

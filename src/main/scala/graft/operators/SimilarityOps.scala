@@ -328,14 +328,21 @@ object SimilarityOps {
     * (nlist × dim doubles — trivial), assignments as a lazy partitioned
     * scan. No recompute, no k-means, no assignment pass.
     */
-  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(loadIvfCentroids(spark, path),
+      spark.read.parquet(s"$path/assigned"))
+
+  /** The quantizer alone — nlist × dim doubles to the driver. The
+    * versioned lane stores no `assigned/` dir, so it loads this, never
+    * [[loadIvfIndex]].
+    */
+  private def loadIvfCentroids(spark: SparkSession,
+      path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids")
       .orderBy("label").collect().toSeq
       .map { case Row(i: Int, c: scala.collection.Seq[_]) =>
         (i, c.asInstanceOf[scala.collection.Seq[Double]].toSeq)
       }
-    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
-  }
 
   /** Append a batch of new vectors to a persisted index WITHOUT
     * rebuilding: the coarse quantizer is FROZEN after training (the
@@ -353,6 +360,163 @@ object SimilarityOps {
     val centroids = loadIvfIndex(spark, path).centroids
     newVecs.withColumn("cell", assignCell(centroids))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  // ---------------------------------------------------------------
+  // Versioned IVF append lane — EXACTLY-ONCE streaming index ingest
+  // ---------------------------------------------------------------
+  // The third index-maintenance protocol, completing the trilogy with
+  // the LSH dedup index (DedupOps) and the BM25 inverted index
+  // (RetrievalOps): production vector search trains the coarse
+  // quantizer OFFLINE (on a historical sample) and ingests embeddings
+  // continuously against FROZEN centroids — so the streamed index must
+  // equal the batch-built one bit-for-bit, whatever the arrival order.
+  // [[appendToIvfIndex]] above is mode("append") and therefore NOT
+  // replay-safe: a foreachBatch retry would double-append. This lane
+  // is: each batch writes its own cell-partitioned directory
+  // (OVERWRITE — a torn retry replaces its own debris), and an atomic
+  // epoch marker naming the committed directories is the commit point.
+  // A replayed batchId at or below the marker's lastBatch is a no-op.
+  // The marker read-modify-write is serialized per index root (JVM
+  // monitor + OS file lock — the publishStreamBatch protocol), so two
+  // misconfigured writers cannot drop each other's committed dirs.
+
+  final case class IvfEpoch(lastBatch: Long, dirs: Seq[String])
+
+  private val ivfRootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withIvfLock[T](marker: java.nio.file.Path)(body: => T): T = {
+    val monitor = ivfRootMonitors.computeIfAbsent(
+      marker.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val lockPath = marker.resolveSibling(
+        marker.getFileName.toString + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  private def ivfEpochPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "epoch.json")
+
+  private def readIvfEpoch(p: java.nio.file.Path): IvfEpoch = {
+    if (!java.nio.file.Files.exists(p)) IvfEpoch(-1L, Seq.empty)
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val last = """"lastBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      val dirs = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      IvfEpoch(last, dirs)
+    }
+  }
+
+  private def writeIvfEpoch(p: java.nio.file.Path, e: IvfEpoch): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (s"""{"lastBatch":${e.lastBatch},""" +
+        s""""dirs":[${e.dirs.map(d => s""""$d"""").mkString(",")}]}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Initialize a versioned index root: the offline-trained quantizer
+    * only — vectors arrive through [[appendToIvfIndexVersioned]].
+    */
+  def initIvfIndexVersioned(spark: SparkSession,
+      centroids: Seq[(Int, Seq[Double])], path: String): Unit = {
+    import spark.implicits._
+    centroids.toDF("label", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Exactly-once batch append: assign against the frozen quantizer,
+    * write the batch's own partitioned dir, commit via the marker.
+    * Returns false for a replayed (already-committed) batchId.
+    */
+  def appendToIvfIndexVersioned(newVecs: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    val spark = newVecs.sparkSession
+    val marker = ivfEpochPath(path)
+    withIvfLock(marker) {
+      val epoch = readIvfEpoch(marker)
+      if (batchId <= epoch.lastBatch) false
+      else {
+        val centroids = loadIvfCentroids(spark, path)
+        val d = s"assigned_b$batchId"
+        newVecs.withColumn("cell", assignCell(centroids))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/$d")
+        // an EMPTY micro-batch still advances lastBatch (its replay
+        // must stay a no-op) but registers no dir — a data-less dir
+        // would break schema inference on load
+        import scala.jdk.CollectionConverters._
+        val hasData = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(path, d)).iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+        writeIvfEpoch(marker,
+          IvfEpoch(batchId, if (hasData) epoch.dirs :+ d else epoch.dirs))
+        true
+      }
+    }
+  }
+
+  /** The versioned index as an [[IvfIndex]]: quantizer + the UNION of
+    * committed batch dirs. Each dir keeps its own cell= partition
+    * layout, so probes partition-prune within every committed batch.
+    */
+  def loadIvfIndexVersioned(spark: SparkSession, path: String): IvfIndex = {
+    val epoch = readIvfEpoch(ivfEpochPath(path))
+    require(epoch.dirs.nonEmpty,
+      s"versioned IVF index at $path has no committed batches")
+    // one partitioned scan per committed dir, unioned: each dir is its
+    // own table root (sibling dirs confuse multi-path partition
+    // discovery), and a cell predicate prunes within EVERY child scan
+    IvfIndex(loadIvfCentroids(spark, path),
+      epoch.dirs.map(d => spark.read.parquet(s"$path/$d"))
+        .reduce(_.unionByName(_)))
+  }
+
+  /** Quiescent-point maintenance: fold the committed batch dirs into
+    * ONE partitioned dir while PRESERVING lastBatch — the replay guard
+    * survives the fold, so a pre-compaction batch retry stays a no-op
+    * (the compactLshIndex contract). Returns the number of dirs
+    * absorbed (0 = nothing to do).
+    */
+  def compactIvfIndexVersioned(spark: SparkSession, path: String): Int = {
+    val marker = ivfEpochPath(path)
+    withIvfLock(marker) {
+      val epoch = readIvfEpoch(marker)
+      if (epoch.dirs.size <= 1) 0
+      else {
+        val d = s"assigned_c${epoch.lastBatch}"
+        epoch.dirs.map(x => spark.read.parquet(s"$path/$x"))
+          .reduce(_.unionByName(_))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/$d")
+        writeIvfEpoch(marker, IvfEpoch(epoch.lastBatch, Seq(d)))
+        epoch.dirs.foreach { x =>
+          val p = java.nio.file.Paths.get(path, x)
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        epoch.dirs.size
+      }
+    }
   }
 
   /** Per-cell row counts of a persisted index — the census a
@@ -1595,7 +1759,7 @@ object SimilarityOps {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
-  private def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
+  private[graft] def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
       k: Int = 10, dim: Int = 64): String = {
     def cos(a: String, b: String): String = cosSql(a, b)
     s"""WITH ${assignmentPrefix(nlist, iters, dim)},

@@ -719,6 +719,93 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** Streaming VECTOR-INDEX ingest — the third index-maintenance
+    * protocol, completing the trilogy with the LSH dedup index and the
+    * BM25 inverted index: the coarse quantizer is trained OFFLINE
+    * ([[graft.operators.SimilarityOps.buildIvfIndex]]) and FROZEN, and
+    * embeddings then arrive as a file stream ingested per micro-batch
+    * through [[graft.operators.SimilarityOps.appendToIvfIndexVersioned]]
+    * (per-batch cell-partitioned dirs + an atomic epoch marker =
+    * exactly-once under foreachBatch's at-least-once delivery). The
+    * protocol deliberately exercises every window on the gate path:
+    * day 1 (even vec_ids) → a REPLAY of the committed batch (must be a
+    * no-op) → day 2 (odd vec_ids) → quiescent-point COMPACTION (folds
+    * the batch dirs to one, preserving lastBatch) → a post-compaction
+    * replay (the guard must survive the fold) → probe. Frozen quantizer
+    * ⇒ the streamed index equals the batch-built one bit-for-bit, so
+    * the probe rides the e_ann_ivf_persisted oracle VERBATIM.
+    */
+  def runIvfIngestStream(spark: SparkSession, dir: String,
+      path: String): Unit = {
+    import graft.operators.SimilarityOps
+    val replayDir = java.nio.file.Files.createTempDirectory("graft_ivf_ing")
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_ivf_ing_cp")
+    SimilarityOps.initIvfIndexVersioned(spark,
+      SimilarityOps.buildIvfIndex(spark, dir).centroids, path)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val schema = emb.schema
+    def ship(half: DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivf_$tag")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $tag"))
+      java.nio.file.Files.move(part, replayDir.resolve(s"$tag.parquet"))
+      dropReplayDir(tmp)
+    }
+    val day1 = emb.where(col("vec_id") % 2 === 0)
+    ship(day1, "day1")
+    val q = spark.readStream
+      .schema(schema).format("parquet").load(replayDir.toString)
+      .writeStream
+      .option("checkpointLocation", cpDir.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SimilarityOps.appendToIvfIndexVersioned(batch, path, batchId)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0 = day 1
+      // at-least-once delivery rehearsal: a replay of the committed
+      // batch must be swallowed by the epoch guard, not double-indexed
+      require(!SimilarityOps.appendToIvfIndexVersioned(day1, path, 0L),
+        "replayed batch 0 was not suppressed by the IVF epoch marker")
+      ship(emb.where(col("vec_id") % 2 === 1), "day2")
+      q.processAllAvailable() // batch 1 = day 2
+      // quiescent-point maintenance: fold both batch dirs into one;
+      // lastBatch survives, so a pre-compaction replay stays a no-op
+      require(SimilarityOps.compactIvfIndexVersioned(spark, path) == 2,
+        "compaction did not absorb the two committed batch dirs")
+      require(!SimilarityOps.appendToIvfIndexVersioned(day1, path, 1L),
+        "post-compaction replay was not suppressed (lastBatch lost)")
+    } finally {
+      q.stop()
+      dropReplayDir(replayDir)
+      dropReplayDir(cpDir)
+    }
+  }
+
+  private val ivfIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gate row: probe the STREAMED-AND-COMPACTED index with the
+    * e_ann_ivf_persisted probe — identical answer, identical oracle.
+    */
+  private val streamIngestIvf: Q = (spark, dir) => {
+    import graft.operators.SimilarityOps
+    val path = ivfIngested.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivf_ing_idx").toString
+        runIvfIngestStream(spark, dir, p)
+        p
+      })
+    SimilarityOps.probeIvf(SimilarityOps.loadIvfIndexVersioned(spark, path),
+      SimilarityOps.vectorOf(spark, dir, 0L),
+      nprobe = 4, k = 10, excludeId = 0L)
+  }
+
   // publish-once memo (the AtomicPublish.publishRoot shape): first
   // call streams + commits, every later pass reads the manifest
   private val streamPublished =
@@ -741,6 +828,7 @@ object StreamingOps {
     "e_stream_publish" -> streamPublish,
     "e_stream_ingest_dedup" -> streamIngestDedup,
     "e_stream_ingest_compact" -> streamIngestCompact,
+    "e_stream_ingest_ivf" -> streamIngestIvf,
     "e_stream_dedup_replay" -> (replayDedupStream(_, _)),
     "e_stream_upsert_replay" -> (replayUpsertStream(_, _)),
     "e_stream_static_replay" -> (replayStreamStaticJoin(_, _)),
@@ -836,6 +924,10 @@ object StreamingOps {
     // the same byte-identical oracle as the uncompacted loop
     "e_stream_ingest_compact" ->
       graft.operators.DedupOps.oracles("e_dedup_incr_minhash"),
+    // frozen quantizer ⇒ the streamed-and-compacted index answers
+    // probes identically to the batch-built one: the e_ann_ivf_persisted
+    // oracle verbatim
+    "e_stream_ingest_ivf" -> graft.operators.SimilarityOps.ivfOracle(),
     // the batch exact-dedup answer — the streaming stateful path must
     // reproduce it exactly (same SQL as e_dedup_exact)
     "e_stream_dedup_replay" ->
