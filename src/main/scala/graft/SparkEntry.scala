@@ -150,6 +150,7 @@ object SparkEntry {
         |('e_agg_group', 7, 'l_returnflag:string,l_linestatus:string,sum_qty:double,sum_base_price:double,sum_disc_price:double,avg_qty:double,cnt:bigint'),
         |('e_agg_rollup', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |('e_ann_bulk', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
+        |('e_ann_bulk_filtered', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
         |('e_ann_bulk_pq', 4, 'q_id:bigint,vec_id:bigint,adc_micro:bigint,nn_rank:int'),
         |('e_ann_filtered', 3, 'vec_id:bigint,label:int,cos_sim:double'),
         |('e_ann_ivf', 2, 'vec_id:bigint,cos_sim:double'),
@@ -230,6 +231,7 @@ object SparkEntry {
         |('e_kmv_distinct', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |('e_kmv_distinct_md5', 4, 'l_returnflag:string,exact_parts:bigint,kmv_parts:bigint,rel_err:double'),
         |('e_kmv_setops', 5, 'exact_union:bigint,exact_inter:bigint,est_union:bigint,est_inter:bigint,jacc_est:double'),
+        |('e_knn_classify', 3, 'q_id:bigint,pred_label:int,n_votes:bigint'),
         |('e_knn_join', 4, 'q_id:bigint,vec_id:bigint,cos_sim:double,nn_rank:int'),
         |('e_lang_confusion', 3, 'lang:string,pred_lang:string,n_docs:bigint'),
         |('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),

@@ -664,7 +664,8 @@ object SimilarityOps {
     * probeIvf's excludeId contract.
     */
   def probeIvfMany(index: IvfIndex, queries: DataFrame, nprobe: Int = 4,
-      k: Int = 10, broadcastQueries: Boolean = true): DataFrame = {
+      k: Int = 10, broadcastQueries: Boolean = true,
+      pred: Column = lit(true)): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     import graft.functions.{Scored, TopK}
@@ -674,8 +675,12 @@ object SimilarityOps {
         .as("cell"))
     val touched = qc.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // the attribute predicate lands INSIDE the pruned scan (the
+    // probeIvfFiltered contract, bulk form): candidates filter before
+    // scoring, never a post-filter over a larger top-k
     val corpus = index.assigned
       .where(col("cell").isin(touched: _*))
+      .where(pred)
       .select(col("vec_id"), col("cell"), col("embedding"),
         VectorOps.l2Norm(col("embedding")).as("a_norm"))
     val qSide = if (broadcastQueries) broadcast(qc)
@@ -839,6 +844,56 @@ object SimilarityOps {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
       nprobe = 4, k = 5)
       .orderBy("q_id", "nn_rank")
+
+  /** FILTERED bulk probe: the attribute predicate + the bulk join-form
+    * probe in one plan — "nearest neighbors among rows WHERE …" for a
+    * whole query relation. Same per-query answers as running
+    * [[probeIvfFiltered]] once per query.
+    */
+  private val annBulkFiltered: Q = (spark, dir) =>
+    probeIvfMany(
+      loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < 8L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      nprobe = 4, k = 5, pred = col("label") % 2 === 0)
+      .orderBy("q_id", "nn_rank")
+
+  /** k-NN CLASSIFICATION over the index — the auto-labeling move a
+    * curation pipeline runs when a trusted labeled pool exists and the
+    * rest of the corpus needs labels (weak supervision / quality-tier
+    * propagation by embedding neighborhood): each query takes the
+    * MAJORITY label of its k nearest neighbors, ties broken by the
+    * smallest label (deterministic — both engines agree).
+    *
+    * Shape: the bulk probe's one pruned scan + bounded top-k shuffle,
+    * then the ≤ k·|queries| candidate rows BROADCAST back onto the
+    * corpus for their labels (the corpus never reshuffles), and a
+    * |queries|×|labels|-bounded vote aggregate. Cost is the probe's —
+    * classification itself touches only candidate rows.
+    */
+  def knnClassify(index: IvfIndex, queries: DataFrame,
+      labels: DataFrame, nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val nn = probeIvfMany(index, queries, nprobe, k)
+      .select("q_id", "vec_id")
+    val votes = labels.select(col("vec_id"), col("label"))
+      .join(broadcast(nn), "vec_id")
+      .groupBy("q_id", "label").agg(count(lit(1L)).as("n_votes"))
+    votes
+      .withColumn("vrn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("n_votes").desc, col("label"))))
+      .where(col("vrn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+  }
+
+  private val knnClassifyQ: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    knnClassify(
+      loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      emb.where(col("vec_id") < 8L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      emb, nprobe = 4, k = 10)
+      .orderBy("q_id")
+  }
 
   /** Symmetric int8 quantization of each embedding — the compression
     * step an ANN store applies before indexing (4× smaller than
@@ -1322,6 +1377,8 @@ object SimilarityOps {
     "e_ann_filtered" -> annFiltered,
     "e_ann_bulk" -> annBulk,
     "e_ann_bulk_pq" -> annBulkPq,
+    "e_ann_bulk_filtered" -> annBulkFiltered,
+    "e_knn_classify" -> knnClassifyQ,
     "e_ann_pq" -> annPq,
     "e_ann_ivfpq" -> annIvfPq,
     "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
@@ -1374,6 +1431,12 @@ object SimilarityOps {
     // replay probeCells and the TopK aggregator ordering exactly
     "e_ann_bulk" -> ivfBulkOracle(),
     "e_ann_bulk_pq" -> ivfBulkPqOracle(),
+    // filtered bulk: the bulk replay with the label predicate joined
+    // into the candidate CTE — pre-filter semantics, like the engine
+    "e_ann_bulk_filtered" -> ivfBulkFilteredOracle(),
+    // k-NN classification: the bulk top-k replay + a per-query
+    // majority vote (count DESC, label ASC — the engine's tie-break)
+    "e_knn_classify" -> knnClassifyOracle(),
     // SemDeDup: quantizer-assignment replay (same CTE machinery the
     // IVF oracle proves) at the shared nlist=16 index, then the two
     // unrolled capped-split levels ([[splitOversized]]: oversized
@@ -1757,6 +1820,86 @@ object SimilarityOps {
        |  FROM cand
        |) r WHERE rn <= $k
        |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
+  /** The bulk replay with the attribute predicate joined into the
+    * candidate CTE — pre-filter semantics (cells ranked by the
+    * unfiltered geometry, members filtered BEFORE ranking), exactly
+    * like [[probeIvfMany]] with `pred`.
+    */
+  private def ivfBulkFilteredOracle(nlist: Int = 16, iters: Int = 2,
+      nprobe: Int = 4, k: Int = 5, dim: Int = 64,
+      nQueries: Int = 8): String = {
+    s"""WITH ${assignmentPrefix(nlist, iters, dim)},
+       |qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < $nQueries
+       |), probe AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cell ASC) AS crn
+       |    FROM c$iters c CROSS JOIN qs q
+       |  ) rc WHERE crn <= $nprobe
+       |), cand AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN afinal a USING (cell)
+       |  JOIN qs q ON q.q_id = p.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.q_id AND e.label % 2 = 0
+       |)
+       |SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS nn_rank FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM cand
+       |) r WHERE rn <= $k
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
+  /** The bulk top-k replay + a per-query majority vote over neighbor
+    * labels (count DESC, label ASC tie-break) — [[knnClassify]]'s
+    * decision path, decision for decision.
+    */
+  private def knnClassifyOracle(nlist: Int = 16, iters: Int = 2,
+      nprobe: Int = 4, k: Int = 10, dim: Int = 64,
+      nQueries: Int = 8): String = {
+    s"""WITH ${assignmentPrefix(nlist, iters, dim)},
+       |qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < $nQueries
+       |), probe AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cell ASC) AS crn
+       |    FROM c$iters c CROSS JOIN qs q
+       |  ) rc WHERE crn <= $nprobe
+       |), cand AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN afinal a USING (cell)
+       |  JOIN qs q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id
+       |), top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM cand
+       |  ) r WHERE rn <= $k
+       |), votes AS (
+       |  SELECT t.q_id, e.label, count(*) AS n_votes
+       |  FROM top t JOIN embeddings e USING (vec_id)
+       |  GROUP BY t.q_id, e.label
+       |)
+       |SELECT q_id, label AS pred_label, n_votes FROM (
+       |  SELECT q_id, label, n_votes,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY n_votes DESC, label) AS vrn
+       |  FROM votes
+       |) v WHERE vrn = 1 ORDER BY q_id""".stripMargin
   }
 
   private[graft] def ivfOracle(nlist: Int = 16, iters: Int = 2, nprobe: Int = 4,
