@@ -40,7 +40,8 @@ object SparkEntry {
     * Counts verified scale-stable (identical at sf0.001/0.01/0.1 —
     * broadcasts are explicit hints, not stats decisions).
     */
-  private val planAuditTargets = Seq("e_ann_bulk", "e_ann_bulk_pq",
+  private val planAuditTargets = Seq("e_ann_bulk", "e_ann_bulk_filtered",
+    "e_ann_bulk_pq",
     "e_ann_filtered",
     "e_ann_ivf_persisted",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
@@ -48,7 +49,7 @@ object SparkEntry {
     "e_dedup_spans", "e_dedup_spans_h", "e_dedup_substring",
     "e_dedup_substring_h",
     "e_fuzzy_join", "e_heavy_hitters", "e_jaccard_join",
-    "e_join_broadcast", "e_merge_upsert",
+    "e_join_broadcast", "e_knn_classify", "e_merge_upsert",
     "e_multimodal_dedup",
     "e_partition_prune", "e_pii_redact", "e_tfidf",
     "e_topk", "e_tpch_q1", "e_tpch_q18", "e_tpch_q21", "e_tpch_q3",
@@ -108,6 +109,7 @@ object SparkEntry {
     "e_plan_audit" ->
       """SELECT * FROM (VALUES
         |('e_ann_bulk', 2, 1, 0, 2, 1),
+        |('e_ann_bulk_filtered', 2, 1, 0, 2, 1),
         |('e_ann_bulk_pq', 2, 1, 0, 2, 1),
         |('e_ann_filtered', 0, 0, 0, 1, 1),
         |('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
@@ -125,6 +127,7 @@ object SparkEntry {
         |('e_heavy_hitters', 2, 1, 0, 2, 0),
         |('e_jaccard_join', 5, 3, 6, 0, 0),
         |('e_join_broadcast', 1, 1, 0, 2, 0),
+        |('e_knn_classify', 4, 2, 1, 3, 1),
         |('e_merge_upsert', 1, 1, 0, 3, 0),
         |('e_multimodal_dedup', 5, 2, 0, 0, 0),
         |('e_partition_prune', 2, 0, 0, 1, 1),
