@@ -107,6 +107,66 @@ class SimilaritySpec extends SparkSpec {
       s"bulk probe degenerated to a product join:\n$plan")
   }
 
+  test("filtered bulk probe equals the single-vector filtered probe " +
+      "per query — the predicate rides the pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val built = SimilarityOps.buildIvfIndex(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_bulkf").toString
+    SimilarityOps.saveIvfIndex(built, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    val qs = Tables.load(spark, sf, "embeddings")
+      .where(col("vec_id") < 8L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val bulk = SimilarityOps.probeIvfMany(loaded, qs, nprobe = 4, k = 5,
+      pred = col("label") % 2 === 0)
+    val byQuery = bulk.orderBy("q_id", "nn_rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.groupBy(_._1)
+    for (q <- 0L until 8L) {
+      val single = SimilarityOps.probeIvfFiltered(loaded,
+          SimilarityOps.vectorOf(spark, sf, q), col("label") % 2 === 0,
+          nprobe = 4, k = 5, excludeId = q)
+        .select("vec_id", "cos_sim")
+        .as[(Long, Double)].collect().toSeq
+      assert(byQuery.getOrElse(q, Seq.empty).sortBy(_._4)
+          .map(r => (r._2, r._3)) == single,
+        s"filtered bulk result for query $q diverged from probeIvfFiltered")
+    }
+    // every returned neighbor satisfies the predicate
+    val ids = bulk.select("vec_id").as[Long].collect().toSet
+    val evens = Tables.load(spark, sf, "embeddings")
+      .where(col("label") % 2 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf(evens), "a filtered-out row leaked into the top-k")
+  }
+
+  test("knnClassify predicts the majority label of the bulk probe's " +
+      "neighbors with the smallest-label tie-break") {
+    import org.apache.spark.sql.functions.col
+    val built = SimilarityOps.buildIvfIndex(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf_knncls").toString
+    SimilarityOps.saveIvfIndex(built, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qs = emb.where(col("vec_id") < 8L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pred = SimilarityOps.knnClassify(loaded, qs, emb, nprobe = 4, k = 10)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(pred.map(_._1) == (0L until 8L).toSeq, "one prediction per query")
+    // recompute the vote by hand from the bulk probe + the label map
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val nn = SimilarityOps.probeIvfMany(loaded, qs, nprobe = 4, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val expect = nn.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.map(r => labels(r._2))
+        .groupBy(identity).map { case (l, v) => (l, v.size.toLong) }
+      val (bestLabel, bestVotes) =
+        votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (q, bestLabel, bestVotes)
+    }.toSeq.sortBy(_._1)
+    assert(pred == expect, "knnClassify diverged from the hand vote")
+  }
+
   test("bulk ADC probe equals the single-vector IVFADC probe per query, " +
       "with codegen pair scoring (no UDF in the pair loop)") {
     import org.apache.spark.sql.functions.col
