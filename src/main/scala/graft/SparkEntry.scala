@@ -221,6 +221,7 @@ object SparkEntry {
         |('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
         |('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
+        |('e_html_extract', 3, 'doc_id:bigint,n_paragraphs:bigint,extracted_md5:string'),
         |('e_hybrid_retrieval', 6, 'query_id:int,doc_id:bigint,lex_rank:int,ann_rank:int,rrf_r:double,fused_rank:int'),
         |('e_jaccard_join', 3, 'id_a:bigint,id_b:bigint,jacc:double'),
         |('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
@@ -343,6 +344,7 @@ object SparkEntry {
         |('e_triangles', 4, 'n_vertices:bigint,n_edges:bigint,n_wedges:bigint,n_triangles:bigint'),
         |('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
+        |('e_url_canon', 3, 'doc_id:bigint,canon_url:string,url_rank:int'),
         |('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
         |('e_window_pct', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,pct_rank:double,cume:double'),
         |('e_window_range', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,n_nearby:bigint,cheapest_key:bigint'),

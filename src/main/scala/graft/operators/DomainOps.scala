@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -76,6 +76,76 @@ object DomainOps {
           .as("n_kept"))
   }
 
+  // ---------------------------------------------------------------
+  // URL canonicalization + URL-level dedup
+  // ---------------------------------------------------------------
+
+  /** Deterministic RAW-URL synthesis per doc (the synthHtml/PNG
+    * discipline): docs 2g and 2g+1 carry the SAME logical URL in two
+    * different raw forms — the even twin shouts (upper-case scheme and
+    * host, explicit default port, `www.` prefix, trailing slash,
+    * unsorted query params, a fragment), the odd twin is already
+    * tidy — so a correct canonicalizer collapses each pair to one
+    * canonical URL and a broken one leaves 2× the URLs in the crawl
+    * frontier.
+    */
+  private[graft] def synthUrl(docId: Column): Column = {
+    val gid = floor(docId / 2).cast("long")
+    val host = concat(lit("site"), pmod(gid, lit(20L)))
+    val a = pmod(gid, lit(10L))
+    when(pmod(docId, lit(2L)) === 0L,
+      concat(lit("HTTPS://WWW."), upper(host),
+        lit(".Example.COM:443/Articles/"), gid,
+        lit("/?z=26&b=2&a="), a, lit("#top")))
+      .otherwise(concat(lit("https://"), host,
+        lit(".example.com/Articles/"), gid,
+        lit("?a="), a, lit("&z=26&b=2")))
+  }
+
+  /** Canonicalize a URL column — the normalization every URL-keyed
+    * frontier/dedup runs before hashing (scheme and host lowercased,
+    * `www.` dropped, default port dropped, trailing path slash
+    * dropped, query params SORTED, fragment dropped). Built on
+    * `parse_url` (codegen'd java.net.URI parts — HOST already excludes
+    * the port, QUERY already excludes the fragment) plus
+    * split/array_sort/join for the params. Per-row map work, zero
+    * shuffle.
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))),
+      "^www\\.", "")
+    // parse_url's HOST drops every port; a NON-default port is part of
+    // the resource identity and must survive — recover it from
+    // AUTHORITY and drop it only when it is the scheme's default
+    val port = regexp_extract(parse_url(url, lit("AUTHORITY")),
+      ":(\\d+)$", 1)
+    val isDefault = (proto === "http" && port === "80") ||
+      (proto === "https" && port === "443")
+    val portPart = when(port === "" || isDefault, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    val query = parse_url(url, lit("QUERY"))
+    val sortedQ = array_join(array_sort(split(query, "&")), "&")
+    concat(proto, lit("://"), host, portPart, path,
+      when(query.isNull || query === "", lit(""))
+        .otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** Gate form: synthesize each doc's raw URL, canonicalize, and rank
+    * within each canonical URL (first-seen keeps, the URL-dedup vote).
+    * Every pair of twins must collapse: url_rank 2 on every odd twin,
+    * 1 everywhere else.
+    */
+  private val urlCanonQ: Q = (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        urlCanonicalize(synthUrl(col("doc_id"))).as("canon_url"))
+      .withColumn("url_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("canon_url").orderBy("doc_id")))
+      .orderBy("doc_id")
+
   private val domainCapQ: Q = (spark, dir) =>
     domainCap(Tables.load(spark, dir, "documents"))
       .orderBy("source", "keep_rank")
@@ -87,9 +157,26 @@ object DomainOps {
   val queries: Map[String, Q] = Map(
     "e_domain_cap" -> domainCapQ,
     "e_domain_report" -> domainReportQ,
+    "e_url_canon" -> urlCanonQ,
   )
 
   val oracles: Map[String, String] = Map(
+    // the canonical form reconstructed by pure doc_id arithmetic (the
+    // synthesis is arithmetic, so the oracle needs no URL machinery),
+    // then the same first-seen rank over it — twins must collapse
+    "e_url_canon" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    'https://site' || ((doc_id // 2) % 20) ||
+        |    '.example.com/Articles/' || (doc_id // 2) ||
+        |    '?a=' || ((doc_id // 2) % 10) || '&b=2&z=26' AS canon_url
+        |  FROM documents
+        |)
+        |SELECT doc_id, canon_url, CAST(rn AS INT) AS url_rank FROM (
+        |  SELECT doc_id, canon_url,
+        |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+        |      AS rn
+        |  FROM canon) t ORDER BY doc_id""".stripMargin,
     // the window formulation IS the cap's semantics (row_number over
     // the same total priority order); the engine's bounded aggregator
     // must reproduce it exactly

@@ -411,4 +411,50 @@ class CorpusOpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 6, s"unexpected exchange count:\n$plan")
   }
+
+  test("synthesized HTML carries real boilerplate and extraction " +
+      "round-trips the document text exactly") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val staged = docs.select(col("doc_id"), col("text"),
+      CorpusOps.synthHtml(col("text"), col("doc_id")).as("html"))
+    val rows = staged.select(col("text"), col("html"),
+        CorpusOps.htmlExtract(col("html")).as("extracted"))
+      .as[(String, String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (text, html, extracted) =>
+      // the page is a real page: every boilerplate class is present
+      assert(html.contains("<script") && html.contains("</script>"))
+      assert(html.contains("<style") && html.contains("<nav>") &&
+        html.contains("<footer>") && html.contains("&copy;"))
+      assert(html.contains("<p class=\"t\">"))
+      // and extraction drops ALL of it, recovering the text verbatim
+      assert(extracted == text,
+        s"round-trip failed:\n  text: $text\n  extracted: $extracted")
+    }
+  }
+
+  test("the extractor handles messy HTML it did not synthesize") {
+    val messy = Seq(
+      // attributes, self-closing tags, multi-line script with tags in
+      // a string literal guarded by the non-greedy block match
+      ("""<html><body><script src="x.js"></script>
+        |<script>var s = 1; if (s < 2) { go(); }</script>
+        |<p id="a" data-x="1">hello <b>bold</b> world</p>
+        |<br/><img src="i.png"/>
+        |<style media="all">p > b { color: red; }</style>
+        |<nav class="top"><ul><li>x</li></ul></nav>
+        |<p>second   para</p>
+        |<footer id="f"><span>fine print</span></footer>
+        |</body></html>""".stripMargin,
+        "hello bold world second para"),
+      // no boilerplate at all — plain tags strip, whitespace collapses
+      ("<div>a<span>b</span> c</div>", "a b c"),
+      // empty body
+      ("<html><body></body></html>", ""))
+    import spark.implicits._
+    val got = messy.map(_._1).toDF("html")
+      .select(CorpusOps.htmlExtract(col("html"))).as[String].collect().toSeq
+    assert(got == messy.map(_._2),
+      s"messy extraction diverged: $got")
+  }
 }

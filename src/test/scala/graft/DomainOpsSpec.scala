@@ -61,4 +61,45 @@ class DomainOpsSpec extends SparkSpec {
     assert(rep.count(_._5) == DomainOps.Blocklist.size,
       "every blocklisted domain must appear blocked")
   }
+
+  test("URL canonicalization: raw twins collapse to one canonical URL " +
+      "with the noisy even form never winning a new key") {
+    val docs = Tables.load(spark, sf, "documents")
+    val staged = docs.select(col("doc_id"),
+      DomainOps.synthUrl(col("doc_id")).as("raw"),
+      DomainOps.urlCanonicalize(DomainOps.synthUrl(col("doc_id")))
+        .as("canon"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    // every raw URL is distinct as a string …
+    assert(staged.map(_._2).distinct.size == staged.size)
+    // … but twins share ONE canonical form, and it is the tidy one
+    staged.grouped(2).foreach {
+      case Seq((even, rawE, canonE), (odd, rawO, canonO)) =>
+        assert(even % 2 == 0 && odd == even + 1)
+        assert(rawE != rawO)
+        assert(canonE == canonO, s"pair ($even,$odd) did not collapse")
+        assert(canonE.startsWith("https://site") &&
+          !canonE.contains("www.") && !canonE.contains(":443") &&
+          !canonE.contains("#") && canonE.contains("?a="),
+          s"canonical form wrong: $canonE")
+      case Seq((d, _, canon)) => // odd tail doc: its own key
+        assert(canon.nonEmpty && d % 2 == 0)
+    }
+  }
+
+  test("the canonicalizer handles hand-crafted URLs it did not " +
+      "synthesize") {
+    val cases = Seq(
+      ("HTTP://WWW.A.COM:80/x/", "http://a.com/x"),
+      ("https://b.org/p?b=2&a=1", "https://b.org/p?a=1&b=2"),
+      ("https://c.net/q#frag", "https://c.net/q"),
+      ("http://d.io", "http://d.io"),
+      // a NON-default port is identity and must survive canonicalization
+      ("https://www.e.co:8443/y", "https://e.co:8443/y"))
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("u")
+      .select(DomainOps.urlCanonicalize(col("u"))).as[String]
+      .collect().toSeq
+    assert(got == cases.map(_._2), s"canonicalization diverged: $got")
+  }
 }
