@@ -871,12 +871,21 @@ object SimilarityOps {
     * |queries|×|labels|-bounded vote aggregate. Cost is the probe's —
     * classification itself touches only candidate rows.
     */
+  /** `broadcastCandidates`: the ≤ k·|queries| candidate list rides as
+    * a broadcast by default (16 bytes/row — right for bounded probe
+    * batches); past broadcast size (k·|queries| in the hundreds of
+    * millions) flip it and the label join becomes a plain equi-join
+    * both sides exchange on vec_id — never a corpus broadcast.
+    */
   def knnClassify(index: IvfIndex, queries: DataFrame,
-      labels: DataFrame, nprobe: Int = 4, k: Int = 10): DataFrame = {
+      labels: DataFrame, nprobe: Int = 4, k: Int = 10,
+      broadcastCandidates: Boolean = true): DataFrame = {
     val nn = probeIvfMany(index, queries, nprobe, k)
       .select("q_id", "vec_id")
+    val nnSide = if (broadcastCandidates) broadcast(nn)
+                 else nn.hint("shuffle_hash")
     val votes = labels.select(col("vec_id"), col("label"))
-      .join(broadcast(nn), "vec_id")
+      .join(nnSide, "vec_id")
       .groupBy("q_id", "label").agg(count(lit(1L)).as("n_votes"))
     votes
       .withColumn("vrn", row_number().over(Window.partitionBy("q_id")
