@@ -132,8 +132,11 @@ final class HttpGateway private (server: HttpServer,
         }
       } catch {
         case e: Exception =>
+          // getMessage can be null (e.g. bare NPE) — never let the
+          // error path itself throw and close the exchange bodyless
+          val msg = Option(e.getMessage).getOrElse(e.toString)
           try respond(ex, 200,
-            s"""{"ok":false,"error":${jsonStr(e.getMessage)}}""")
+            s"""{"ok":false,"error":${jsonStr(msg)}}""")
           catch { case _: Exception => () }
       })
   }

@@ -461,10 +461,13 @@ object SimilarityOps {
         // an EMPTY micro-batch still advances lastBatch (its replay
         // must stay a no-op) but registers no dir — a data-less dir
         // would break schema inference on load
-        import scala.jdk.CollectionConverters._
-        val hasData = java.nio.file.Files
-          .walk(java.nio.file.Paths.get(path, d)).iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".parquet"))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path, d))
+        val hasData =
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala
+              .exists(_.getFileName.toString.endsWith(".parquet"))
+          } finally walk.close()
         writeIvfEpoch(marker,
           IvfEpoch(batchId, if (hasData) epoch.dirs :+ d else epoch.dirs))
         true
@@ -508,11 +511,16 @@ object SimilarityOps {
         writeIvfEpoch(marker, IvfEpoch(epoch.lastBatch, Seq(d)))
         epoch.dirs.foreach { x =>
           val p = java.nio.file.Paths.get(path, x)
-          import scala.jdk.CollectionConverters._
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
+          if (java.nio.file.Files.exists(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            val paths =
+              try {
+                import scala.jdk.CollectionConverters._
+                walk.iterator().asScala.toSeq
+              } finally walk.close()
+            paths.sortBy(-_.getNameCount)
               .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
         }
         epoch.dirs.size
       }
