@@ -146,6 +146,42 @@ object DomainOps {
           .partitionBy("canon_url").orderBy("doc_id")))
       .orderBy("doc_id")
 
+  /** THE crawl→curate composition, one Catalyst plan end-to-end: the
+    * crawl payload arrives as HTML (synthesized real pages —
+    * [[CorpusOps.synthHtml]]) with a raw URL per doc ([[synthUrl]]);
+    * the pipeline extracts the main text ([[CorpusOps.htmlExtract]]),
+    * drops URL-level duplicates on the canonical key (first-seen),
+    * gates on quality computed from the EXTRACTED text (the
+    * e_pipeline_e2e thresholds: ≥ 100 chars, alpha-ratio ≥ 0.8),
+    * drops blocklisted domains, and reports per-domain survivors.
+    * Every stage is individually oracle-proven; this row proves they
+    * COMPOSE — and because extraction round-trips (the e_html_extract
+    * contract), the oracle runs the downstream chain directly on the
+    * original text with no HTML machinery.
+    */
+  private val crawlPipelineQ: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val extracted = docs.select(col("doc_id"), col("source"),
+      CorpusOps.htmlExtract(
+        CorpusOps.synthHtml(col("text"), col("doc_id"))).as("text"),
+      urlCanonicalize(synthUrl(col("doc_id"))).as("canon_url"))
+    val urlKept = extracted
+      .withColumn("url_rank", row_number().over(
+        Window.partitionBy("canon_url").orderBy("doc_id")))
+      .where(col("url_rank") === 1)
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0))
+    urlKept
+      .where(length(col("text")) >= 100 && alphaRatio >= 0.8)
+      .where(!col("source").isin(Blocklist: _*))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy("source")
+  }
+
   private val domainCapQ: Q = (spark, dir) =>
     domainCap(Tables.load(spark, dir, "documents"))
       .orderBy("source", "keep_rank")
@@ -158,6 +194,7 @@ object DomainOps {
     "e_domain_cap" -> domainCapQ,
     "e_domain_report" -> domainReportQ,
     "e_url_canon" -> urlCanonQ,
+    "e_pipeline_crawl" -> crawlPipelineQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +214,33 @@ object DomainOps {
         |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
         |      AS rn
         |  FROM canon) t ORDER BY doc_id""".stripMargin,
+    // the composed chain on the ORIGINAL text (extraction round-trips
+    // by the e_html_extract contract): canonical-URL first-seen dedup,
+    // the quality thresholds, the blocklist, the per-domain rollup
+    "e_pipeline_crawl" ->
+      s"""WITH canon AS (
+        |  SELECT doc_id, source, text,
+        |    'https://site' || ((doc_id // 2) % 20) ||
+        |    '.example.com/Articles/' || (doc_id // 2) ||
+        |    '?a=' || ((doc_id // 2) % 10) || '&b=2&z=26' AS canon_url
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+        |        AS rn
+        |    FROM canon) t WHERE rn = 1
+        |), gated AS (
+        |  SELECT source, text FROM kept
+        |  WHERE length(text) >= 100 AND
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)
+        |      >= 0.8
+        |    AND source NOT IN (${Blocklist.map(s => s"'$s'").mkString(", ")})
+        |)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(length(text))::BIGINT AS total_chars
+        |FROM gated GROUP BY source ORDER BY source""".stripMargin,
     // the window formulation IS the cap's semantics (row_number over
     // the same total priority order); the engine's bounded aggregator
     // must reproduce it exactly
