@@ -168,6 +168,7 @@ object SparkEntry {
         |('e_argmax', 3, 'c_nationkey:int,best_acctbal:double,best_custkey:bigint'),
         |('e_array_funcs', 3, 'vec_id:bigint,dim:bigint,vec_sum:double'),
         |('e_asof_join', 5, 'user_id:bigint,ts:timestamp,event_id:bigint,view_value:double,view_ts:timestamp'),
+        |('e_badwords', 3, 'doc_id:bigint,n_hits:bigint,first_phrase:string'),
         |('e_bitmask', 3, 'lang:string,mask:bigint,n_slots:int'),
         |('e_bm25_compact', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),
         |('e_bm25_incr', 4, 'query_id:int,doc_id:bigint,score_r:double,rank:int'),

@@ -427,7 +427,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Content blocklist (the C4 "bad words" move) through the
+    * Aho–Corasick automaton ([[AhoMatches]]): a fixed phrase dictionary
+    * (single tokens AND multi-word phrases) matched on token boundaries
+    * in ONE pass per document — O(len + hits) regardless of dictionary
+    * size, where the naive per-phrase `contains` chain the oracle runs
+    * is O(len × |dict|). The dictionary includes `"low"`, a strict
+    * substring of the vocabulary token `"slow"`, which must match
+    * NOTHING — the gate row itself proves word-boundary semantics.
+    *
+    * Shape at 100 TB: one codegen'd scan, zero shuffle; the automaton
+    * rebuilds per executor from the broadcast phrase list (a production
+    * 10⁵-phrase blocklist builds in ~ms and lives in MBs).
+    */
+  private[graft] val BadPhrases: Seq[String] = Seq(
+    "the the", "hash hash", "scan scan", "spark spark", "slow slow",
+    "stream stream", "key value", "slow merge", "merge merge part",
+    "value query scan", "batch batch batch", "low")
+
+  private val badwords: Q = (spark, dir) => {
+    val phraseArr = array(BadPhrases.map(lit): _*)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        AhoMatches.blocklistHits(spark, lower(col("text")), BadPhrases)
+          .as("ids"))
+      .where(size(col("ids")) > 0)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_hits"),
+        array_min(transform(col("ids"), i =>
+          element_at(phraseArr, i + 1))).as("first_phrase"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_badwords" -> badwords,
     "e_quantiles_interp" -> quantilesInterp,
     "e_lm_score" -> lmScore,
     "e_char_diversity" -> charDiversity,
@@ -475,7 +508,24 @@ object TextOps {
        |FROM tot ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of [[badwords]]: the oracle states the SEMANTICS
+    * (boundary-padded LIKE per phrase — the O(len × |dict|) form), the
+    * engine must reproduce it through the one-pass automaton.
+    */
+  private def badwordsOracle: String = {
+    val vals = BadPhrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH p(phrase) AS (VALUES $vals),
+       |hits AS (
+       |  SELECT d.doc_id, p.phrase
+       |  FROM documents d, p
+       |  WHERE ' ' || lower(d.text) || ' ' LIKE '%' || ' ' || p.phrase || ' ' || '%'
+       |)
+       |SELECT doc_id, count(*)::BIGINT AS n_hits, min(phrase) AS first_phrase
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e_badwords" -> badwordsOracle,
     "e_sample_weighted" ->
       """SELECT lang, count(*)::BIGINT AS n_kept,
         |sum(n_chars)::BIGINT AS sum_chars
