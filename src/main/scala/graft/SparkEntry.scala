@@ -30,7 +30,7 @@ object SparkEntry {
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
       CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries ++
       SubqueryOps.queries ++ RetrievalOps.queries ++ DomainOps.queries ++
-      graft.sources.AtomicPublish.queries
+      graft.sources.AtomicPublish.queries ++ graft.sources.WarcOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -99,7 +99,8 @@ object SparkEntry {
       LayoutOps.oracles ++ FuzzyJoinOps.oracles ++ CorpusOps.oracles ++
       CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++
       SubqueryOps.oracles ++ RetrievalOps.oracles ++ DomainOps.oracles ++
-      graft.sources.AtomicPublish.oracles ++ Map(
+      graft.sources.AtomicPublish.oracles ++ graft.sources.WarcOps.oracles ++
+      Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -347,6 +348,7 @@ object SparkEntry {
         |('e_tumbling_batch', 4, 'hour_start:timestamp,event_type:string,cnt:bigint,sum_value:double'),
         |('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
         |('e_url_canon', 3, 'doc_id:bigint,canon_url:string,url_rank:int'),
+        |('e_warc_parse', 4, 'doc_id:bigint,http_status:int,n_warc_headers:bigint,extracted_md5:string'),
         |('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
         |('e_window_pct', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,pct_rank:double,cume:double'),
         |('e_window_range', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,n_nearby:bigint,cheapest_key:bigint'),

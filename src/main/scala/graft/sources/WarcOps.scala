@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.CorpusOps
+
+/** WARC (ISO 28500) container parsing — the entry format of every real
+  * crawl corpus (Common Crawl ships ~64k WARC files per monthly crawl;
+  * a pipeline that starts "from HTML" actually starts from WARC).
+  *
+  * Production shape at 100 TB: WARC files are independently-readable
+  * concatenated record streams (~1 GB each, typically gzip members per
+  * record); `spark.read.format("binaryFile")` yields one row per file
+  * and [[WarcOps.parseWarcBlobs]] flat-maps each blob into records —
+  * per-file sequential parse (the format is a stream; records locate
+  * only via Content-Length), parallelism ACROSS files, zero shuffle
+  * before the first relational operator. The fixture gate synthesizes
+  * REAL WARC bytes from document arithmetic (the e_multimodal_png
+  * discipline) and runs the same parser.
+  *
+  * The parser is strict: it honors Content-Length byte counts rather
+  * than splitting on blank lines — the synthesized payloads embed a
+  * literal CRLFCRLF and the text "WARC/1.0" precisely so a naive
+  * delimiter splitter fails the gate.
+  */
+object WarcOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One parsed WARC record. `headers` keeps original order-independent
+    * name→value pairs; `n_headers` pins the count the gate checks.
+    */
+  final case class WarcRecord(
+      warc_file: Long,
+      warc_type: String,
+      record_id: String,
+      target_uri: String,
+      n_headers: Int,
+      payload: String)
+
+  /** Parse one WARC blob (a full file's bytes) into records. Strict:
+    * every record must open with `WARC/1.0`, carry a parseable
+    * Content-Length, and close with CRLFCRLF — a torn file fails
+    * loudly, it does not silently yield partial records.
+    */
+  def parseRecords(warcFile: Long, blob: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos + 1 < blob.length &&
+        !(blob(pos) == '\r' && blob(pos + 1) == '\n')) pos += 1
+      require(pos + 1 < blob.length, s"unterminated header line at $start")
+      val s = new String(blob, start, pos - start, "UTF-8")
+      pos += 2
+      s
+    }
+    while (pos < blob.length) {
+      val version = line()
+      require(version == "WARC/1.0", s"bad WARC version line: '$version'")
+      val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var h = line()
+      while (h.nonEmpty) {
+        val i = h.indexOf(':')
+        require(i > 0, s"malformed WARC header: '$h'")
+        headers(h.substring(0, i).trim) = h.substring(i + 1).trim
+        h = line()
+      }
+      val cl = headers.getOrElse("Content-Length",
+        sys.error("missing Content-Length")).toInt
+      require(pos + cl + 4 <= blob.length, "payload exceeds blob")
+      val payload = new String(blob, pos, cl, "UTF-8")
+      pos += cl
+      require(blob(pos) == '\r' && blob(pos + 1) == '\n' &&
+        blob(pos + 2) == '\r' && blob(pos + 3) == '\n',
+        s"record at $pos not closed by CRLFCRLF")
+      pos += 4
+      out += WarcRecord(warcFile,
+        headers.getOrElse("WARC-Type", ""),
+        headers.getOrElse("WARC-Record-ID", ""),
+        headers.getOrElse("WARC-Target-URI", ""),
+        headers.size, payload)
+    }
+    out.toSeq
+  }
+
+  /** Flat-map a (warc_file, blob BINARY) frame into records — the
+    * per-file codec step (the honest non-relational seam, like the PNG
+    * decode): record boundaries exist only as byte offsets, so this
+    * cannot be a Column expression; everything downstream is.
+    */
+  def parseWarcBlobs(files: DataFrame): Dataset[WarcRecord] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("warc_file").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (f, b) => parseRecords(f, b) }
+  }
+
+  /** Synthesize REAL WARC file blobs from the documents table, pure
+    * column arithmetic: per doc one `response` record whose payload is
+    * an HTTP/1.1 response (status 200, or 404 when doc_id % 4 = 1)
+    * carrying the [[CorpusOps.synthHtml]] page, plus a trailing
+    * CRLFCRLF + `<!-- WARC/1.0 trap -->` INSIDE the counted payload —
+    * the naive-splitter trap. Records group into 16 files (warcinfo
+    * record first, then responses in doc_id order).
+    */
+  def synthWarcFiles(docs: DataFrame): DataFrame = {
+    val crlf = "\r\n"
+    val status = when(pmod(col("doc_id"), lit(4L)) === 1, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val html = concat(
+      CorpusOps.synthHtml(col("text"), col("doc_id")),
+      lit(crlf + crlf + "<!-- WARC/1.0 trap -->"))
+    val http = concat(
+      lit("HTTP/1.1 "), status, lit(crlf),
+      lit("Content-Type: text/html" + crlf + crlf),
+      html)
+    val uri = concat(lit("https://site"), pmod(col("doc_id"), lit(7L)),
+      lit(".example.org/doc/"), col("doc_id"))
+    val rec = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: response" + crlf),
+      concat(lit("WARC-Record-ID: <urn:graft:"), col("doc_id"),
+        lit(">" + crlf)),
+      concat(lit("WARC-Target-URI: "), uri, lit(crlf)),
+      lit("WARC-Date: 2026-01-01T00:00:00Z" + crlf),
+      lit("Content-Type: application/http; msgtype=response" + crlf),
+      concat(lit("Content-Length: "), octet_length(http).cast("string"),
+        lit(crlf + crlf)),
+      http, lit(crlf + crlf))
+    val info = "graft-crawl"
+    val warcinfo = s"WARC/1.0${crlf}WARC-Type: warcinfo${crlf}" +
+      s"Content-Length: ${info.getBytes("UTF-8").length}$crlf$crlf$info$crlf$crlf"
+    docs
+      .select(pmod(col("doc_id"), lit(16L)).as("warc_file"),
+        col("doc_id"), rec.as("rec"))
+      .groupBy("warc_file")
+      .agg(concat(lit(warcinfo),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "")).as("blob"))
+  }
+
+  /** Gate row: synthesize → parse → keep HTTP 200 responses → extract
+    * the page text → round-trip contract. The oracle states the
+    * CONTRACT in document arithmetic (md5(text) recovered byte-for-byte
+    * through WARC framing + HTTP head + HTML extraction; header count
+    * and status are synthesis constants), so a parser that mis-frames a
+    * single record, trips on the embedded CRLFCRLF/`WARC/1.0` trap, or
+    * miscounts Content-Length turns the row red.
+    */
+  private val warcParse: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val recs = parseWarcBlobs(synthWarcFiles(docs)).toDF()
+    recs
+      .where(col("warc_type") === "response")
+      .withColumn("http_status",
+        regexp_extract(col("payload"), "^HTTP/1\\.1 (\\d+)", 1).cast("int"))
+      .where(col("http_status") === 200)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("http_status"),
+        col("n_headers").cast("long").as("n_warc_headers"),
+        md5(CorpusOps.htmlExtract(col("payload").substr(
+          instr(col("payload"), "\r\n\r\n") + lit(4),
+          length(col("payload"))))).as("extracted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e_warc_parse" -> warcParse)
+
+  val oracles: Map[String, String] = Map(
+    "e_warc_parse" ->
+      """SELECT doc_id, 200 AS http_status, 6::BIGINT AS n_warc_headers,
+        |  md5(text) AS extracted_md5
+        |FROM documents WHERE doc_id % 4 <> 1 ORDER BY doc_id""".stripMargin)
+}
