@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryRegistry
 import graft.functions.{ScalarOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, DomainOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, ReferenceOps, RelationalOps, RetrievalOps, SetJoinOps, SimilarityOps, SkewOps, SubqueryOps}
+import graft.operators.{AsOfOps, CdcOps, CorpusOps, DedupOps, DomainOps, EventAnalytics, FuzzyJoinOps, GraphOps, LayoutOps, PrepOps, QualityModelOps, ReferenceOps, RelationalOps, RetrievalOps, SetJoinOps, SimilarityOps, SkewOps, SubqueryOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3/§7.
@@ -30,7 +30,8 @@ object SparkEntry {
       LayoutOps.queries ++ FuzzyJoinOps.queries ++ CorpusOps.queries ++
       CdcOps.queries ++ GraphOps.queries ++ SetJoinOps.queries ++
       SubqueryOps.queries ++ RetrievalOps.queries ++ DomainOps.queries ++
-      graft.sources.AtomicPublish.queries ++ graft.sources.WarcOps.queries
+      graft.sources.AtomicPublish.queries ++ graft.sources.WarcOps.queries ++
+      QualityModelOps.queries
 
   /** Plan shapes pinned ON THE DRIVER GATE: audit a fixed set of
     * queries whose physical form the 100 TB story depends on and emit
@@ -100,7 +101,7 @@ object SparkEntry {
       CdcOps.oracles ++ GraphOps.oracles ++ SetJoinOps.oracles ++
       SubqueryOps.oracles ++ RetrievalOps.oracles ++ DomainOps.oracles ++
       graft.sources.AtomicPublish.oracles ++ graft.sources.WarcOps.oracles ++
-      Map(
+      QualityModelOps.oracles ++ Map(
     // r_catalog pins the registered-query contract (name, arity,
     // field list) as a VALUES literal. REGENERATE this block whenever a
     // query is added or its schema changes — the driver's hash check
@@ -273,7 +274,9 @@ object SparkEntry {
         |('e_publish_diff', 3, 'diff_kind:string,n_rows:bigint,key_fp:bigint'),
         |('e_publish_roundtrip', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_quality_gate', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |('e_quality_infer', 4, 'doc_id:bigint,score:double,pred:int,label:int'),
         |('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
+        |('e_quality_train', 5, 'iter:int,w0:double,w1:double,w2:double,w3:double'),
         |('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
         |('e_range_join', 2, 'event_id:bigint,n_recent_clicks:bigint'),
         |('e_rebalance', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
