@@ -608,7 +608,84 @@ object RetrievalOps {
 
   private val hybridQ: Q = (spark, dir) => hybridRetrieval(spark, dir)
 
+  // ------------------------------------------------------------------
+  // MMR diversified reranking
+  // ------------------------------------------------------------------
+
+  /** MMR parameters: candidate depth n, selections k, relevance weight
+    * λ. λ and (1−λ) are BOTH pinned as literals (0.7 / 0.3): computing
+    * 1.0 − 0.7 in IEEE gives 0.30000000000000004, and the two engines
+    * must multiply by the SAME double.
+    */
+  val MmrN = 8
+  val MmrK = 4
+  val MmrLambda = 0.7
+  val MmrOneMinus = 0.3
+  private[graft] val MmrQueryIds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L)
+
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity move a RAG pipeline runs on its
+    * retrieved candidates: greedily pick k of the top-n, each step
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so
+    * near-duplicate passages don't crowd the context window.
+    *
+    * Shape at 100 TB: the expensive part is the candidate top-n —
+    * the ALREADY-BOUNDED [[SimilarityOps.knnJoin]] pipeline (or the
+    * persisted-index bulk probe for big query sets); the greedy loop
+    * is inherently sequential in k but runs on ≤ n candidates PER
+    * QUERY — a per-group computation distributed across queries
+    * (flatMapGroups over ≤ |queries|·n rows), never a driver loop and
+    * never an unbounded state. Determinism: rel comes 6-dp rounded
+    * from the proven knnJoin replay; pairwise sims round the same
+    * cosine to 6 dp; the selection compares fixed-order doubles with
+    * doc_id tie-breaks.
+    */
+  def mmrRerank(emb: DataFrame, queryIds: Seq[Long] = MmrQueryIds,
+      n: Int = MmrN, k: Int = MmrK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cands = SimilarityOps.knnJoin(emb, k = n, queryIds = Some(queryIds))
+    // re-attach candidate vectors: the candidate frame is ≤ |q|·n rows
+    // — broadcast it into the embeddings scan, never the reverse
+    val withVec = emb
+      .join(broadcast(cands), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("nn_rank"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Long, Double, Int, Seq[Double])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(_._4) // nn_rank order = (rel desc, id)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        (1 to math.min(k, cs.length)).map { t =>
+          val scored = remaining.map { c =>
+            val maxsim =
+              if (selected.isEmpty) 0.0
+              else selected.map(s =>
+                round6(graft.functions.VectorOps.cosineSeq(c._5, s._2))).max
+            (MmrLambda * c._3 - MmrOneMinus * maxsim, c)
+          }
+          val best = scored.reduceLeft { (a, b) =>
+            if (b._1 > a._1 || (b._1 == a._1 && b._2._2 < a._2._2)) b else a
+          }
+          selected += ((best._2._2, best._2._5))
+          remaining -= best._2
+          (qid, t, best._2._2, best._2._3, best._1)
+        }
+      }
+      .toDF("query_id", "mmr_rank", "doc_id", "rel", "mmr_score")
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  private val mmrQ: Q = (spark, dir) =>
+    mmrRerank(Tables.load(spark, dir, "embeddings"))
+
   val queries: Map[String, Q] = Map(
+    "e_retrieval_mmr" -> mmrQ,
     "e_bm25_topk" -> bm25TopkQ,
     "e_bm25_multi" -> bm25MultiQ,
     "e_bm25_incr" -> bm25IncrQ,
@@ -616,6 +693,68 @@ object RetrievalOps {
     "e_hybrid_retrieval" -> hybridQ,
     "e_retrieval_eval" -> retrievalEvalQ,
   )
+
+  /** DuckDB replay of [[mmrRerank]]: the candidate CTE is the proven
+    * e_knn_join replay at depth [[MmrN]]; then one (maxsim, pool,
+    * selection, cumulative-selected) CTE quartet per greedy step, every
+    * expression the same fixed-order double arithmetic (λ/1−λ pinned as
+    * the literals 0.7/0.3 on both sides).
+    */
+  private def mmrOracle: String = {
+    val qids = MmrQueryIds.mkString(", ")
+    val steps = (2 to MmrK).map { t =>
+      s"""ms$t AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    max(round(list_cosine_similarity(c.v, s.v), 6)) AS maxsim
+         |  FROM cand c JOIN selall${t - 1} s ON s.q_id = c.q_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall${t - 1} x
+         |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.q_id, c.vec_id
+         |), pool$t AS (
+         |  SELECT c.q_id, c.vec_id, c.cos_sim, c.v,
+         |    CAST($MmrLambda AS DOUBLE) * c.cos_sim
+         |      - CAST($MmrOneMinus AS DOUBLE) * m.maxsim AS mmr_score
+         |  FROM cand c JOIN ms$t m ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+         |), sel$t AS (
+         |  SELECT q_id, vec_id, $t AS mmr_rank, cos_sim, v, mmr_score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY mmr_score DESC, vec_id) AS rn FROM pool$t)
+         |  WHERE rn = 1
+         |), selall$t AS (
+         |  SELECT q_id, vec_id, v FROM selall${t - 1}
+         |  UNION ALL SELECT q_id, vec_id, v FROM sel$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MmrK).map(t =>
+      s"SELECT q_id AS query_id, mmr_rank, vec_id AS doc_id, " +
+        s"cos_sim AS rel, mmr_score FROM sel$t").mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id IN ($qids)
+       |), scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+       |      AS cos_sim,
+       |    e.embedding::DOUBLE[] AS v
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+       |), cand AS (
+       |  SELECT q_id, vec_id, cos_sim, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS nn_rank FROM scored)
+       |  WHERE nn_rank <= $MmrN
+       |), sel1 AS (
+       |  SELECT q_id, vec_id, 1 AS mmr_rank, cos_sim, v,
+       |    CAST($MmrLambda AS DOUBLE) * cos_sim
+       |      - CAST($MmrOneMinus AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr_score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY CAST($MmrLambda AS DOUBLE) * cos_sim DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn = 1
+       |), selall1 AS (SELECT q_id, vec_id, v FROM sel1),
+       |$steps
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY query_id, mmr_rank""".stripMargin
+  }
 
   /** The 2-term default queries in N-term form — ONE canonical term
     * ordering ([[canonTerms]]) feeds the engine's qdf and every
@@ -788,5 +927,6 @@ object RetrievalOps {
     "e_bm25_compact" -> bm25Oracle,
     "e_hybrid_retrieval" -> hybridOracle,
     "e_retrieval_eval" -> retrievalEvalOracle,
+    "e_retrieval_mmr" -> mmrOracle,
   )
 }
