@@ -243,6 +243,7 @@ object SparkEntry {
         |('e_lang_confusion', 3, 'lang:string,pred_lang:string,n_docs:bigint'),
         |('e_lang_id', 6, 'doc_id:bigint,score_en:bigint,score_de:bigint,score_es:bigint,score_fr:bigint,pred_lang:string'),
         |('e_length_quantiles', 4, 'lang:string,p25:bigint,p50:bigint,p90:bigint'),
+        |('e_link_extract', 3, 'src_doc:bigint,dst_doc:bigint,link_url:string'),
         |('e_lm_score', 3, 'doc_id:bigint,n_bigrams:bigint,lm_score:double'),
         |('e_mad', 4, 'event_type:string,n:bigint,median:double,mad:double'),
         |('e_markov', 4, 'from_type:string,to_type:string,cnt:bigint,p:double'),
@@ -264,6 +265,7 @@ object SparkEntry {
         |('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),
         |('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_pagerank', 2, 'node:bigint,pr:double'),
+        |('e_pagerank_links', 2, 'node:bigint,pr:double'),
         |('e_partition_prune', 3, 'event_type:string,cnt:bigint,sum_value:double'),
         |('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |('e_pipeline_crawl', 3, 'source:string,n_docs:bigint,total_chars:bigint'),

@@ -190,14 +190,110 @@ object DomainOps {
     domainReport(Tables.load(spark, dir, "documents"))
       .orderBy("source")
 
+  // ---------------------------------------------------------------
+  // Link extraction — the crawl-frontier / link-graph step
+  // ---------------------------------------------------------------
+
+  /** Deterministic LINKED page per doc: [[CorpusOps.synthHtml]] with an
+    * in-body anchor block injected before the footer — 1 + doc_id % 4
+    * anchors, anchor j a ROOT-RELATIVE href to doc (doc_id + 13·j)
+    * mod n carrying unsorted params and a fragment (so extraction must
+    * resolve AND canonicalize, not just regex). The nav block's "/" and
+    * "/about" links stay in the page — an extractor that can't scope to
+    * in-corpus links drags them into the graph.
+    */
+  private[graft] def synthLinkedPage(text: Column, docId: Column,
+      n: Long): Column = {
+    val nLinks = (pmod(docId, lit(4L)) + 1).cast("int")
+    val anchors = transform(sequence(lit(1), nLinks), j =>
+      concat(lit("<a class=\"r\" href=\"/doc/"),
+        pmod(docId + lit(13L) * j, lit(n)),
+        lit("?b=2&a=1#r"), j, lit("\">ref "), j, lit("</a>")))
+    // literal (non-regex) replace: splice the anchors ahead of the footer
+    org.apache.spark.sql.functions.replace(
+      CorpusOps.synthHtml(text, docId), lit("<footer>"),
+      concat(array_join(anchors, " "), lit("<footer>")))
+  }
+
+  /** Extract every `<a href>` from an HTML column, resolve root-relative
+    * hrefs against the page's own URL (absolute hrefs pass through,
+    * other relative forms are out of scope and dropped), and
+    * canonicalize with [[urlCanonicalize]] — the step that turns crawl
+    * payloads into a URL frontier and a link graph. Pure codegen'd
+    * per-row work: regexp_extract_all + explode + parse_url; zero
+    * shuffle, scan-speed at 100 TB.
+    */
+  def linkExtract(pages: DataFrame, htmlCol: String = "html",
+      baseCol: String = "base_url"): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol),
+      lit("<a\\s[^>]*href=\"([^\"]*)\""), lit(1))
+    val origin = concat(lower(parse_url(col(baseCol), lit("PROTOCOL"))),
+      lit("://"), lower(parse_url(col(baseCol), lit("HOST"))))
+    pages.withColumn("href", explode(hrefs))
+      .withColumn("resolved",
+        when(col("href").startsWith("/"), concat(origin, col("href")))
+          .when(col("href").contains("://"), col("href"))
+          .otherwise(lit(null)))
+      .where(col("resolved").isNotNull)
+      .withColumn("link_url", urlCanonicalize(col("resolved")))
+  }
+
+  /** The in-corpus link graph as (src, dst) doc edges — shared by the
+    * e_link_extract gate and the directed-PageRank composition
+    * ([[GraphOps]]'s e_pagerank_links). The modulus n is one bounded
+    * driver scalar (the pageRank |V| discipline).
+    */
+  private[graft] def linkEdgesWithUrl(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    val pages = docs.select(col("doc_id"),
+      concat(lit("https://site"), pmod(col("doc_id"), lit(7L)),
+        lit(".example.org/page/"), col("doc_id")).as("base_url"),
+      synthLinkedPage(col("text"), col("doc_id"), n).as("html"))
+    // nullif-guarded extraction: a downstream predicate on dst_doc can
+    // merge with (and reorder against) the scope filter, so the cast
+    // must be NULL-safe on out-of-corpus links (ANSI cast of '' throws)
+    linkExtract(pages)
+      .withColumn("dst_doc",
+        nullif(regexp_extract(col("link_url"), "/doc/([0-9]+)", 1),
+          lit("")).cast("long"))
+      .where(col("dst_doc").isNotNull)
+      .select(col("doc_id").as("src_doc"), col("dst_doc"), col("link_url"))
+  }
+
+  private val linkExtractQ: Q = (spark, dir) =>
+    linkEdgesWithUrl(spark, dir).orderBy("src_doc", "dst_doc")
+
   val queries: Map[String, Q] = Map(
     "e_domain_cap" -> domainCapQ,
     "e_domain_report" -> domainReportQ,
     "e_url_canon" -> urlCanonQ,
     "e_pipeline_crawl" -> crawlPipelineQ,
+    "e_link_extract" -> linkExtractQ,
   )
 
+  /** Shared link-graph arithmetic CTEs: anchor j exists iff
+    * j ≤ 1 + doc_id % 4, dst = (doc_id + 13·j) mod |docs| — the oracle
+    * needs no HTML/URL machinery because synthesis is arithmetic and
+    * extraction must round-trip it.
+    */
+  private[graft] def linkEdgeCtes: String =
+    """ln AS (SELECT count(*) AS c FROM documents),
+      |edges AS (
+      |  SELECT d.doc_id AS src_doc,
+      |    (d.doc_id + 13 * j.j) % (SELECT c FROM ln) AS dst_doc
+      |  FROM documents d, (VALUES (1), (2), (3), (4)) j(j)
+      |  WHERE j.j <= 1 + d.doc_id % 4
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "e_link_extract" ->
+      s"""WITH $linkEdgeCtes
+         |SELECT src_doc, dst_doc,
+         |  'https://site' || (src_doc % 7) || '.example.org/doc/' ||
+         |    dst_doc || '?a=1&b=2' AS link_url
+         |FROM edges ORDER BY src_doc, dst_doc""".stripMargin,
     // the canonical form reconstructed by pure doc_id arithmetic (the
     // synthesis is arithmetic, so the oracle needs no URL machinery),
     // then the same first-seen rank over it — twins must collapse

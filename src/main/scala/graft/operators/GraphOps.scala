@@ -183,9 +183,52 @@ object GraphOps {
   private val pageRankQ: Q = (spark, dir) =>
     pageRank(coPurchaseEdges(Tables.load(spark, dir, "lineitem")))
 
+  /** DIRECTED PageRank — the crawl-link-graph composition (extract
+    * links from the synthesized pages, rank pages by incoming link
+    * mass). Same determinism contract as [[pageRank]]; the directed
+    * form additionally LEFT-joins the node set each iteration so a
+    * zero-INdegree page settles at the base rank instead of silently
+    * vanishing from the frame. Contract: every node must have
+    * outdeg ≥ 1 (no dangling-mass redistribution) — true of the
+    * extracted fixture graph by construction (1 + doc_id % 4 outlinks
+    * per page) and of any frontier that only ranks CRAWLED pages.
+    */
+  def pageRankDirected(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = PrDamping): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.storage.StorageLevel
+    val dir = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.DISK_ONLY)
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.DISK_ONLY)
+    val n = deg.count()
+    val base = (1.0 - damping) / n
+    var rank = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = dir
+        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          (col("r") / col("outdeg")).cast(DecimalType(28, 16)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("sm"))
+      rank = deg.select(col("src").as("node"))
+        .join(sums, Seq("node"), "left_outer")
+        .select(col("node"), round(lit(base) + lit(damping) *
+          coalesce(col("sm").cast("double"), lit(0.0)), 12).as("r"))
+    }
+    rank.select(col("node"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("node"))
+  }
+
+  private val pageRankLinksQ: Q = (spark, dir) =>
+    pageRankDirected(DomainOps.linkEdgesWithUrl(spark, dir)
+      .select(col("src_doc").as("src"), col("dst_doc").as("dst")))
+
   val queries: Map[String, Q] = Map(
     "e_triangles" -> trianglesQ,
     "e_pagerank" -> pageRankQ,
+    "e_pagerank_links" -> pageRankLinksQ,
   )
 
   /** The oracle counts triangles WITHOUT the orientation machinery
@@ -250,8 +293,44 @@ object GraphOps {
        |ORDER BY pr DESC, node""".stripMargin
   }
 
+  /** DuckDB replay of [[pageRankDirected]] over the extracted link
+    * graph: the arithmetic edge CTEs ([[DomainOps.linkEdgeCtes]] — the
+    * extraction must round-trip them, proven by e_link_extract) + the
+    * same per-iteration chain with the LEFT-joined node frame.
+    */
+  private def pageRankLinksOracle: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST($PrDamping AS DOUBLE))
+         |        / (SELECT c FROM n)
+         |      + CAST($PrDamping AS DOUBLE) *
+         |        coalesce(CAST(s.sm AS DOUBLE), CAST(0.0 AS DOUBLE)), 12)
+         |      AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT dir.dst, sum(CAST(p.r / deg.outdeg AS DECIMAL(28,16)))
+         |      AS sm
+         |    FROM dir JOIN r${k - 1} p ON dir.src = p.node
+         |    JOIN deg ON dir.src = deg.src
+         |    GROUP BY dir.dst) s ON s.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DomainOps.linkEdgeCtes},
+       |dir AS (SELECT src_doc AS src, dst_doc AS dst FROM edges),
+       |deg AS (SELECT src, count(*) AS outdeg FROM dir GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM deg),
+       |nodes AS (SELECT src AS node FROM deg),
+       |r0 AS (
+       |  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS r
+       |  FROM deg
+       |),
+       |$iters
+       |SELECT node, r AS pr FROM r$PrIters
+       |ORDER BY pr DESC, node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "e_pagerank" -> pageRankOracle,
+    "e_pagerank_links" -> pageRankLinksOracle,
     "e_triangles" ->
       s"""WITH $edgeCtes,
         |deg AS (
