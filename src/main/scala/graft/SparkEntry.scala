@@ -285,6 +285,7 @@ object SparkEntry {
         |('e_rebalance_topk', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),
         |('e_regex_funcs', 4, 'p_partkey:bigint,first_word:string,n_vowels:bigint,len_novowels:bigint'),
         |('e_repetition', 3, 'doc_id:bigint,rep_bigram:double,rep_token:double'),
+        |('e_robots_filter', 4, 'doc_id:bigint,domain:string,path:string,allowed:boolean'),
         |('e_retrieval_eval', 6, 'query_id:int,n_gold:bigint,n_hits:bigint,recall_at_10:double,precision_at_10:double,mrr:double'),
         |('e_retrieval_mmr', 5, 'query_id:bigint,mmr_rank:int,doc_id:bigint,rel:double,mmr_score:double'),
         |('e_rolling_7d', 4, 'event_type:string,day:timestamp,n_7d:bigint,v_7d:double'),

@@ -265,12 +265,106 @@ object DomainOps {
   private val linkExtractQ: Q = (spark, dir) =>
     linkEdgesWithUrl(spark, dir).orderBy("src_doc", "dst_doc")
 
+  // ---------------------------------------------------------------
+  // robots.txt politeness filtering (RFC 9309)
+  // ---------------------------------------------------------------
+
+  /** Deterministic robots.txt TEXT per domain h (the synthHtml/WARC
+    * discipline — build the real artifact, parse it with the real
+    * parser): a `googlebot` group that disallows everything (must be
+    * IGNORED — we are the `*` agent), then the `*` group with
+    * `Disallow: /private/` everywhere, `Disallow: /doc/` +
+    * `Allow: /doc/open` on h % 3 = 0 domains (the longest-match +
+    * allow-wins probe), and an EMPTY `Disallow:` on h % 5 = 0 domains
+    * (RFC: empty pattern = no restriction — a naive parser that turns
+    * it into "block everything with prefix ''" fails the gate).
+    */
+  private[graft] def synthRobotsTxt(h: Column): Column = concat(
+    lit("User-agent: googlebot\nDisallow: /\n\n"),
+    lit("User-agent: *\nDisallow: /private/\n"),
+    when(pmod(h, lit(3L)) === 0,
+      lit("Disallow: /doc/\nAllow: /doc/open\n")).otherwise(lit("")),
+    when(pmod(h, lit(5L)) === 0, lit("Disallow:\n")).otherwise(lit("")))
+
+  /** Parse robots.txt text RELATIONALLY: posexplode the lines, scope
+    * each rule to its user-agent group with a running `last(agent)`
+    * window, keep the `*` group's non-empty Allow/Disallow patterns.
+    * Returns (domainCol, allow, path, l) — one tiny frame
+    * (|domains| × ≤4 rules) meant to be aggregated per domain and
+    * broadcast.
+    */
+  def parseRobots(robots: DataFrame, domainCol: String = "h",
+      txtCol: String = "robots_txt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(domainCol),
+      posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(domainCol).orderBy("pos")
+    lines
+      .withColumn("ua", when(col("line").rlike("^[Uu]ser-agent:"),
+        trim(regexp_extract(col("line"), "^[Uu]ser-agent:\\s*(.*)$", 1))))
+      .withColumn("grp", last(col("ua"), ignoreNulls = true).over(w))
+      .where(col("grp") === "*" &&
+        col("line").rlike("^(Allow|Disallow):"))
+      .select(col(domainCol),
+        col("line").startsWith("Allow:").as("allow"),
+        trim(regexp_extract(col("line"),
+          "^(?:Allow|Disallow):\\s*(.*)$", 1)).as("path"))
+      .where(col("path") =!= "") // RFC 9309: empty pattern = no rule
+      .withColumn("l", length(col("path")))
+  }
+
+  /** Decide allowed/blocked for a URL-path frontier against parsed
+    * rules — RFC 9309 longest-match, Allow wins ties, no match allows.
+    * The rules aggregate to ONE array per domain (|domains| rows,
+    * broadcast) and the decision is a codegen'd fold over ≤k rules per
+    * frontier row: zero shuffle on the frontier at any scale.
+    */
+  def robotsFilter(frontier: DataFrame, rules: DataFrame,
+      domainCol: String = "h", pathCol: String = "path"): DataFrame = {
+    val ruleArr = rules.groupBy(domainCol)
+      .agg(sort_array(collect_list(
+        struct(col("l"), col("allow"), col("path")))).as("rules"))
+    val init = struct(lit(-1).cast("int").as("l"),
+      lit(true).as("allow"), lit("").as("path"))
+    val best = aggregate(
+      coalesce(col("rules"),
+        array().cast("array<struct<l:int,allow:boolean,path:string>>")),
+      init,
+      (acc, r) => when(
+        col(pathCol).startsWith(r.getField("path")) &&
+          (r.getField("l") > acc.getField("l") ||
+            (r.getField("l") === acc.getField("l") &&
+              r.getField("allow"))), r).otherwise(acc))
+    frontier.join(broadcast(ruleArr), Seq(domainCol), "left_outer")
+      .withColumn("allowed", best.getField("allow"))
+      .drop("rules")
+  }
+
+  private val robotsQ: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val doms = docs.select(pmod(col("doc_id"), lit(20L)).as("h")).distinct()
+    val rules = parseRobots(
+      doms.withColumn("robots_txt", synthRobotsTxt(col("h"))))
+    val frontier = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(20L)).as("h"),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit("/private/p"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("/doc/open"), col("doc_id")))
+        .otherwise(concat(lit("/doc/d"), col("doc_id"))).as("path"))
+    robotsFilter(frontier, rules)
+      .select(col("doc_id"), concat(lit("site"), col("h")).as("domain"),
+        col("path"), col("allowed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_domain_cap" -> domainCapQ,
     "e_domain_report" -> domainReportQ,
     "e_url_canon" -> urlCanonQ,
     "e_pipeline_crawl" -> crawlPipelineQ,
     "e_link_extract" -> linkExtractQ,
+    "e_robots_filter" -> robotsQ,
   )
 
   /** Shared link-graph arithmetic CTEs: anchor j exists iff
@@ -288,6 +382,36 @@ object DomainOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle states the RULES as arithmetic (parsing must recover
+    // them — googlebot group ignored, empty Disallow dropped) and the
+    // RFC 9309 decision as a longest-match window (l DESC, allow DESC)
+    "e_robots_filter" ->
+      """WITH doms AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+        |rules AS (
+        |  SELECT h, FALSE AS allow, '/private/' AS path FROM doms
+        |  UNION ALL SELECT h, FALSE, '/doc/' FROM doms WHERE h % 3 = 0
+        |  UNION ALL SELECT h, TRUE, '/doc/open' FROM doms WHERE h % 3 = 0
+        |), urls AS (
+        |  SELECT doc_id, doc_id % 20 AS h,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '/private/p' || doc_id
+        |      WHEN 1 THEN '/doc/open' || doc_id
+        |      ELSE '/doc/d' || doc_id END AS path
+        |  FROM documents
+        |), matched AS (
+        |  SELECT u.doc_id, r.allow, length(r.path) AS l
+        |  FROM urls u JOIN rules r
+        |    ON r.h = u.h AND starts_with(u.path, r.path)
+        |), best AS (
+        |  SELECT doc_id, allow FROM (
+        |    SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY l DESC, allow DESC) AS rn FROM matched)
+        |  WHERE rn = 1
+        |)
+        |SELECT u.doc_id, 'site' || u.h AS domain, u.path,
+        |  coalesce(b.allow, TRUE) AS allowed
+        |FROM urls u LEFT JOIN best b USING (doc_id)
+        |ORDER BY u.doc_id""".stripMargin,
     "e_link_extract" ->
       s"""WITH $linkEdgeCtes
          |SELECT src_doc, dst_doc,
