@@ -45,7 +45,10 @@ object SparkEntry {
     "e_ann_bulk_pq",
     "e_ann_filtered",
     "e_ann_ivf_persisted",
+    "e_badwords",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
+    "e_link_extract", "e_quality_infer", "e_retrieval_mmr",
+    "e_robots_filter", "e_warc_parse",
     "e_dedup_exact", "e_dedup_paragraph", "e_dedup_paragraph_h",
     "e_dedup_spans", "e_dedup_spans_h", "e_dedup_substring",
     "e_dedup_substring_h",
@@ -115,6 +118,7 @@ object SparkEntry {
         |('e_ann_bulk_pq', 2, 1, 0, 2, 1),
         |('e_ann_filtered', 0, 0, 0, 1, 1),
         |('e_ann_ivf_persisted', 0, 0, 0, 1, 1),
+        |('e_badwords', 1, 0, 0, 1, 0),
         |('e_bm25_topk', 3, 2, 0, 2, 0),
         |('e_bucketed_join', 2, 0, 0, 2, 0),
         |('e_collapse_repeats', 1, 0, 0, 1, 0),
@@ -130,10 +134,14 @@ object SparkEntry {
         |('e_jaccard_join', 5, 3, 6, 0, 0),
         |('e_join_broadcast', 1, 1, 0, 2, 0),
         |('e_knn_classify', 4, 2, 1, 3, 1),
+        |('e_link_extract', 1, 0, 0, 1, 0),
         |('e_merge_upsert', 1, 1, 0, 3, 0),
         |('e_multimodal_dedup', 5, 2, 0, 0, 0),
         |('e_partition_prune', 2, 0, 0, 1, 1),
         |('e_pii_redact', 1, 0, 0, 1, 0),
+        |('e_quality_infer', 1, 0, 0, 1, 0),
+        |('e_retrieval_mmr', 3, 2, 0, 3, 0),
+        |('e_robots_filter', 2, 1, 1, 2, 0),
         |('e_tfidf', 5, 1, 1, 2, 0),
         |('e_topk', 0, 0, 0, 1, 0),
         |('e_tpch_q1', 2, 0, 0, 1, 0),
@@ -142,6 +150,7 @@ object SparkEntry {
         |('e_tpch_q3', 1, 2, 0, 3, 0),
         |('e_tpch_q8', 2, 7, 0, 8, 0),
         |('e_triangles', 8, 2, 0, 0, 0),
+        |('e_warc_parse', 2, 0, 0, 1, 0),
         |('e_window_running', 2, 0, 1, 1, 0),
         |('r_jdbc_two_backends', 2, 2, 0, 1, 0),
         |('r_soql_proj', 1, 0, 0, 1, 0)
