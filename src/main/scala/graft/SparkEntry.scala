@@ -278,6 +278,7 @@ object SparkEntry {
         |('e_partition_prune', 3, 'event_type:string,cnt:bigint,sum_value:double'),
         |('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |('e_pipeline_crawl', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
+        |('e_pipeline_warc', 3, 'domain:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),
         |('e_pivot', 6, 'day:timestamp,click:bigint,view:bigint,signup:bigint,purchase:bigint,error:bigint'),

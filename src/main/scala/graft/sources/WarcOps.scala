@@ -169,12 +169,72 @@ object WarcOps {
       .orderBy("doc_id")
   }
 
+  /** THE WARC-rooted curation composition — the production crawl
+    * pipeline end to end: WARC files → record codec → HTTP-200
+    * responses only → HTML text extraction → quality gate on the
+    * EXTRACTED text (the e_pipeline_e2e thresholds) → Aho–Corasick
+    * content blocklist → per-domain survivor rollup, with the domain
+    * read from the WARC-Target-URI (not from arithmetic — the parser
+    * must recover it). Every stage is individually oracle-proven
+    * (e_warc_parse, e_html_extract, e_quality_gate, e_badwords,
+    * e_domain_report); this row proves they COMPOSE in one plan after
+    * the per-file codec seam. Because extraction round-trips, the
+    * oracle runs the whole downstream chain on the original text.
+    */
+  private val warcPipeline: Q = (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val recs = parseWarcBlobs(synthWarcFiles(docs)).toDF()
+    val pages = recs
+      .where(col("warc_type") === "response")
+      .where(regexp_extract(col("payload"), "^HTTP/1\\.1 (\\d+)", 1) === "200")
+      .select(
+        substring_index(lower(parse_url(col("target_uri"), lit("HOST"))),
+          ".", 1).as("domain"),
+        CorpusOps.htmlExtract(col("payload").substr(
+          instr(col("payload"), "\r\n\r\n") + lit(4),
+          length(col("payload")))).as("text"))
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0))
+    val clean = pages
+      .where(length(col("text")) >= 100 && alphaRatio >= 0.8)
+      .where(size(graft.functions.AhoMatches.blocklistHits(spark,
+        lower(col("text")), graft.functions.TextOps.BadPhrases)) === 0)
+    clean.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, Q] = Map(
-    "e_warc_parse" -> warcParse)
+    "e_warc_parse" -> warcParse,
+    "e_pipeline_warc" -> warcPipeline)
+
+  private def warcPipelineOracle: String = {
+    val vals = graft.functions.TextOps.BadPhrases
+      .map(p => s"('$p')").mkString(", ")
+    s"""WITH p(phrase) AS (VALUES $vals),
+       |base AS (
+       |  SELECT text, 'site' || (doc_id % 7) AS domain
+       |  FROM documents WHERE doc_id % 4 <> 1
+       |), gated AS (
+       |  SELECT domain, text FROM base
+       |  WHERE length(text) >= 100
+       |    AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+       |        / GREATEST(length(text)::DOUBLE, 1.0) >= 0.8
+       |    AND NOT EXISTS (SELECT 1 FROM p WHERE
+       |      ' ' || lower(text) || ' ' LIKE '%' || ' ' || p.phrase || ' ' || '%')
+       |)
+       |SELECT domain, count(*)::BIGINT AS n_docs,
+       |  sum(length(text))::BIGINT AS total_chars
+       |FROM gated GROUP BY domain ORDER BY domain""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "e_warc_parse" ->
       """SELECT doc_id, 200 AS http_status, 6::BIGINT AS n_warc_headers,
         |  md5(text) AS extracted_md5
-        |FROM documents WHERE doc_id % 4 <> 1 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id % 4 <> 1 ORDER BY doc_id""".stripMargin,
+    "e_pipeline_warc" -> warcPipelineOracle)
 }
