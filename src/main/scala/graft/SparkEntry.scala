@@ -231,6 +231,7 @@ object SparkEntry {
         |('e_gap_fill', 4, 'event_type:string,hr:timestamp,cnt:bigint,sum_value:double'),
         |('e_group_concat', 3, 'lang:string,sources:string,n_sources:bigint'),
         |('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
+        |('e_hard_negatives', 6, 'query_id:bigint,pos_doc:bigint,neg_doc:bigint,neg_rank:int,sim_to_query:double,sim_to_pos:double'),
         |('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
         |('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
         |('e_html_extract', 3, 'doc_id:bigint,n_paragraphs:bigint,extracted_md5:string'),
@@ -289,6 +290,7 @@ object SparkEntry {
         |('e_quality_infer', 4, 'doc_id:bigint,score:double,pred:int,label:int'),
         |('e_quality_score', 5, 'doc_id:bigint,n_tokens:bigint,stopword_ratio:double,alpha_ratio:double,mean_token_len:double'),
         |('e_quality_train', 5, 'iter:int,w0:double,w1:double,w2:double,w3:double'),
+        |('e_quantile_sketch', 3, 'event_type:string,n:bigint,within_bound:boolean'),
         |('e_quantiles_interp', 3, 'lang:string,p50_interp:double,p90_interp:double'),
         |('e_range_join', 2, 'event_id:bigint,n_recent_clicks:bigint'),
         |('e_rebalance', 4, 'lang:string,n_total:bigint,n_kept:bigint,sum_chars:bigint'),

@@ -264,6 +264,46 @@ object EventAnalytics {
   // search (two full scans, no per-stratum sort) or a t-digest sketch —
   // the window form is right when strata are many or bounded.
   // ---------------------------------------------------------------- //
+  /** GK-sketch accuracy for [[quantileSketch]] (rank error ≤ n/200). */
+  private val QsAccuracy = 200
+
+  /** Mergeable quantile SKETCH with its error bound pinned ON the gate
+    * (the e_ann_recall discipline: the guarantee is a column, not a
+    * comment). `percentile_approx` is Spark's Greenwald–Khanna sketch —
+    * the one-pass mergeable summary that answers any quantile over
+    * 100 TB with rank error ≤ n/accuracy and O(accuracy·log n) state
+    * per group, where the exact median (e_mad's window form) needs a
+    * full per-group sort. The estimate itself is engine-specific, so
+    * the gate audits the GUARANTEE: the estimate's value-rank interval
+    * [#(< est)+1, #(≤ est)] must intersect the target rank ± the bound
+    * — a regression in the sketch (or a silently changed accuracy
+    * knob) turns the row red without the oracle needing to reproduce
+    * sketch internals.
+    */
+  private val quantileSketch: Q = (spark, dir) => {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val est = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(QsAccuracy))
+        .as("approx_med"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(est), "event_type")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("value") < col("approx_med"), 1L).otherwise(0L))
+          .as("lt"),
+        sum(when(col("value") <= col("approx_med"), 1L).otherwise(0L))
+          .as("le"),
+        max("n").as("n"))
+      .select(col("event_type"), col("n"), {
+        val target = floor((col("n") - 1) / lit(2.0)).cast("long") + 1
+        val bound = floor((col("n") + lit(QsAccuracy - 1)) /
+          lit(QsAccuracy.toDouble)).cast("long") + 1
+        ((col("lt") + 1 <= target + bound) &&
+          (col("le") >= target - bound)).as("within_bound")
+      })
+      .orderBy("event_type")
+  }
+
   private val mad: Q = (spark, dir) => {
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val byV = Window.partitionBy("event_type")
@@ -346,6 +386,7 @@ object EventAnalytics {
 
   val queries: Map[String, Q] = Map(
     "e_dau_churn" -> dauChurn,
+    "e_quantile_sketch" -> quantileSketch,
     "e_mad" -> mad,
     "e_markov" -> markov,
     "e_median_hist" -> medianHist,
@@ -402,6 +443,11 @@ object EventAnalytics {
         |SELECT event_type, n::BIGINT AS n, value AS median_hist
         |FROM ranked WHERE rn = k - cb
         |ORDER BY event_type""".stripMargin,
+    // the oracle pins the CONTRACT: every group's sketch estimate must
+    // sit inside its rank bound (within_bound TRUE for all groups)
+    "e_quantile_sketch" ->
+      """SELECT event_type, count(*)::BIGINT AS n, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e_mad" ->
       """WITH ranked AS (
         |  SELECT event_type, event_id, value,

@@ -644,19 +644,28 @@ object RetrievalOps {
     * cosine to 6 dp; the selection compares fixed-order doubles with
     * doc_id tie-breaks.
     */
-  def mmrRerank(emb: DataFrame, queryIds: Seq[Long] = MmrQueryIds,
-      n: Int = MmrN, k: Int = MmrK): DataFrame = {
+  /** Top-n candidates per query with their vectors re-attached: the
+    * candidate frame is ≤ |q|·n rows — broadcast it into the embeddings
+    * scan, never the reverse. Shared by the MMR reranker and the
+    * hard-negative miner.
+    */
+  private def candidatesWithVectors(emb: DataFrame, queryIds: Seq[Long],
+      n: Int): org.apache.spark.sql.Dataset[(Long, Long, Double, Int, Seq[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cands = SimilarityOps.knnJoin(emb, k = n, queryIds = Some(queryIds))
-    // re-attach candidate vectors: the candidate frame is ≤ |q|·n rows
-    // — broadcast it into the embeddings scan, never the reverse
-    val withVec = emb
+    emb
       .join(broadcast(cands), "vec_id")
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("nn_rank"),
         col("embedding").cast("array<double>").as("v"))
       .as[(Long, Long, Double, Int, Seq[Double])]
-    withVec.groupByKey(_._1)
+  }
+
+  def mmrRerank(emb: DataFrame, queryIds: Seq[Long] = MmrQueryIds,
+      n: Int = MmrN, k: Int = MmrK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    candidatesWithVectors(emb, queryIds, n).groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val cs = it.toArray.sortBy(_._4) // nn_rank order = (rel desc, id)
         val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
@@ -684,8 +693,54 @@ object RetrievalOps {
   private val mmrQ: Q = (spark, dir) =>
     mmrRerank(Tables.load(spark, dir, "embeddings"))
 
+  /** Hard-negative mining parameters: candidate depth, negatives kept
+    * per query, and the false-negative ceiling (a candidate MORE
+    * similar than this to the positive is presumed an unlabeled
+    * positive and skipped — the DPR/contrastive-training hygiene rule).
+    */
+  val HnDepth = 8
+  val HnK = 3
+  val HnFalseNegSim = 0.9
+
+  /** Mine (query, positive, hard-negative) triples for contrastive
+    * training: per query the top-1 neighbor is the positive, and the
+    * hard negatives are the NEXT candidates in rank order whose
+    * similarity to the positive stays ≤ [[HnFalseNegSim]] (near-dups
+    * of the positive are false negatives, not hard ones). Same bounded
+    * per-group shape as [[mmrRerank]]: the knnJoin top-n pipeline plus
+    * a ≤ n-row per-query loop, distributed across queries.
+    */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long] = MmrQueryIds,
+      n: Int = HnDepth, k: Int = HnK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    candidatesWithVectors(emb, queryIds, n).groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(_._4)
+        if (cs.isEmpty) Iterator.empty
+        else {
+          val pos = cs.head
+          cs.tail.iterator
+            .map(c => (c, round6(
+              graft.functions.VectorOps.cosineSeq(c._5, pos._5))))
+            .filter(_._2 <= HnFalseNegSim)
+            .take(k)
+            .zipWithIndex
+            .map { case ((c, simPos), i) =>
+              (qid, pos._2, c._2, i + 1, c._3, simPos) }
+        }
+      }
+      .toDF("query_id", "pos_doc", "neg_doc", "neg_rank", "sim_to_query",
+        "sim_to_pos")
+      .orderBy("query_id", "neg_rank")
+  }
+
+  private val hardNegQ: Q = (spark, dir) =>
+    hardNegatives(Tables.load(spark, dir, "embeddings"))
+
   val queries: Map[String, Q] = Map(
     "e_retrieval_mmr" -> mmrQ,
+    "e_hard_negatives" -> hardNegQ,
     "e_bm25_topk" -> bm25TopkQ,
     "e_bm25_multi" -> bm25MultiQ,
     "e_bm25_incr" -> bm25IncrQ,
@@ -754,6 +809,47 @@ object RetrievalOps {
        |SELECT * FROM (
        |$unions
        |) ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[hardNegatives]]: the knnJoin candidate replay
+    * keeping nn_rank, the rank-1 positive, then the rank-ordered
+    * negatives under the false-negative ceiling.
+    */
+  private def hardNegOracle: String = {
+    val qids = MmrQueryIds.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id IN ($qids)
+       |), scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+       |      AS cos_sim,
+       |    e.embedding::DOUBLE[] AS v
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+       |), cand AS (
+       |  SELECT q_id, vec_id, cos_sim, v, nn_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS nn_rank FROM scored)
+       |  WHERE nn_rank <= $HnDepth
+       |), pos AS (
+       |  SELECT q_id, vec_id AS pos_doc, v AS pv FROM cand WHERE nn_rank = 1
+       |), negs AS (
+       |  SELECT c.q_id, p.pos_doc, c.vec_id AS neg_doc,
+       |    c.cos_sim AS sim_to_query,
+       |    round(list_cosine_similarity(c.v, p.pv), 6) AS sim_to_pos,
+       |    c.nn_rank
+       |  FROM cand c JOIN pos p ON p.q_id = c.q_id
+       |  WHERE c.nn_rank >= 2
+       |    AND round(list_cosine_similarity(c.v, p.pv), 6)
+       |        <= CAST($HnFalseNegSim AS DOUBLE)
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY nn_rank) AS neg_rank FROM negs
+       |)
+       |SELECT q_id AS query_id, pos_doc, neg_doc,
+       |  CAST(neg_rank AS INT) AS neg_rank, sim_to_query, sim_to_pos
+       |FROM ranked WHERE neg_rank <= $HnK
+       |ORDER BY query_id, neg_rank""".stripMargin
   }
 
   /** The 2-term default queries in N-term form — ONE canonical term
@@ -928,5 +1024,6 @@ object RetrievalOps {
     "e_hybrid_retrieval" -> hybridOracle,
     "e_retrieval_eval" -> retrievalEvalOracle,
     "e_retrieval_mmr" -> mmrOracle,
+    "e_hard_negatives" -> hardNegOracle,
   )
 }

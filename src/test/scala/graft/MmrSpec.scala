@@ -52,6 +52,22 @@ class MmrSpec extends SparkSpec {
     assert(mmr.exceptAll(top1).isEmpty && top1.exceptAll(mmr).isEmpty)
   }
 
+  test("hard negatives: near-dups of the positive are skipped, rank order kept") {
+    // 10 = positive (rel 0.9...); 11 identical to 10 (sim_to_pos 1.0 >
+    // 0.9 ceiling → skipped); 12 and 13 become negatives in rank order
+    val rows = Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      10L -> Seq(0.9, 0.43589, 0.0, 0.0),
+      11L -> Seq(0.9, 0.43589, 0.0, 0.0),
+      12L -> Seq(0.88, 0.0, 0.47497, 0.0),
+      13L -> Seq(0.5, 0.0, 0.0, 0.86603))
+    val out = RetrievalOps.hardNegatives(embDf(rows), queryIds = Seq(1L),
+      n = 4, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq((10L, 12L, 1), (10L, 13L, 2)),
+      s"expected 11 skipped as a false negative: $out")
+  }
+
   test("selection is partitioning-invariant") {
     val emb = Tables.load(spark, sf, "embeddings")
     val a = RetrievalOps.mmrRerank(emb).collect().toSeq
