@@ -65,7 +65,15 @@ object GraftExtensions {
     (FunctionIdentifier("letter_counts"),
       new ExpressionInfo(classOf[graft.functions.LetterCounts].getName,
         "letter_counts"),
-      (exprs: Seq[Expression]) => graft.functions.LetterCounts(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.LetterCounts(exprs.head)),
+    (FunctionIdentifier("blocklist_hits"),
+      new ExpressionInfo(classOf[graft.functions.AhoMatches].getName, "",
+        "blocklist_hits",
+        "blocklist_hits(str, array('p1','p2',…)) - distinct indices of" +
+          " the phrases matching str on token boundaries, via one" +
+          " Aho-Corasick pass (the phrase array must be a literal).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => graft.functions.AhoMatches.fromExprs(exprs)))
 
   /** Register the same functions into an already-running session (the
     * notebook case, where `spark.sql.extensions` can no longer apply).

@@ -45,6 +45,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) == viaColumns % 64)
   }
 
+  test("blocklist_hits resolves in SQL and matches the Column form") {
+    inject()
+    val r = spark.sql(
+      "SELECT blocklist_hits('the the key value store', " +
+        "array('the the', 'key value', 'low')) ids").head()
+    assert(r.getSeq[Int](0) == Seq(0, 1))
+    // non-literal phrase array must be rejected at plan time
+    val e = intercept[Exception] {
+      Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_bl")
+      spark.sql("SELECT blocklist_hits(text, array(text)) FROM docs_bl")
+        .head()
+    }
+    assert(e.getMessage.contains("foldable"))
+  }
+
   test("injected functions run over a table scan with codegen intact") {
     inject()
     Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_ext")
