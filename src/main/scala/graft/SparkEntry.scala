@@ -326,6 +326,7 @@ object SparkEntry {
         |('e_stream_join_capped', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |('e_stream_publish', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
+        |('e_stream_quality_model', 4, 'doc_id:bigint,score:double,pred:int,label:int'),
         |('e_stream_quality_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_stream_session', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),
         |('e_stream_session_replay', 4, 'user_id:bigint,session_start:timestamp,n_events:bigint,sum_value:double'),

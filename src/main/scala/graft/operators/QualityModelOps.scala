@@ -103,15 +103,21 @@ object QualityModelOps {
       .orderBy("iter")
   }
 
-  private val inferQ: Q = (spark, dir) => {
-    val feats = features(Tables.load(spark, dir, "documents"))
-    val w = train(feats).last._2
-    feats.select(
+  /** Score a documents frame (batch OR streaming — pure column ops)
+    * with frozen weights: the production serve shape. One codegen'd
+    * projection, zero shuffle.
+    */
+  def score(docs: DataFrame, w: Array[Double]): DataFrame =
+    features(docs).select(
       col("doc_id"),
       predCol(w).as("score"),
       when(predCol(w) >= 0.5, lit(1)).otherwise(lit(0)).as("pred"),
       col("y").cast("int").as("label"))
-      .orderBy("doc_id")
+
+  private val inferQ: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = train(features(docs)).last._2
+    score(docs, w).orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

@@ -381,6 +381,35 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** The TRAINED quality model served on a stream — the production
+    * train-offline / score-online split: weights come from the batch
+    * GD run ([[graft.operators.QualityModelOps.train]], frozen before
+    * the stream starts — the e_stream_ingest_ivf frozen-quantizer
+    * discipline), and each micro-batch scores through the same
+    * codegen'd projection the batch path uses (stateless — no
+    * watermark, no state store; inference at stream speed). The
+    * oracle is e_quality_infer's VERBATIM: serving must be invisible
+    * in the answer.
+    */
+  def replayQualityModelStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModelOps
+    val docs = Tables.load(spark, dir, "documents")
+    val w = QualityModelOps.train(QualityModelOps.features(docs)).last._2
+    val replayDir = stageReplay(dir, "documents.parquet")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(schema).format("parquet").load(replayDir.toString)
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = QualityModelOps.score(stream, w)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropReplayDir(replayDir)
+    }
+    detachSink(spark, name).orderBy("doc_id")
+  }
+
   /** Composed ingest hygiene gate, BATCH form: quality heuristics
     * (length + alpha ratio, the e_pipeline_e2e thresholds) →
     * decontamination (n-gram containment vs the doc_id%97 eval set) →
@@ -836,6 +865,7 @@ object StreamingOps {
     "e_stream_tumbling_replay" -> (replayTumblingStream(_, _)),
     "e_stream_sliding_replay" -> (replaySlidingStream(_, _)),
     "e_stream_quality_replay" -> (replayQualityGateStream(_, _)),
+    "e_stream_quality_model" -> (replayQualityModelStream(_, _)),
     "e_stream_join_replay" -> ((s: SparkSession, d: String) =>
       replayClickViewJoin(s, d)),
     "e_stream_join_capped" -> ((s: SparkSession, d: String) =>
@@ -948,6 +978,10 @@ object StreamingOps {
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "e_stream_quality_replay" -> qualityGateOracle,
+    // streamed inference must equal batch inference bit-for-bit — the
+    // oracle is e_quality_infer's VERBATIM
+    "e_stream_quality_model" ->
+      graft.operators.QualityModelOps.oracles("e_quality_infer"),
     "e_stream_session_replay" -> sessionOracle,
     "e_stream_session" -> sessionOracle,
     // the streaming window replays answer to their batch twins' oracles
