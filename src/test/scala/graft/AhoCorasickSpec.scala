@@ -68,6 +68,15 @@ class AhoCorasickSpec extends SparkSpec {
       .toIntArray().toSeq == Seq(0, 1))
   }
 
+  test("the blocklist projection stays inside whole-stage codegen") {
+    val df = Tables.load(spark, sf, "documents").select(col("doc_id"),
+      AhoMatches.blocklistHits(spark, lower(col("text")),
+        TextOps.BadPhrases).as("ids"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"),
+      s"expected the scan+blocklist projection codegen'd in:\n$p")
+  }
+
   test("e_badwords matches the naive per-phrase reference on the fixture") {
     val docs = Tables.load(spark, sf, "documents")
     // naive reference: boundary-padded contains per phrase
