@@ -232,6 +232,7 @@ object SparkEntry {
         |('e_group_concat', 3, 'lang:string,sources:string,n_sources:bigint'),
         |('e_grouping_sets', 4, 'rf:string,ls:string,cnt:bigint,sum_qty:double'),
         |('e_hard_negatives', 6, 'query_id:bigint,pos_doc:bigint,neg_doc:bigint,neg_rank:int,sim_to_query:double,sim_to_pos:double'),
+        |('e_hard_negatives_ivf', 6, 'query_id:bigint,pos_doc:bigint,neg_doc:bigint,neg_rank:int,sim_to_query:double,sim_to_pos:double'),
         |('e_heavy_hitters', 3, 'term:string,exact_cnt:bigint,cms_est:bigint'),
         |('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
         |('e_html_extract', 3, 'doc_id:bigint,n_paragraphs:bigint,extracted_md5:string'),
@@ -300,6 +301,7 @@ object SparkEntry {
         |('e_robots_filter', 4, 'doc_id:bigint,domain:string,path:string,allowed:boolean'),
         |('e_retrieval_eval', 6, 'query_id:int,n_gold:bigint,n_hits:bigint,recall_at_10:double,precision_at_10:double,mrr:double'),
         |('e_retrieval_mmr', 5, 'query_id:bigint,mmr_rank:int,doc_id:bigint,rel:double,mmr_score:double'),
+        |('e_retrieval_mmr_ivf', 5, 'query_id:bigint,mmr_rank:int,doc_id:bigint,rel:double,mmr_score:double'),
         |('e_rolling_7d', 4, 'event_type:string,day:timestamp,n_7d:bigint,v_7d:double'),
         |('e_sample_stratified', 3, 'lang:string,n_sampled:bigint,avg_chars:double'),
         |('e_sample_weighted', 3, 'lang:string,n_kept:bigint,sum_chars:bigint'),

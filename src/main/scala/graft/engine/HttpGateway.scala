@@ -82,7 +82,25 @@ final class HttpGateway private (server: HttpServer,
       .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
       .getOrElse("")
 
-  private def catalogJson(): String = {
+  /** How many times the catalog was actually BUILT (schema-analyzed) —
+    * the memoization contract HttpGatewaySpec pins: any number of
+    * `GET /` hits analyze each registered query's plan exactly once.
+    */
+  @volatile private[graft] var catalogBuilds: Int = 0
+
+  // (ns, spark, dir) are constructor-fixed, so the catalog is a pure
+  // function of this instance: compute it at first request and serve
+  // the cached bytes afterwards — the reference computes queryInfo
+  // once at boot (index.js:117-119), not per request. 237 Catalyst
+  // analysis passes per catalog hit was the r13 finding.
+  private lazy val catalogJsonMemo: String = {
+    catalogBuilds += 1
+    buildCatalogJson()
+  }
+
+  private def catalogJson(): String = catalogJsonMemo
+
+  private def buildCatalogJson(): String = {
     val routes = ns.databases.toSeq.sorted.flatMap { db =>
       ns.names(db).toSeq.sorted.map { n =>
         s"""{"path":${jsonStr(s"/q/$db/$n")},"dataType":{"fields":${

@@ -26,6 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * the automaton never consumes input on a match, so back-to-back
   * phrases sharing a separator space both report.
   *
+  * Boundary contract: ANY whitespace character is a token boundary —
+  * the scan normalizes `Character.isWhitespace` input chars to `' '`
+  * on the fly (and the same inside patterns at compile time), so
+  * `"low\n"`, `"low\t"` and multi-space runs all delimit. Punctuation
+  * is deliberately NOT a boundary (`"low."` does not match `low`):
+  * that is tokenization policy, not scanning — normalize punctuation
+  * upstream (e.g. the e_normalize transform) before the blocklist if
+  * the corpus needs it. The DuckDB oracle applies the identical
+  * whitespace normalization, so the contract is gate-checked.
+  *
   * The automaton is built once per instance from the phrase list and is
   * NOT serialized: the expression ships only the (small) phrase array
   * and each executor rebuilds lazily — the broadcast-dictionary shape.
@@ -43,7 +53,8 @@ final class AhoCorasickAutomaton(patterns: Array[String]) extends Serializable {
     patterns.zipWithIndex.foreach { case (p, id) =>
       val padded = " " + p + " "
       var s = 0
-      padded.foreach { c =>
+      padded.foreach { raw =>
+        val c = if (Character.isWhitespace(raw)) ' ' else raw
         s = goto.getOrElse(key(s, c), {
           goto(key(s, c)) = nNodes
           outSets += mutable.ArrayBuffer.empty
@@ -86,8 +97,14 @@ final class AhoCorasickAutomaton(patterns: Array[String]) extends Serializable {
     var i = -1
     val n = text.length
     while (i <= n) {
-      // virtual padding: position -1 and n read as ' '
-      val c = if (i < 0 || i >= n) ' ' else text.charAt(i)
+      // virtual padding: position -1 and n read as ' '; any whitespace
+      // normalizes to ' ' so tabs/newlines delimit like spaces
+      val c =
+        if (i < 0 || i >= n) ' '
+        else {
+          val raw = text.charAt(i)
+          if (Character.isWhitespace(raw)) ' ' else raw
+        }
       var s = state
       while (s != 0 && !goto.contains(key(s, c))) s = fail(s)
       state = goto.getOrElse(key(s, c), 0)
@@ -153,7 +170,13 @@ object AhoMatches {
       "blocklist_hits phrases must be a foldable array literal")
     val phrases = exprs(1).eval() match {
       case a: ArrayData =>
-        a.toArray[UTF8String](StringType).map(_.toString).toSeq
+        val arr = a.toArray[UTF8String](StringType)
+        // a bare NULL element would NPE deep in map(_.toString) with
+        // an unhelpful trace — reject it with the same clear error
+        // class as the other shape violations
+        require(arr.forall(_ != null),
+          "blocklist_hits phrases must not contain NULL")
+        arr.map(_.toString).toSeq
       case other =>
         throw new IllegalArgumentException(
           s"blocklist_hits phrases must be ARRAY<STRING>, got $other")

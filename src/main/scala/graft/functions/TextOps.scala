@@ -509,8 +509,10 @@ object TextOps {
   }
 
   /** DuckDB replay of [[badwords]]: the oracle states the SEMANTICS
-    * (boundary-padded LIKE per phrase — the O(len × |dict|) form), the
-    * engine must reproduce it through the one-pass automaton.
+    * (whitespace normalized to single spaces, then boundary-padded
+    * LIKE per phrase — the O(len × |dict|) form), the engine must
+    * reproduce it through the one-pass automaton's on-the-fly
+    * whitespace normalization.
     */
   private def badwordsOracle: String = {
     val vals = BadPhrases.map(p => s"('$p')").mkString(", ")
@@ -518,7 +520,8 @@ object TextOps {
        |hits AS (
        |  SELECT d.doc_id, p.phrase
        |  FROM documents d, p
-       |  WHERE ' ' || lower(d.text) || ' ' LIKE '%' || ' ' || p.phrase || ' ' || '%'
+       |  WHERE ' ' || regexp_replace(lower(d.text), '\\s', ' ', 'g') || ' '
+       |    LIKE '%' || ' ' || p.phrase || ' ' || '%'
        |)
        |SELECT doc_id, count(*)::BIGINT AS n_hits, min(phrase) AS first_phrase
        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -278,20 +278,27 @@ object DomainOps {
     * allow-wins probe), and an EMPTY `Disallow:` on h % 5 = 0 domains
     * (RFC: empty pattern = no restriction — a naive parser that turns
     * it into "block everything with prefix ''" fails the gate).
+    * Field names are deliberately MIXED-CASE (`user-agent`, `DISALLOW`,
+    * `allow`) — RFC 9309 §2.1 field names are case-insensitive, and a
+    * parser matching them case-sensitively fails OPEN on real robots
+    * files, so the fixture exercises the hazard on the gate itself.
     */
   private[graft] def synthRobotsTxt(h: Column): Column = concat(
-    lit("User-agent: googlebot\nDisallow: /\n\n"),
-    lit("User-agent: *\nDisallow: /private/\n"),
+    lit("user-agent: googlebot\nDISALLOW: /\n\n"),
+    lit("User-Agent: *\nDisallow: /private/\n"),
     when(pmod(h, lit(3L)) === 0,
-      lit("Disallow: /doc/\nAllow: /doc/open\n")).otherwise(lit("")),
-    when(pmod(h, lit(5L)) === 0, lit("Disallow:\n")).otherwise(lit("")))
+      lit("DISALLOW: /doc/\nallow: /doc/open\n")).otherwise(lit("")),
+    when(pmod(h, lit(5L)) === 0, lit("disallow:\n")).otherwise(lit("")))
 
   /** Parse robots.txt text RELATIONALLY: posexplode the lines, scope
     * each rule to its user-agent group with a running `last(agent)`
     * window, keep the `*` group's non-empty Allow/Disallow patterns.
-    * Returns (domainCol, allow, path, l) — one tiny frame
-    * (|domains| × ≤4 rules) meant to be aggregated per domain and
-    * broadcast.
+    * Field names match CASE-INSENSITIVELY (RFC 9309 §2.1: "the field
+    * type is case-insensitive") — `disallow:`/`ALLOW:`/`User-Agent:`
+    * all parse; a case-sensitive parser drops rules and fails OPEN
+    * (crawls what the site disallowed). Returns (domainCol, allow,
+    * path, l) — one tiny frame (|domains| × ≤4 rules) meant to be
+    * aggregated per domain and broadcast.
     */
   def parseRobots(robots: DataFrame, domainCol: String = "h",
       txtCol: String = "robots_txt"): DataFrame = {
@@ -300,15 +307,15 @@ object DomainOps {
       posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
     val w = Window.partitionBy(domainCol).orderBy("pos")
     lines
-      .withColumn("ua", when(col("line").rlike("^[Uu]ser-agent:"),
-        trim(regexp_extract(col("line"), "^[Uu]ser-agent:\\s*(.*)$", 1))))
+      .withColumn("ua", when(col("line").rlike("(?i)^user-agent:"),
+        trim(regexp_extract(col("line"), "(?i)^user-agent:\\s*(.*)$", 1))))
       .withColumn("grp", last(col("ua"), ignoreNulls = true).over(w))
       .where(col("grp") === "*" &&
-        col("line").rlike("^(Allow|Disallow):"))
+        col("line").rlike("(?i)^(allow|disallow):"))
       .select(col(domainCol),
-        col("line").startsWith("Allow:").as("allow"),
+        col("line").rlike("(?i)^allow:").as("allow"),
         trim(regexp_extract(col("line"),
-          "^(?:Allow|Disallow):\\s*(.*)$", 1)).as("path"))
+          "(?i)^(?:allow|disallow):\\s*(.*)$", 1)).as("path"))
       .where(col("path") =!= "") // RFC 9309: empty pattern = no rule
       .withColumn("l", length(col("path")))
   }

@@ -644,16 +644,16 @@ object RetrievalOps {
     * cosine to 6 dp; the selection compares fixed-order doubles with
     * doc_id tie-breaks.
     */
-  /** Top-n candidates per query with their vectors re-attached: the
-    * candidate frame is ≤ |q|·n rows — broadcast it into the embeddings
-    * scan, never the reverse. Shared by the MMR reranker and the
-    * hard-negative miner.
+  /** Candidate top-n rows (q_id, vec_id, cos_sim, nn_rank) with their
+    * vectors re-attached: the candidate frame is ≤ |q|·n rows —
+    * broadcast it into the embeddings scan, never the reverse. Shared
+    * by the MMR reranker and the hard-negative miner, whichever lane
+    * produced the candidates.
     */
-  private def candidatesWithVectors(emb: DataFrame, queryIds: Seq[Long],
-      n: Int): org.apache.spark.sql.Dataset[(Long, Long, Double, Int, Seq[Double])] = {
+  private def attachVectors(emb: DataFrame, cands: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Int, Seq[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cands = SimilarityOps.knnJoin(emb, k = n, queryIds = Some(queryIds))
     emb
       .join(broadcast(cands), "vec_id")
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("nn_rank"),
@@ -661,11 +661,54 @@ object RetrievalOps {
       .as[(Long, Long, Double, Int, Seq[Double])]
   }
 
+  /** RECALL-TRUTH candidate lane: the exact brute-force
+    * [[SimilarityOps.knnJoin]] scan — every corpus vector scored per
+    * query. Correct at any index state, O(corpus × queries): the
+    * measuring stick, not the production plan.
+    */
+  private def candidatesWithVectors(emb: DataFrame, queryIds: Seq[Long],
+      n: Int): org.apache.spark.sql.Dataset[(Long, Long, Double, Int, Seq[Double])] =
+    attachVectors(emb,
+      SimilarityOps.knnJoin(emb, k = n, queryIds = Some(queryIds)))
+
+  /** PRODUCTION candidate lane: the persisted-index bulk probe
+    * ([[SimilarityOps.probeIvfMany]]) — one pruned cell scan (nprobe/
+    * nlist of the index bytes), broadcast queries, bounded per-query
+    * top-k. At 100 TB candidate generation IS the retrieval cost;
+    * this lane scales with the probed cells, never the corpus.
+    */
+  private def candidatesIvf(spark: SparkSession, dir: String,
+      queryIds: Seq[Long], n: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Int, Seq[Double])] = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val index = SimilarityOps.loadIvfIndex(spark,
+      SimilarityOps.persistedIndexPath(spark, dir))
+    attachVectors(emb,
+      SimilarityOps.probeIvfMany(index,
+        emb.where(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        nprobe = 4, k = n))
+  }
+
   def mmrRerank(emb: DataFrame, queryIds: Seq[Long] = MmrQueryIds,
-      n: Int = MmrN, k: Int = MmrK): DataFrame = {
-    val spark = emb.sparkSession
+      n: Int = MmrN, k: Int = MmrK): DataFrame =
+    mmrGreedy(candidatesWithVectors(emb, queryIds, n), k)
+
+  /** [[mmrRerank]] riding the persisted IVF index for its candidates —
+    * the production composition (pruned probe → greedy rerank). The
+    * brute-force form stays registered as the recall-truth twin.
+    */
+  def mmrRerankIvf(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = MmrQueryIds, n: Int = MmrN,
+      k: Int = MmrK): DataFrame =
+    mmrGreedy(candidatesIvf(spark, dir, queryIds, n), k)
+
+  private def mmrGreedy(
+      cands: org.apache.spark.sql.Dataset[(Long, Long, Double, Int, Seq[Double])],
+      k: Int): DataFrame = {
+    val spark = cands.sparkSession
     import spark.implicits._
-    candidatesWithVectors(emb, queryIds, n).groupByKey(_._1)
+    cands.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val cs = it.toArray.sortBy(_._4) // nn_rank order = (rel desc, id)
         val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
@@ -693,6 +736,8 @@ object RetrievalOps {
   private val mmrQ: Q = (spark, dir) =>
     mmrRerank(Tables.load(spark, dir, "embeddings"))
 
+  private val mmrIvfQ: Q = (spark, dir) => mmrRerankIvf(spark, dir)
+
   /** Hard-negative mining parameters: candidate depth, negatives kept
     * per query, and the false-negative ceiling (a candidate MORE
     * similar than this to the positive is presumed an unlabeled
@@ -711,10 +756,24 @@ object RetrievalOps {
     * a ≤ n-row per-query loop, distributed across queries.
     */
   def hardNegatives(emb: DataFrame, queryIds: Seq[Long] = MmrQueryIds,
-      n: Int = HnDepth, k: Int = HnK): DataFrame = {
-    val spark = emb.sparkSession
+      n: Int = HnDepth, k: Int = HnK): DataFrame =
+    hardNegGreedy(candidatesWithVectors(emb, queryIds, n), k)
+
+  /** [[hardNegatives]] riding the persisted IVF index for its
+    * candidates — same pruned-probe production shape as
+    * [[mmrRerankIvf]].
+    */
+  def hardNegativesIvf(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = MmrQueryIds, n: Int = HnDepth,
+      k: Int = HnK): DataFrame =
+    hardNegGreedy(candidatesIvf(spark, dir, queryIds, n), k)
+
+  private def hardNegGreedy(
+      cands: org.apache.spark.sql.Dataset[(Long, Long, Double, Int, Seq[Double])],
+      k: Int): DataFrame = {
+    val spark = cands.sparkSession
     import spark.implicits._
-    candidatesWithVectors(emb, queryIds, n).groupByKey(_._1)
+    cands.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val cs = it.toArray.sortBy(_._4)
         if (cs.isEmpty) Iterator.empty
@@ -738,9 +797,13 @@ object RetrievalOps {
   private val hardNegQ: Q = (spark, dir) =>
     hardNegatives(Tables.load(spark, dir, "embeddings"))
 
+  private val hardNegIvfQ: Q = (spark, dir) => hardNegativesIvf(spark, dir)
+
   val queries: Map[String, Q] = Map(
     "e_retrieval_mmr" -> mmrQ,
+    "e_retrieval_mmr_ivf" -> mmrIvfQ,
     "e_hard_negatives" -> hardNegQ,
+    "e_hard_negatives_ivf" -> hardNegIvfQ,
     "e_bm25_topk" -> bm25TopkQ,
     "e_bm25_multi" -> bm25MultiQ,
     "e_bm25_incr" -> bm25IncrQ,
@@ -755,8 +818,48 @@ object RetrievalOps {
     * expression the same fixed-order double arithmetic (λ/1−λ pinned as
     * the literals 0.7/0.3 on both sides).
     */
-  private def mmrOracle: String = {
+  /** Brute-force candidate CTE prefix (the proven e_knn_join replay at
+    * depth `n`) ending in `cand(q_id, vec_id, cos_sim, v, nn_rank)` —
+    * the shape both greedy-oracle builders consume.
+    */
+  private def bruteCandCtes(n: Int): String = {
     val qids = MmrQueryIds.mkString(", ")
+    s"""q AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id IN ($qids)
+       |), scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+       |      AS cos_sim,
+       |    e.embedding::DOUBLE[] AS v
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+       |), cand AS (
+       |  SELECT q_id, vec_id, cos_sim, v, nn_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS nn_rank FROM scored)
+       |  WHERE nn_rank <= $n
+       |)""".stripMargin
+  }
+
+  /** IVF candidate CTE prefix: the SAME proven quantizer + bulk-probe
+    * replay as e_ann_bulk ([[SimilarityOps.ivfBulkCandSql]]) restricted
+    * to the MMR query ids, vectors re-attached for the pairwise sims.
+    */
+  private def ivfCandCtes(n: Int): String = {
+    val qids = MmrQueryIds.mkString(", ")
+    s"""cand AS (
+       |  SELECT t.q_id, t.vec_id, t.cos_sim,
+       |    e.embedding::DOUBLE[] AS v, t.nn_rank
+       |  FROM (${SimilarityOps.ivfBulkCandSql(s"vec_id IN ($qids)", n)}) t
+       |  JOIN embeddings e ON e.vec_id = t.vec_id
+       |)""".stripMargin
+  }
+
+  private def mmrOracle: String = mmrOracleWith(bruteCandCtes(MmrN))
+
+  private def mmrOracleIvf: String = mmrOracleWith(ivfCandCtes(MmrN))
+
+  private def mmrOracleWith(candCtes: String): String = {
     val steps = (2 to MmrK).map { t =>
       s"""ms$t AS (
          |  SELECT c.q_id, c.vec_id,
@@ -783,21 +886,7 @@ object RetrievalOps {
     val unions = (1 to MmrK).map(t =>
       s"SELECT q_id AS query_id, mmr_rank, vec_id AS doc_id, " +
         s"cos_sim AS rel, mmr_score FROM sel$t").mkString("\nUNION ALL\n")
-    s"""WITH q AS (
-       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-       |  FROM embeddings WHERE vec_id IN ($qids)
-       |), scored AS (
-       |  SELECT q.q_id, e.vec_id,
-       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
-       |      AS cos_sim,
-       |    e.embedding::DOUBLE[] AS v
-       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id
-       |), cand AS (
-       |  SELECT q_id, vec_id, cos_sim, v FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos_sim DESC, vec_id) AS nn_rank FROM scored)
-       |  WHERE nn_rank <= $MmrN
-       |), sel1 AS (
+    s"""WITH $candCtes, sel1 AS (
        |  SELECT q_id, vec_id, 1 AS mmr_rank, cos_sim, v,
        |    CAST($MmrLambda AS DOUBLE) * cos_sim
        |      - CAST($MmrOneMinus AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr_score
@@ -815,23 +904,14 @@ object RetrievalOps {
     * keeping nn_rank, the rank-1 positive, then the rank-ordered
     * negatives under the false-negative ceiling.
     */
-  private def hardNegOracle: String = {
-    val qids = MmrQueryIds.mkString(", ")
-    s"""WITH q AS (
-       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-       |  FROM embeddings WHERE vec_id IN ($qids)
-       |), scored AS (
-       |  SELECT q.q_id, e.vec_id,
-       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
-       |      AS cos_sim,
-       |    e.embedding::DOUBLE[] AS v
-       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id
-       |), cand AS (
-       |  SELECT q_id, vec_id, cos_sim, v, nn_rank FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos_sim DESC, vec_id) AS nn_rank FROM scored)
-       |  WHERE nn_rank <= $HnDepth
-       |), pos AS (
+  private def hardNegOracle: String =
+    hardNegOracleWith(bruteCandCtes(HnDepth))
+
+  private def hardNegOracleIvf: String =
+    hardNegOracleWith(ivfCandCtes(HnDepth))
+
+  private def hardNegOracleWith(candCtes: String): String = {
+    s"""WITH $candCtes, pos AS (
        |  SELECT q_id, vec_id AS pos_doc, v AS pv FROM cand WHERE nn_rank = 1
        |), negs AS (
        |  SELECT c.q_id, p.pos_doc, c.vec_id AS neg_doc,
@@ -1025,5 +1105,10 @@ object RetrievalOps {
     "e_retrieval_eval" -> retrievalEvalOracle,
     "e_retrieval_mmr" -> mmrOracle,
     "e_hard_negatives" -> hardNegOracle,
+    // the IVF twins: the SAME greedy replay over the e_ann_bulk
+    // quantizer+probe candidate CTEs — production lane and oracle
+    // both ride the pruned index
+    "e_retrieval_mmr_ivf" -> mmrOracleIvf,
+    "e_hard_negatives_ivf" -> hardNegOracleIvf,
   )
 }

@@ -802,7 +802,7 @@ object SimilarityOps {
     * (shared by the persisted cosine probe AND the persisted ADC
     * probe — one on-disk index, two scoring modes, as in production).
     */
-  private def persistedIndexPath(spark: SparkSession, dir: String): String =
+  private[graft] def persistedIndexPath(spark: SparkSession, dir: String): String =
     ivfDiskCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}#$dir", _ => {
         val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -1811,10 +1811,21 @@ object SimilarityOps {
     */
   private def ivfBulkOracle(nlist: Int = 16, iters: Int = 2,
       nprobe: Int = 4, k: Int = 5, dim: Int = 64,
-      nQueries: Int = 8): String = {
+      nQueries: Int = 8): String =
+    ivfBulkCandSql(s"vec_id < $nQueries", k, nprobe, nlist, iters, dim)
+
+  /** The bulk-probe replay generalized over the query-set predicate —
+    * a complete SELECT producing (q_id, vec_id, cos_sim, nn_rank), so
+    * downstream compositions (the MMR / hard-negative IVF twins in
+    * [[RetrievalOps]]) can ride the SAME proven quantizer + probe
+    * replay as their candidate CTE instead of restating it.
+    */
+  private[graft] def ivfBulkCandSql(qsPredSql: String, k: Int,
+      nprobe: Int = 4, nlist: Int = 16, iters: Int = 2,
+      dim: Int = 64): String = {
     s"""WITH ${assignmentPrefix(nlist, iters, dim)},
        |qs AS (
-       |  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < $nQueries
+       |  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE $qsPredSql
        |), probe AS (
        |  SELECT q_id, cell FROM (
        |    SELECT q.q_id, c.cell,

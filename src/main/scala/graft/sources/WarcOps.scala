@@ -27,8 +27,9 @@ import graft.operators.CorpusOps
 object WarcOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One parsed WARC record. `headers` keeps original order-independent
-    * name→value pairs; `n_headers` pins the count the gate checks.
+  /** One parsed WARC record. `n_headers` counts actual header LINES
+    * (repeated fields included — ISO 28500 allows them); the named
+    * fields carry each header's FIRST occurrence.
     */
   final case class WarcRecord(
       warc_file: Long,
@@ -58,16 +59,23 @@ object WarcOps {
     while (pos < blob.length) {
       val version = line()
       require(version == "WARC/1.0", s"bad WARC version line: '$version'")
-      val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      // headers accumulate as a Seq, NOT a name-keyed map: ISO 28500
+      // allows repeated fields (e.g. several WARC-Concurrent-To), and
+      // a map would silently collapse them — later values overwriting
+      // earlier ones and n_headers undercounting actual header lines.
+      val headers =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var h = line()
       while (h.nonEmpty) {
         val i = h.indexOf(':')
         require(i > 0, s"malformed WARC header: '$h'")
-        headers(h.substring(0, i).trim) = h.substring(i + 1).trim
+        headers += ((h.substring(0, i).trim, h.substring(i + 1).trim))
         h = line()
       }
-      val cl = headers.getOrElse("Content-Length",
-        sys.error("missing Content-Length")).toInt
+      def first(name: String): Option[String] =
+        headers.collectFirst { case (n, v) if n == name => v }
+      val cl = first("Content-Length")
+        .getOrElse(sys.error("missing Content-Length")).toInt
       require(pos + cl + 4 <= blob.length, "payload exceeds blob")
       val payload = new String(blob, pos, cl, "UTF-8")
       pos += cl
@@ -76,9 +84,9 @@ object WarcOps {
         s"record at $pos not closed by CRLFCRLF")
       pos += 4
       out += WarcRecord(warcFile,
-        headers.getOrElse("WARC-Type", ""),
-        headers.getOrElse("WARC-Record-ID", ""),
-        headers.getOrElse("WARC-Target-URI", ""),
+        first("WARC-Type").getOrElse(""),
+        first("WARC-Record-ID").getOrElse(""),
+        first("WARC-Target-URI").getOrElse(""),
         headers.size, payload)
     }
     out.toSeq
@@ -224,7 +232,8 @@ object WarcOps {
        |    AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
        |        / GREATEST(length(text)::DOUBLE, 1.0) >= 0.8
        |    AND NOT EXISTS (SELECT 1 FROM p WHERE
-       |      ' ' || lower(text) || ' ' LIKE '%' || ' ' || p.phrase || ' ' || '%')
+       |      ' ' || regexp_replace(lower(text), '\\s', ' ', 'g') || ' '
+       |        LIKE '%' || ' ' || p.phrase || ' ' || '%')
        |)
        |SELECT domain, count(*)::BIGINT AS n_docs,
        |  sum(length(text))::BIGINT AS total_chars

@@ -27,6 +27,33 @@ class AhoCorasickSpec extends SparkSpec {
     assert(a.matchedIds("").toSeq == Seq.empty)
   }
 
+  test("any whitespace is a boundary: newline/tab/CR delimit like " +
+      "spaces, in the text AND inside multi-word phrases") {
+    val a = ac("low", "bad word")
+    assert(a.matchedIds("low\nwater").toSeq == Seq(0))
+    assert(a.matchedIds("mark\tlow\tmark").toSeq == Seq(0))
+    assert(a.matchedIds("low\r\nnext").toSeq == Seq(0))
+    // phrase-internal separator matches any whitespace run of one char
+    assert(a.matchedIds("a bad\tword here").toSeq == Seq(1))
+    // punctuation is NOT a boundary (documented contract)
+    assert(a.matchedIds("low. and (low)").toSeq == Seq.empty)
+  }
+
+  test("a NULL phrase element is rejected with a clear error, not an NPE") {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = intercept[IllegalArgumentException] {
+      AhoMatches.fromExprs(Seq(
+        Literal(UTF8String.fromString("some text"), StringType),
+        CreateArray(Seq(
+          Literal(UTF8String.fromString("a"), StringType),
+          Literal(null, StringType)))))
+    }
+    assert(e.getMessage.contains("must not contain NULL"),
+      s"expected the clear NULL-element message, got: ${e.getMessage}")
+  }
+
   test("back-to-back phrases sharing a separator space both report") {
     val a = ac("bad word", "word pair")
     // "bad word pair": ' bad word ' and ' word pair ' overlap at the

@@ -125,4 +125,17 @@ class HttpGatewaySpec extends SparkSpec
     // legacy bare-name mounts appear too (index.js route pair)
     assert(body.contains(""""path":"/query/regions""""))
   }
+
+  test("the catalog is built once: repeated GET / serves the memoized " +
+      "bytes with zero new plan analyses (boot-time queryInfo parity)") {
+    val (_, _, first) = http("/")
+    val buildsAfterFirst = gw.catalogBuilds
+    assert(buildsAfterFirst == 1, s"builds after first GET /: expected 1")
+    val (_, _, second) = http("/")
+    val (_, _, third) = http("/")
+    assert(gw.catalogBuilds == buildsAfterFirst,
+      s"later GET / rebuilt the catalog: ${gw.catalogBuilds}")
+    assert(second == first && third == first,
+      "memoized catalog must be byte-identical across requests")
+  }
 }

@@ -74,4 +74,38 @@ class MmrSpec extends SparkSpec {
     val b = RetrievalOps.mmrRerank(emb.repartition(17)).collect().toSeq
     assert(a == b)
   }
+
+  test("the IVF lanes ride the persisted pruned index: partition-pruned " +
+      "scan + broadcast queries, no full-corpus exact scan") {
+    for (name <- Seq("e_retrieval_mmr_ivf", "e_hard_negatives_ivf")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the candidate generation must be probeIvfMany's shape: the
+      // cell-partitioned index scan pruned to the touched cells...
+      assert(df.queryExecution.sparkPlan.toString.contains("PartitionFilters")
+        || plan.contains("PartitionFilters"),
+        s"$name: expected a partition-pruned index scan in:\n${plan.take(2000)}")
+      // ...with the bounded query side broadcast, never a
+      // BroadcastNestedLoopJoin over the whole corpus
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: brute-force nested-loop scan leaked into the IVF lane")
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("IVF lane rank-1 equals the probe's top hit per query") {
+    val ivf = SparkEntry.queries("e_retrieval_mmr_ivf")(spark, sf)
+      .where(col("mmr_rank") === 1)
+      .select(col("query_id"), col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val index = graft.operators.SimilarityOps.loadIvfIndex(spark,
+      graft.operators.SimilarityOps.persistedIndexPath(spark, sf))
+    val emb = Tables.load(spark, sf, "embeddings")
+    val top1 = graft.operators.SimilarityOps.probeIvfMany(index,
+        emb.where(col("vec_id").isin(RetrievalOps.MmrQueryIds: _*))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        nprobe = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == top1, s"mmr rank-1 $ivf vs probe top-1 $top1")
+  }
 }

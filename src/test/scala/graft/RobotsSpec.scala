@@ -36,6 +36,29 @@ class RobotsSpec extends SparkSpec {
       (false, "/private/"), (false, "/doc/"), (true, "/doc/open")))
   }
 
+  test("field names match case-insensitively (RFC 9309 §2.1): " +
+      "lowercase/ALL-CAPS/mixed-case lines all parse and scope") {
+    val mixed =
+      """USER-AGENT: googlebot
+        |disallow: /
+        |
+        |user-agent: *
+        |DISALLOW: /private/
+        |disallow: /doc/
+        |ALLOW: /doc/open
+        |Disallow:
+        |""".stripMargin
+    val robots = df(Seq(Row(0L, mixed)), StructType(Seq(
+      StructField("h", LongType), StructField("robots_txt", StringType))))
+    val rules = DomainOps.parseRobots(robots)
+      .select(col("allow"), col("path")).collect()
+      .map(r => (r.getBoolean(0), r.getString(1))).toSet
+    // a case-sensitive parser drops every rule here (fails OPEN) and
+    // mis-scopes googlebot's block into the * group
+    assert(rules == Set(
+      (false, "/private/"), (false, "/doc/"), (true, "/doc/open")))
+  }
+
   test("longest match wins and Allow beats Disallow on ties") {
     val robots = df(Seq(Row(0L, robotsTxt)), StructType(Seq(
       StructField("h", LongType), StructField("robots_txt", StringType))))

@@ -27,6 +27,22 @@ class WarcSpec extends SparkSpec {
     assert(rs.forall(_.warc_file == 7L))
   }
 
+  test("repeated header fields survive (ISO 28500 allows them): " +
+      "n_headers counts lines, named fields take the first occurrence") {
+    val p = "payload"
+    val cl = p.getBytes("UTF-8").length
+    val blob = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Concurrent-To: <urn:a>\r\nWARC-Concurrent-To: <urn:b>\r\n" +
+      "WARC-Target-URI: u1\r\nWARC-Target-URI: u2\r\n" +
+      s"Content-Length: $cl\r\n\r\n$p\r\n\r\n").getBytes("UTF-8")
+    val rs = WarcOps.parseRecords(0L, blob)
+    assert(rs.length == 1)
+    // 6 actual header LINES — a name-keyed map would report 4
+    assert(rs(0).n_headers == 6, s"n_headers: ${rs(0).n_headers}")
+    assert(rs(0).target_uri == "u1", "first occurrence wins")
+    assert(rs(0).payload == p)
+  }
+
   test("torn blob fails loudly, no silent partial records") {
     val good = rec("response", "u", "payload body")
     val torn = good.dropRight(6).getBytes("UTF-8") // cut inside payload
