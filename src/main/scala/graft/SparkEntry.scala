@@ -276,10 +276,12 @@ object SparkEntry {
         |('e_null_ordering', 2, 'o_orderkey:bigint,prio_opt:string'),
         |('e_pack_sequences', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_pagerank', 2, 'node:bigint,pr:double'),
+        |('e_pagerank_dangling', 2, 'node:bigint,pr:double'),
         |('e_pagerank_links', 2, 'node:bigint,pr:double'),
         |('e_partition_prune', 3, 'event_type:string,cnt:bigint,sum_value:double'),
         |('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |('e_pipeline_crawl', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
+        |('e_pipeline_crawl_model', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_warc', 3, 'domain:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),
@@ -371,6 +373,7 @@ object SparkEntry {
         |('e_unpivot', 4, 'l_orderkey:bigint,l_linenumber:int,metric:string,value:double'),
         |('e_url_canon', 3, 'doc_id:bigint,canon_url:string,url_rank:int'),
         |('e_warc_parse', 4, 'doc_id:bigint,http_status:int,n_warc_headers:bigint,extracted_md5:string'),
+        |('e_warc_parse_gz', 4, 'doc_id:bigint,http_status:int,n_warc_headers:bigint,extracted_md5:string'),
         |('e_window_lag', 6, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,prev_price:double,next_price:double,quartile:int'),
         |('e_window_pct', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,pct_rank:double,cume:double'),
         |('e_window_range', 5, 'o_custkey:bigint,o_orderkey:bigint,o_totalprice:double,n_nearby:bigint,cheapest_key:bigint'),

@@ -182,6 +182,40 @@ object DomainOps {
       .orderBy("source")
   }
 
+  /** The crawl pipeline with the TRAINED quality model as its gate —
+    * the FineWeb-Edu/DCLM move that motivates [[QualityModelOps]]: the
+    * fixed heuristic thresholds of [[crawlPipelineQ]] are replaced by
+    * the model score (frozen weights from the full GD trajectory,
+    * the e_stream_quality_model serve discipline) at the classifier's
+    * 0.5 decision boundary. Everything else — HTML extraction,
+    * canonical-URL first-seen dedup, the domain blocklist, the
+    * per-domain rollup — is the same one Catalyst plan; the model gate
+    * is one codegen'd polynomial over the EXTRACTED text, zero extra
+    * shuffle. The oracle replays the full training trajectory
+    * (e_quality_train's proven CTE chain) and feeds its final weights
+    * into the same gate expression.
+    */
+  private val crawlPipelineModelQ: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val w = QualityModelOps.trainedWeights(spark, dir)
+    val extracted = docs.select(col("doc_id"), col("source"),
+      CorpusOps.htmlExtract(
+        CorpusOps.synthHtml(col("text"), col("doc_id"))).as("text"),
+      urlCanonicalize(synthUrl(col("doc_id"))).as("canon_url"))
+    val urlKept = extracted
+      .withColumn("url_rank", row_number().over(
+        Window.partitionBy("canon_url").orderBy("doc_id")))
+      .where(col("url_rank") === 1)
+    urlKept
+      .where(QualityModelOps.scoreOn(col("text"), w) >= 0.5)
+      .where(!col("source").isin(Blocklist: _*))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy("source")
+  }
+
   private val domainCapQ: Q = (spark, dir) =>
     domainCap(Tables.load(spark, dir, "documents"))
       .orderBy("source", "keep_rank")
@@ -370,6 +404,7 @@ object DomainOps {
     "e_domain_report" -> domainReportQ,
     "e_url_canon" -> urlCanonQ,
     "e_pipeline_crawl" -> crawlPipelineQ,
+    "e_pipeline_crawl_model" -> crawlPipelineModelQ,
     "e_link_extract" -> linkExtractQ,
     "e_robots_filter" -> robotsQ,
   )
@@ -464,6 +499,36 @@ object DomainOps {
         |      AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)
         |      >= 0.8
         |    AND source NOT IN (${Blocklist.map(s => s"'$s'").mkString(", ")})
+        |)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(length(text))::BIGINT AS total_chars
+        |FROM gated GROUP BY source ORDER BY source""".stripMargin,
+    // the model-gated composition: the FULL training-trajectory replay
+    // (e_quality_train's proven CTE chain) produces the frozen weights,
+    // which gate the SAME canon-dedup → blocklist → rollup chain at the
+    // 0.5 decision boundary — the oracle trains the model too
+    "e_pipeline_crawl_model" ->
+      s"""WITH ${QualityModelOps.featCte},
+        |${QualityModelOps.iterCtes},
+        |canon AS (
+        |  SELECT doc_id, source, text,
+        |    'https://site' || ((doc_id // 2) % 20) ||
+        |    '.example.com/Articles/' || (doc_id // 2) ||
+        |    '?a=' || ((doc_id // 2) % 10) || '&b=2&z=26' AS canon_url
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+        |        AS rn
+        |    FROM canon) t WHERE rn = 1
+        |), gated AS (
+        |  SELECT k.source, k.text
+        |  FROM kept k JOIN f ON f.doc_id = k.doc_id
+        |  CROSS JOIN w${QualityModelOps.Iters} w
+        |  WHERE w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+        |        >= CAST(0.5 AS DOUBLE)
+        |    AND k.source NOT IN (${Blocklist.map(s => s"'$s'").mkString(", ")})
         |)
         |SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(length(text))::BIGINT AS total_chars

@@ -225,10 +225,84 @@ object GraphOps {
     pageRankDirected(DomainOps.linkEdgesWithUrl(spark, dir)
       .select(col("src_doc").as("src"), col("dst_doc").as("dst")))
 
+  /** Directed PageRank over the FULL node set (src ∪ dst) with
+    * DANGLING-MASS redistribution — the classic formulation
+    * (Brin & Page 1998; the "dangling node" treatment of Page et al.'s
+    * tech report): a real link graph ranks uncrawled link TARGETS too
+    * (that is how a frontier prioritizes what to fetch next), and
+    * every such node is dangling (outdeg 0). Its rank mass
+    * redistributes uniformly each iteration:
+    *
+    *   r'(v) = (1−d)/n + d·(Σ_{u→v} r(u)/outdeg(u) + D/n),
+    *   D = Σ_{dangling u} r(u)
+    *
+    * Determinism contract (the [[pageRank]] discipline): per-edge
+    * division is one IEEE double op; BOTH order-sensitive sums — the
+    * per-node contribution sum AND the dangling mass D — accumulate as
+    * DECIMAL(28,16); the update is double arithmetic in one pinned
+    * order (contrib + D/n, then ×d, then +base), rounded to 12 dp per
+    * iteration. D is a 1-row aggregate cross-joined in (the
+    * 1-row-aggregate crossJoin class), never a driver collect.
+    *
+    * 100 TB shape: the per-iteration cost adds one anti-join (rank vs
+    * outdeg keys, both already partitioned) and a 1-row aggregate to
+    * [[pageRankDirected]]'s plan — the contribution shuffle still
+    * dominates.
+    */
+  def pageRankDangling(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = PrDamping): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.storage.StorageLevel
+    val dec = DecimalType(28, 16)
+    val dir = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.DISK_ONLY)
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.DISK_ONLY)
+    val nodes = dir.select(col("src").as("node"))
+      .unionAll(dir.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = dir
+        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), (col("r") / col("outdeg")).cast(dec).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("sm"))
+      // dangling mass: rank held by nodes with NO out-edges — one
+      // decimal-accumulated 1-row aggregate
+      val dang = rank.join(deg, rank("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r").cast(dec)),
+          lit(0).cast(dec)).as("dm"))
+      rank = nodes
+        .join(sums, Seq("node"), "left_outer")
+        .crossJoin(dang)
+        .select(col("node"), round(lit(base) + lit(damping) *
+          (coalesce(col("sm").cast("double"), lit(0.0)) +
+            col("dm").cast("double") / lit(n.toDouble)), 12).as("r"))
+    }
+    rank.select(col("node"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("node"))
+  }
+
+  /** Gate fixture with GENUINE dangling nodes: only pages with
+    * doc_id % 3 ≠ 0 are "crawled" (contribute out-edges); link targets
+    * with doc_id % 3 = 0 appear only as destinations — dangling, yet
+    * ranked.
+    */
+  private val pageRankDanglingQ: Q = (spark, dir) =>
+    pageRankDangling(DomainOps.linkEdgesWithUrl(spark, dir)
+      .where(pmod(col("src_doc"), lit(3L)) =!= 0)
+      .select(col("src_doc").as("src"), col("dst_doc").as("dst")))
+
   val queries: Map[String, Q] = Map(
     "e_triangles" -> trianglesQ,
     "e_pagerank" -> pageRankQ,
     "e_pagerank_links" -> pageRankLinksQ,
+    "e_pagerank_dangling" -> pageRankDanglingQ,
   )
 
   /** The oracle counts triangles WITHOUT the orientation machinery
@@ -328,9 +402,53 @@ object GraphOps {
        |ORDER BY pr DESC, node""".stripMargin
   }
 
+  /** DuckDB replay of [[pageRankDangling]] on the crawled-subset link
+    * graph: the arithmetic edge CTEs filtered to crawled sources, the
+    * src ∪ dst node set, and per iteration one (dangling-mass, rank)
+    * CTE pair — the SAME decimal accumulations and the same pinned
+    * double order (contrib + D/n, ×d, +base, round 12).
+    */
+  private def pageRankDanglingOracle: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""d$k AS (
+         |  SELECT coalesce(sum(CAST(p.r AS DECIMAL(28,16))),
+         |    CAST(0 AS DECIMAL(28,16))) AS dm
+         |  FROM r${k - 1} p LEFT JOIN deg ON deg.src = p.node
+         |  WHERE deg.src IS NULL
+         |), r$k AS (
+         |  SELECT nd.node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST($PrDamping AS DOUBLE))
+         |        / (SELECT c FROM n)
+         |      + CAST($PrDamping AS DOUBLE) *
+         |        (coalesce(CAST(s.sm AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |          + CAST(d.dm AS DOUBLE) / (SELECT c FROM n)), 12) AS r
+         |  FROM nodes nd CROSS JOIN d$k d LEFT JOIN (
+         |    SELECT dir.dst, sum(CAST(p.r / deg.outdeg AS DECIMAL(28,16)))
+         |      AS sm
+         |    FROM dir JOIN r${k - 1} p ON dir.src = p.node
+         |    JOIN deg ON dir.src = deg.src
+         |    GROUP BY dir.dst) s ON s.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DomainOps.linkEdgeCtes},
+       |dir AS (SELECT src_doc AS src, dst_doc AS dst FROM edges
+       |        WHERE src_doc % 3 <> 0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM dir GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM dir UNION ALL SELECT dst FROM dir)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS r
+       |  FROM nodes
+       |),
+       |$iters
+       |SELECT node, r AS pr FROM r$PrIters
+       |ORDER BY pr DESC, node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "e_pagerank" -> pageRankOracle,
     "e_pagerank_links" -> pageRankLinksOracle,
+    "e_pagerank_dangling" -> pageRankDanglingOracle,
     "e_triangles" ->
       s"""WITH $edgeCtes,
         |deg AS (

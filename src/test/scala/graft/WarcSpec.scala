@@ -61,6 +61,53 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gz round-trip: per-record gzip members parse to the plain result") {
+    val p1 = "first\r\n\r\nWARC/1.0\r\nstill the first payload"
+    val p2 = "second"
+    val r1 = rec("response", "u1", p1)
+    val r2 = rec("response", "u2", p2)
+    val gz = WarcOps.gzipMember(r1.getBytes("UTF-8")) ++
+      WarcOps.gzipMember(r2.getBytes("UTF-8"))
+    val rs = WarcOps.parseRecordsGz(3L, gz)
+    assert(rs == WarcOps.parseRecords(3L,
+      (r1 + r2).getBytes("UTF-8")).map(_.copy(warc_file = 3L)))
+  }
+
+  test("gz strictness: torn member, corrupted CRC, truncated trailer, " +
+      "and a two-record member all fail loudly") {
+    val good = WarcOps.gzipMember(
+      rec("response", "u", "payload body").getBytes("UTF-8"))
+    // torn inside the deflate body
+    intercept[IllegalArgumentException] {
+      WarcOps.gunzipMembers(good.dropRight(12))
+    }
+    // truncated trailer
+    intercept[IllegalArgumentException] {
+      WarcOps.gunzipMembers(good.dropRight(3))
+    }
+    // flipped byte in the deflate body → CRC (or stream) failure
+    val corrupt = good.clone()
+    corrupt(12) = (corrupt(12) ^ 0x41).toByte
+    intercept[Exception] { WarcOps.gunzipMembers(corrupt) }
+    // bad magic on the second member
+    intercept[IllegalArgumentException] {
+      WarcOps.gunzipMembers(good ++ Array[Byte](0x00, 0x01))
+    }
+    // a member framing TWO records violates the one-per-member contract
+    val twoRecs = WarcOps.gzipMember(
+      (rec("response", "a", "x") + rec("response", "b", "y"))
+        .getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      WarcOps.parseRecordsGz(0L, twoRecs)
+    }
+  }
+
+  test("gz fixture gate twin equals the plain gate row exactly") {
+    val plain = SparkEntry.queries("e_warc_parse")(spark, sf).collect().toSeq
+    val gz = SparkEntry.queries("e_warc_parse_gz")(spark, sf).collect().toSeq
+    assert(gz == plain)
+  }
+
   test("synthesized fixture: 16 files, warcinfo first, all docs framed") {
     val docs = Tables.load(spark, sf, "documents")
     val files = WarcOps.synthWarcFiles(docs)
