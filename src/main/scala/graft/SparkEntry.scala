@@ -48,14 +48,24 @@ object SparkEntry {
     "e_badwords",
     "e_bm25_topk", "e_bucketed_join", "e_collapse_repeats",
     "e_link_extract", "e_quality_infer", "e_retrieval_mmr",
-    "e_robots_filter", "e_warc_parse",
-    "e_dedup_exact", "e_dedup_paragraph", "e_dedup_paragraph_h",
+    "e_retrieval_mmr_ivf", "e_hard_negatives_ivf",
+    "e_hybrid_retrieval_ivf", "e_pipeline_full",
+    "e_robots_filter", "e_warc_parse", "e_warc_parse_gz",
+    "e_pipeline_crawl_model", "e_pipeline_tokenize_pack",
+    "e_dedup_exact", "e_dedup_paragraph",
     "e_dedup_spans", "e_dedup_spans_h", "e_dedup_substring",
-    "e_dedup_substring_h",
+    "e_dedup_substring_h", "e_dedup_simhash_md5",
     "e_fuzzy_join", "e_heavy_hitters", "e_jaccard_join",
     "e_join_broadcast", "e_knn_classify", "e_merge_upsert",
     "e_multimodal_dedup",
-    "e_partition_prune", "e_pii_redact", "e_tfidf",
+    "e_pagerank", "e_pagerank_links", "e_pagerank_dangling",
+    "e_partition_prune", "e_pii_redact",
+    // e_quality_train's result frame is driver-local BY DESIGN (d+1
+    // decimals per GD iteration reach the driver, never rows): the
+    // all-zero-scan pin records that the 100 TB contract holds
+    "e_quality_train",
+    "e_stream_ingest_ivf",
+    "e_tfidf",
     "e_topk", "e_tpch_q1", "e_tpch_q18", "e_tpch_q21", "e_tpch_q3",
     "e_tpch_q8", "e_triangles",
     "e_window_running",
@@ -124,24 +134,35 @@ object SparkEntry {
         |('e_collapse_repeats', 1, 0, 0, 1, 0),
         |('e_dedup_exact', 2, 0, 1, 1, 0),
         |('e_dedup_paragraph', 3, 0, 1, 1, 0),
-        |('e_dedup_paragraph_h', 4, 0, 1, 2, 0),
+        |('e_dedup_simhash_md5', 8, 4, 0, 4, 0),
         |('e_dedup_spans', 3, 1, 3, 2, 0),
         |('e_dedup_spans_h', 3, 1, 3, 2, 0),
         |('e_dedup_substring', 4, 0, 4, 2, 0),
         |('e_dedup_substring_h', 4, 0, 4, 2, 0),
         |('e_fuzzy_join', 3, 3, 0, 5, 0),
+        |('e_hard_negatives_ivf', 3, 2, 0, 3, 1),
         |('e_heavy_hitters', 2, 1, 0, 2, 0),
+        |('e_hybrid_retrieval_ivf', 7, 3, 1, 4, 1),
         |('e_jaccard_join', 5, 3, 6, 0, 0),
         |('e_join_broadcast', 1, 1, 0, 2, 0),
         |('e_knn_classify', 4, 2, 1, 3, 1),
         |('e_link_extract', 1, 0, 0, 1, 0),
         |('e_merge_upsert', 1, 1, 0, 3, 0),
         |('e_multimodal_dedup', 5, 2, 0, 0, 0),
+        |('e_pagerank', 4, 6, 0, 0, 0),
+        |('e_pagerank_dangling', 15, 28, 0, 0, 0),
+        |('e_pagerank_links', 4, 6, 0, 0, 0),
         |('e_partition_prune', 2, 0, 0, 1, 1),
         |('e_pii_redact', 1, 0, 0, 1, 0),
+        |('e_pipeline_crawl_model', 3, 0, 1, 1, 0),
+        |('e_pipeline_full', 4, 1, 2, 1, 0),
+        |('e_pipeline_tokenize_pack', 1, 0, 0, 1, 0),
         |('e_quality_infer', 1, 0, 0, 1, 0),
+        |('e_quality_train', 1, 0, 0, 0, 0),
         |('e_retrieval_mmr', 3, 2, 0, 3, 0),
+        |('e_retrieval_mmr_ivf', 3, 2, 0, 3, 1),
         |('e_robots_filter', 2, 1, 1, 2, 0),
+        |('e_stream_ingest_ivf', 0, 0, 0, 1, 1),
         |('e_tfidf', 5, 1, 1, 2, 0),
         |('e_topk', 0, 0, 0, 1, 0),
         |('e_tpch_q1', 2, 0, 0, 1, 0),
@@ -151,6 +172,7 @@ object SparkEntry {
         |('e_tpch_q8', 2, 7, 0, 8, 0),
         |('e_triangles', 8, 2, 0, 0, 0),
         |('e_warc_parse', 2, 0, 0, 1, 0),
+        |('e_warc_parse_gz', 2, 0, 0, 1, 0),
         |('e_window_running', 2, 0, 1, 1, 0),
         |('r_jdbc_two_backends', 2, 2, 0, 1, 0),
         |('r_soql_proj', 1, 0, 0, 1, 0)
@@ -212,7 +234,6 @@ object SparkEntry {
         |('e_dedup_ngram', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_dedup_ngram_md5', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_dedup_paragraph', 5, 'doc_id:bigint,n_paras:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
-        |('e_dedup_paragraph_h', 5, 'doc_id:bigint,n_paras:bigint,n_removed:bigint,removed_frac:double,kept_fp:string'),
         |('e_dedup_simhash', 2, 'doc_id:bigint,simhash:bigint'),
         |('e_dedup_simhash_md5', 2, 'doc_id:bigint,simhash:bigint'),
         |('e_dedup_spans', 4, 'doc_id:bigint,n_spans:bigint,dup_chars:bigint,dup_frac:double'),
@@ -237,6 +258,7 @@ object SparkEntry {
         |('e_histogram', 2, 'bucket:bigint,cnt:bigint'),
         |('e_html_extract', 3, 'doc_id:bigint,n_paragraphs:bigint,extracted_md5:string'),
         |('e_hybrid_retrieval', 6, 'query_id:int,doc_id:bigint,lex_rank:int,ann_rank:int,rrf_r:double,fused_rank:int'),
+        |('e_hybrid_retrieval_ivf', 6, 'query_id:int,doc_id:bigint,lex_rank:int,ann_rank:int,rrf_r:double,fused_rank:int'),
         |('e_jaccard_join', 3, 'id_a:bigint,id_b:bigint,jacc:double'),
         |('e_join_anti', 2, 'c_custkey:bigint,c_name:string'),
         |('e_join_bloom', 3, 'l_returnflag:string,n_items:bigint,revenue:double'),
@@ -282,6 +304,8 @@ object SparkEntry {
         |('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |('e_pipeline_crawl', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_crawl_model', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
+        |('e_pipeline_full', 4, 'domain:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
+        |('e_pipeline_tokenize_pack', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_pipeline_warc', 3, 'domain:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
         |('e_pipeline_mix_pack', 4, 'lang:string,shard:bigint,n_chunks:bigint,sum_tokens:bigint'),

@@ -26,7 +26,10 @@ object SweepCurve {
     "e_semdedup", "e_lang_id", "e_lang_confusion", "e_heavy_hitters",
     "e_multimodal_png", "e_pii_redact", "e_fuzzy_join", "e_repetition",
     "e_kmv_setops", "e_quality_score", "e_dedup_spans",
-    "e_collapse_repeats")
+    "e_collapse_repeats",
+    // r14 heavy additions: the full crawl-to-train composition, the
+    // gz codec path, and the dangling-mass rank walk
+    "e_pipeline_full", "e_warc_parse_gz", "e_pagerank_dangling")
 
   /** Least-squares slope of log t over log n. */
   private def fitExponent(points: Seq[(Double, Double)]): Double = {

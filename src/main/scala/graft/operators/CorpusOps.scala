@@ -194,17 +194,24 @@ object CorpusOps {
     * split on blank lines — only the one split expression changes).
     *
     * 100 TB shape: paragraph generation is map-side (one projection);
-    * first-seen marking is ONE shuffle keyed by the paragraph (window
-    * over the paragraph partition — at scale the key would be a
-    * 128-bit hash of the paragraph, shuffled instead of the text, same
-    * move as [[dedupSpans]]'s gram note); reassembly is one shuffle
-    * back on doc_id with per-doc bounded state (sort_array over ≤
-    * |doc| paragraphs). Both shuffles are linear in corpus tokens —
-    * nothing is pairwise, nothing global-sorts.
-    */
-  /** The paragraph windows of a staged token-array column, as one
-    * map-side array — shared by both lanes so the window definition
-    * exists once.
+    * first-seen marking is ONE shuffle keyed by the paragraph text;
+    * reassembly is one shuffle back on doc_id with per-doc bounded
+    * state (sort_array over ≤ |doc| paragraphs). Both shuffles are
+    * linear in corpus tokens — nothing is pairwise, nothing
+    * global-sorts.
+    *
+    * Why there is NO hashed-key twin (unlike [[dedupSpans]] /
+    * [[dedupSubstring]], where the hashed lane is the shipped plan):
+    * paragraphs PARTITION the text — each byte rides in exactly one
+    * paragraph — so this lane already shuffles each corpus byte at
+    * most twice, while substring grams OVERLAP (each char in k grams,
+    * so replacing the gram with a 16-byte hash pays ~k×). A hashed
+    * paragraph lane must still move the text once for reassembly and
+    * adds an extra exchange plus a second window derivation; measured
+    * (SWEEP_LONGGRAM r13, flat-long keys): hashed lost at BOTH tested
+    * paragraph sizes and scales — p=4: 2.29 s vs 0.74 s at 1×, 8.85
+    * vs 2.44 at 10×; p=50: 0.75 vs 0.44, 2.07 vs 1.54. The lane was
+    * retired in r14; the text lane is the shipped plan.
     */
   private def paraWindows(t: org.apache.spark.sql.Column, p: Int) = {
     val lastIdx = floor((size(t) - 1) / lit(p)).cast("int")
@@ -212,21 +219,7 @@ object CorpusOps {
       array_join(slice(t, i * p + 1, lit(p)), " "))
   }
 
-  /** `hashedKey = true` is the PRODUCTION SHUFFLE LANE (the
-    * [[dedupSubstring]] move at paragraph granularity): the
-    * first-seen window keys on a 128-bit hash pair of the paragraph
-    * with the TEXT projected away, so the corpus-wide window shuffle
-    * carries a fixed ~28-byte row per paragraph instead of the
-    * paragraph text; reassembly then re-derives the paragraphs
-    * map-side from the original document and keeps the surviving
-    * INDICES (ints — the only other narrow shuffle), joined back to
-    * the docs table on doc_id with the 100 TB-legal shuffle-hash hint
-    * (the one unavoidable text movement, same count as the text
-    * lane's). Identical output on a collision-free corpus ⟹ shares
-    * the text lane's oracle.
-    */
-  def dedupParagraphs(docs: DataFrame, p: Int = ParaLen,
-      hashedKey: Boolean = false): DataFrame = {
+  def dedupParagraphs(docs: DataFrame, p: Int = ParaLen): DataFrame = {
     // stage the token array: referencing an unstaged split() from the
     // paragraph transform would duplicate it per reference (the
     // minhashDedup staging note)
@@ -235,54 +228,24 @@ object CorpusOps {
     val paras = toked
       .select(col("doc_id"),
         posexplode(paraWindows(col("t"), p)).as(Seq("para_idx", "para")))
-    if (!hashedKey) {
-      // the corpus-wide shuffle: first occurrence per paragraph in
-      // (doc_id, para_idx) order
-      val w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
-      val marked = paras.withColumn("rn", row_number().over(w))
-      marked.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
-          // reassembled doc = surviving paragraphs in original order;
-          // the md5 pins the TRANSFORM itself (collapseRepeats precedent)
-          md5(array_join(transform(
-            sort_array(collect_list(when(col("rn") === 1,
-              struct(col("para_idx"), col("para"))))),
-            s => s.getField("para")), " ").cast("binary")).as("kept_fp"))
-        .select(col("doc_id"), col("n_paras"), col("n_removed"),
-          round(col("n_removed").cast("double") / col("n_paras"), 4)
-            .as("removed_frac"),
-          col("kept_fp"))
-        .orderBy("doc_id")
-    } else {
-      // narrow lane: hash the paragraph, drop the text pre-shuffle;
-      // flat hash columns, not a struct (the dupIslands spill-audit
-      // note — a struct header is 8 wasted bytes per shuffled row)
-      val keyed = paras.select(col("doc_id"), col("para_idx"),
-        xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(7)).as("h2"))
-      val w = Window.partitionBy("h1", "h2").orderBy("doc_id", "para_idx")
-      val kept = keyed.withColumn("rn", row_number().over(w))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
-          sort_array(collect_list(when(col("rn") === 1, col("para_idx"))))
-            .as("kept_idx"))
-      // kept-lists are corpus-sized (one row/doc) — pin the co-hashed
-      // join; reassembly re-derives the windows map-side and picks the
-      // surviving indices (element_at over a STAGED array: computed
-      // once per row, indexed per kept paragraph)
-      toked.join(kept.hint("shuffle_hash"), Seq("doc_id"))
-        .select(col("doc_id"), col("n_paras"), col("n_removed"),
-          col("kept_idx"), paraWindows(col("t"), p).as("pa"))
-        .select(col("doc_id"), col("n_paras"), col("n_removed"),
-          round(col("n_removed").cast("double") / col("n_paras"), 4)
-            .as("removed_frac"),
-          md5(array_join(transform(col("kept_idx"),
-            i => element_at(col("pa"), i + 1)), " ").cast("binary"))
-            .as("kept_fp"))
-        .orderBy("doc_id")
-    }
+    // the corpus-wide shuffle: first occurrence per paragraph in
+    // (doc_id, para_idx) order
+    val w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+    val marked = paras.withColumn("rn", row_number().over(w))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        // reassembled doc = surviving paragraphs in original order;
+        // the md5 pins the TRANSFORM itself (collapseRepeats precedent)
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("rn") === 1,
+            struct(col("para_idx"), col("para"))))),
+          s => s.getField("para")), " ").cast("binary")).as("kept_fp"))
+      .select(col("doc_id"), col("n_paras"), col("n_removed"),
+        round(col("n_removed").cast("double") / col("n_paras"), 4)
+          .as("removed_frac"),
+        col("kept_fp"))
+      .orderBy("doc_id")
   }
 
   /** Duplicated-substring REMOVAL with document rewrite — the full
@@ -575,6 +538,16 @@ object CorpusOps {
       s"${spark.sparkContext.applicationId}#$dir",
       _ => bpeMergeLoop(Tables.load(spark, dir, "documents")))
 
+  /** Per-doc BPE token counts off the memoized merged sequences — the
+    * tokenizer's output statistic downstream compositions consume
+    * (e_pipeline_tokenize_pack packs on these, not on raw whitespace
+    * counts).
+    */
+  private[graft] def bpeTokenCounts(spark: SparkSession,
+      dir: String): DataFrame =
+    bpeOf(spark, dir).seqs.select(col("doc_id"),
+      ((size(split(col("s"), Sep)) - 1) / 2).cast("long").as("n_tok"))
+
   private val bpeVocabQ: Q = (spark, dir) => {
     import spark.implicits._
     bpeOf(spark, dir).vocab.toDF("merge_rank", "tok_a", "tok_b", "cnt")
@@ -701,9 +674,6 @@ object CorpusOps {
   private val dedupParagraphsQ: Q = (spark, dir) =>
     dedupParagraphs(Tables.load(spark, dir, "documents"))
 
-  private val dedupParagraphsHQ: Q = (spark, dir) =>
-    dedupParagraphs(Tables.load(spark, dir, "documents"), hashedKey = true)
-
   private val dedupSubstringQ: Q = (spark, dir) =>
     dedupSubstring(Tables.load(spark, dir, "documents"))
 
@@ -787,7 +757,6 @@ object CorpusOps {
     "e_dedup_spans" -> dedupSpansQ,
     "e_dedup_spans_h" -> dedupSpansHQ,
     "e_dedup_paragraph" -> dedupParagraphsQ,
-    "e_dedup_paragraph_h" -> dedupParagraphsHQ,
     "e_dedup_substring" -> dedupSubstringQ,
     "e_dedup_substring_h" -> dedupSubstringHQ,
     "e_bpe_pairs" -> bpePairsQ,
@@ -808,7 +777,7 @@ object CorpusOps {
     * the vocab and apply oracles so both replay the ONE loop
     * [[bpeOf]] caches.
     */
-  private def bpeRoundsCtes: String = {
+  private[graft] def bpeRoundsCtes: String = {
     val rounds = (1 to BpeMerges).map { k =>
       val src = s"r${k - 1}"
       s"""t$k AS (
@@ -915,10 +884,6 @@ object CorpusOps {
     // surviving paragraphs; list slicing clamps the last partial
     // window in both engines
     "e_dedup_paragraph" -> paragraphOracle,
-    // hashed-window production twin: identical output on a
-    // collision-free corpus, same oracle verbatim
-    "e_dedup_paragraph_h" -> paragraphOracle,
-    
     // duplicated-substring removal replayed at character grain: the
     // same grams / cross-doc test / corpus-first rank, coverage
     // positions exploded per non-first occurrence, and the rewrite as

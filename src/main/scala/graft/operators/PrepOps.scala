@@ -182,7 +182,7 @@ object PrepOps {
   // Sequence packing
   // ---------------------------------------------------------------
 
-  private val CtxLen = 256
+  private[graft] val CtxLen = 256
 
   /** Sequence packing: assign documents (in doc_id order, per
     * language) to fixed [[CtxLen]]-token context bins by running token
@@ -194,9 +194,18 @@ object PrepOps {
     */
   def packSequences(docs: DataFrame): DataFrame = {
     val nTok = size(split(lower(col("text")), "\\s+")).cast("long")
+    packCounted(docs.select(col("lang"), col("doc_id"), nTok.as("n_tok")))
+  }
+
+  /** The packing core over a pre-counted (lang, doc_id, n_tok) frame —
+    * shared by the whitespace-count gate row and the BPE-tokenized
+    * composition (e_pipeline_tokenize_pack), so the binning rule
+    * exists once.
+    */
+  def packCounted(sized: DataFrame): DataFrame = {
     val wCum = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("lang"), col("doc_id"), nTok.as("n_tok"))
+    sized
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wCum), lit(0L)))
       .withColumn("bin", floor(col("cum_before") / lit(CtxLen)).cast("long"))
       .groupBy("lang", "bin")
@@ -205,6 +214,45 @@ object PrepOps {
 
   private val pack: Q = (spark, dir) =>
     packSequences(Tables.load(spark, dir, "documents")).orderBy("lang", "bin")
+
+  /** TRAIN-READY LAST MILE — tokenize → pack → shard-publish as ONE
+    * composition, the step a real pipeline runs after curation: the
+    * trained tokenizer's merged sequences (the memoized
+    * [[CorpusOps.bpeMergeLoop]] result — e_bpe_apply's subject) yield
+    * per-doc BPE token counts; [[packCounted]] bins them into
+    * [[CtxLen]]-token training sequences per language; and the packed
+    * manifest ships through [[graft.sources.AtomicPublish.publish]]
+    * (crash-safe versioned handoff) — the gate row reads it BACK
+    * through the manifest, so the publish protocol sits inside the
+    * checked path. Each seam is individually oracle-proven
+    * (e_bpe_apply, e_pack_sequences, e_publish_roundtrip); this row
+    * proves they compose. The oracle chains the BPE-round replay into
+    * the packing window directly — publication must be invisible.
+    */
+  private val tokPackPublished =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tokPackRoot(spark: SparkSession, dir: String): String =
+    tokPackPublished.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val root =
+          java.nio.file.Files.createTempDirectory("graft_tokpack").toString
+        sys.addShutdownHook {
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(root))
+        }
+        val sized = Tables.load(spark, dir, "documents")
+          .select("doc_id", "lang")
+          .join(CorpusOps.bpeTokenCounts(spark, dir), "doc_id")
+          .select("lang", "doc_id", "n_tok")
+        graft.sources.AtomicPublish.publish(packCounted(sized), root)
+        root
+      })
+
+  private val tokenizePackQ: Q = (spark, dir) =>
+    graft.sources.AtomicPublish
+      .readLatest(spark, tokPackRoot(spark, dir))
+      .orderBy("lang", "bin")
 
   // ---------------------------------------------------------------
   // Corpus rebalancing
@@ -491,6 +539,7 @@ object PrepOps {
     "e_chunk" -> chunk,
     "e_tfidf" -> tfidf,
     "e_pack_sequences" -> pack,
+    "e_pipeline_tokenize_pack" -> tokenizePackQ,
     "e_rebalance" -> rebalanceQ,
     "e_rebalance_topk" -> rebalanceTopKQ,
     "e_normalize" -> normalize,
@@ -679,6 +728,26 @@ object PrepOps {
          |), binned AS (
          |  SELECT lang, n_tok,
          |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / $CtxLen) AS BIGINT) AS bin
+         |  FROM sized
+         |)
+         |SELECT lang, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
+         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    // the BPE-round replay (e_bpe_apply's proven chain) chained into
+    // the same packing window; the publish/read-back seam must be
+    // invisible in the result
+    "e_pipeline_tokenize_pack" ->
+      s"""WITH ${CorpusOps.bpeRoundsCtes},
+         |sized AS (
+         |  SELECT d.lang, r.doc_id,
+         |    ((len(string_split(r.s, chr(1))) - 1) // 2)::BIGINT AS n_tok
+         |  FROM r${CorpusOps.BpeMerges} r
+         |  JOIN documents d ON d.doc_id = r.doc_id
+         |), binned AS (
+         |  SELECT lang, n_tok,
+         |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      / $CtxLen) AS BIGINT) AS bin
          |  FROM sized

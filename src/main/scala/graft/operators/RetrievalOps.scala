@@ -575,13 +575,35 @@ object RetrievalOps {
     * with the TopK aggregator); fusion joins two ≤(queries·depth)
     * frames — driver-trivial at any corpus size.
     */
-  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame =
+    hybridOver(spark, dir,
+      SimilarityOps.knnJoin(Tables.load(spark, dir, "embeddings"),
+        k = HybridDepth,
+        queryIds = Some(DefaultQueries.map(_._1.toLong))))
+
+  /** [[hybridRetrieval]] with the dense retriever riding the PERSISTED
+    * IVF index ([[SimilarityOps.probeIvfMany]]) — at 100 TB both
+    * retrievers are now index probes: BM25 reads only the query terms'
+    * posting buckets, the ANN side reads only the probed cells. The
+    * brute-force form stays as the recall-truth twin.
+    */
+  def hybridRetrievalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val index = SimilarityOps.loadIvfIndex(spark,
+      SimilarityOps.persistedIndexPath(spark, dir))
+    hybridOver(spark, dir,
+      SimilarityOps.probeIvfMany(index,
+        emb.where(col("vec_id").isin(DefaultQueries.map(_._1.toLong): _*))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        nprobe = 4, k = HybridDepth))
+  }
+
+  private def hybridOver(spark: SparkSession, dir: String,
+      annTopk: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = bm25TopK(spark, dir, DefaultQueries, k = HybridDepth)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val ann = SimilarityOps.knnJoin(Tables.load(spark, dir, "embeddings"),
-        k = HybridDepth,
-        queryIds = Some(DefaultQueries.map(_._1.toLong)))
+    val ann = annTopk
       .select(col("q_id").cast("int").as("query_id"),
         col("vec_id").as("doc_id"), col("nn_rank").as("ann_rank"))
     val fused = lex.join(ann, Seq("query_id", "doc_id"), "full_outer")
@@ -607,6 +629,8 @@ object RetrievalOps {
   }
 
   private val hybridQ: Q = (spark, dir) => hybridRetrieval(spark, dir)
+
+  private val hybridIvfQ: Q = (spark, dir) => hybridRetrievalIvf(spark, dir)
 
   // ------------------------------------------------------------------
   // MMR diversified reranking
@@ -809,6 +833,7 @@ object RetrievalOps {
     "e_bm25_incr" -> bm25IncrQ,
     "e_bm25_compact" -> bm25CompactQ,
     "e_hybrid_retrieval" -> hybridQ,
+    "e_hybrid_retrieval_ivf" -> hybridIvfQ,
     "e_retrieval_eval" -> retrievalEvalQ,
   )
 
@@ -1005,6 +1030,44 @@ object RetrievalOps {
     */
   private def hybridOracle: String = {
     val qIds = DefaultQueries.map(_._1).mkString(", ")
+    hybridOracleWith(
+      s"""annq AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |  FROM embeddings WHERE vec_id IN ($qIds)
+         |), anns AS (
+         |  SELECT q.q_id, e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 6)
+         |      AS cos
+         |  FROM embeddings e, annq q WHERE e.vec_id <> q.q_id
+         |), annr AS (
+         |  SELECT q_id::INT AS query_id, doc_id, ann_rank FROM (
+         |    SELECT q_id, doc_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, doc_id) AS ann_rank
+         |    FROM anns) z
+         |  WHERE ann_rank <= $HybridDepth
+         |)""".stripMargin)
+  }
+
+  /** The hybrid replay with the dense side riding the e_ann_bulk
+    * quantizer+probe replay instead of the exact scan.
+    */
+  private def hybridOracleIvf: String = {
+    val qIds = DefaultQueries.map(_._1).mkString(", ")
+    hybridOracleWith(
+      s"""annr AS (
+         |  SELECT q_id::INT AS query_id, vec_id AS doc_id,
+         |    nn_rank AS ann_rank
+         |  FROM (${SimilarityOps.ivfBulkCandSql(s"vec_id IN ($qIds)",
+              HybridDepth)}) t
+         |)""".stripMargin)
+  }
+
+  /** Shared fusion replay over an `annr(query_id, doc_id, ann_rank)`
+    * CTE prefix — both retriever lanes fuse through the ONE RRF
+    * definition.
+    */
+  private def hybridOracleWith(annrCtes: String): String = {
     s"""WITH ${bm25TotalsCtes(defaultAsN)},
        |lexr AS (
        |  SELECT query_id, doc_id, rank AS lex_rank FROM (
@@ -1013,22 +1076,7 @@ object RetrievalOps {
        |        ORDER BY total DESC, doc_id) AS rank
        |    FROM tot) z
        |  WHERE rank <= $HybridDepth
-       |), annq AS (
-       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
-       |  FROM embeddings WHERE vec_id IN ($qIds)
-       |), anns AS (
-       |  SELECT q.q_id, e.vec_id AS doc_id,
-       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 6)
-       |      AS cos
-       |  FROM embeddings e, annq q WHERE e.vec_id <> q.q_id
-       |), annr AS (
-       |  SELECT q_id::INT AS query_id, doc_id, ann_rank FROM (
-       |    SELECT q_id, doc_id,
-       |      row_number() OVER (PARTITION BY q_id
-       |        ORDER BY cos DESC, doc_id) AS ann_rank
-       |    FROM anns) z
-       |  WHERE ann_rank <= $HybridDepth
-       |), fused AS (
+       |), $annrCtes, fused AS (
        |  SELECT coalesce(l.query_id, a.query_id) AS query_id,
        |         coalesce(l.doc_id, a.doc_id) AS doc_id,
        |         coalesce(l.lex_rank, 0) AS lex_rank,
@@ -1102,6 +1150,7 @@ object RetrievalOps {
     // ... and compaction must preserve that equality exactly
     "e_bm25_compact" -> bm25Oracle,
     "e_hybrid_retrieval" -> hybridOracle,
+    "e_hybrid_retrieval_ivf" -> hybridOracleIvf,
     "e_retrieval_eval" -> retrievalEvalOracle,
     "e_retrieval_mmr" -> mmrOracle,
     "e_hard_negatives" -> hardNegOracle,

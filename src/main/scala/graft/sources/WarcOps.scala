@@ -366,10 +366,66 @@ object WarcOps {
       .orderBy("domain")
   }
 
+  /** THE FULL CRAWL-TO-TRAIN COMPOSITION — every production stage in
+    * ONE Catalyst plan, from genuine warc.gz bytes to packed training
+    * shards:
+    *
+    *   warc.gz (per-record gzip members, CRC-verified) → strict WARC
+    *   framing → HTTP-200 responses → HTML text extraction →
+    *   canonical-URL first-seen dedup → TRAINED quality model gate
+    *   (frozen GD weights at the 0.5 boundary) → Aho–Corasick content
+    *   blocklist → BPE tokenization (the trained merge table's counts)
+    *   → 256-token sequence packing per domain.
+    *
+    * Every seam is individually oracle-proven (e_warc_parse_gz,
+    * e_html_extract, e_url_canon, e_quality_infer, e_badwords,
+    * e_bpe_apply, e_pack_sequences); this row proves the WHOLE CHAIN
+    * composes. The only non-relational seams are the two honest codec/
+    * model boundaries: the per-file gunzip flatMap and the frozen
+    * weight literals — everything else is one codegen'd plan with two
+    * narrow shuffles (canon window, domain packing window) plus the
+    * tokenizer-count join.
+    */
+  private val fullPipeline: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{DomainOps, PrepOps, QualityModelOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val w = QualityModelOps.trainedWeights(spark, dir)
+    val recs = parseWarcBlobsGz(synthWarcFilesGz(docs)).toDF()
+    val pages = recs
+      .where(col("warc_type") === "response")
+      .where(regexp_extract(col("payload"), "^HTTP/1\\.1 (\\d+)", 1) === "200")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        substring_index(lower(parse_url(col("target_uri"), lit("HOST"))),
+          ".", 1).as("domain"),
+        CorpusOps.htmlExtract(col("payload").substr(
+          instr(col("payload"), "\r\n\r\n") + lit(4),
+          length(col("payload")))).as("text"))
+    val kept = pages
+      .withColumn("canon_url",
+        DomainOps.urlCanonicalize(DomainOps.synthUrl(col("doc_id"))))
+      .withColumn("url_rank", row_number().over(
+        Window.partitionBy("canon_url").orderBy("doc_id")))
+      .where(col("url_rank") === 1)
+    val gated = kept
+      .where(QualityModelOps.scoreOn(col("text"), w) >= 0.5)
+      .where(size(graft.functions.AhoMatches.blocklistHits(spark,
+        lower(col("text")), graft.functions.TextOps.BadPhrases)) === 0)
+    PrepOps.packCounted(
+        gated.join(CorpusOps.bpeTokenCounts(spark, dir), "doc_id")
+          .select(col("domain").as("lang"), col("doc_id"), col("n_tok")))
+      .select(col("lang").as("domain"), col("bin"), col("n_docs"),
+        col("sum_tokens"))
+      .orderBy("domain", "bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_warc_parse" -> warcParse,
     "e_warc_parse_gz" -> warcParseGz,
-    "e_pipeline_warc" -> warcPipeline)
+    "e_pipeline_warc" -> warcPipeline,
+    "e_pipeline_full" -> fullPipeline)
 
   private def warcPipelineOracle: String = {
     val vals = graft.functions.TextOps.BadPhrases
@@ -397,10 +453,63 @@ object WarcOps {
       |  md5(text) AS extracted_md5
       |FROM documents WHERE doc_id % 4 <> 1 ORDER BY doc_id""".stripMargin
 
+  /** Replay of [[fullPipeline]] on the original text (every transport
+    * seam — gzip, WARC framing, HTTP head, HTML — is round-trip-proven
+    * invisible): the quality-model TRAINING trajectory, the BPE merge
+    * rounds, and the curation chain composed as one WITH body. The
+    * oracle trains the model AND the tokenizer itself.
+    */
+  private def fullPipelineOracle: String = {
+    import graft.operators.{CorpusOps, PrepOps, QualityModelOps}
+    val vals = graft.functions.TextOps.BadPhrases
+      .map(p => s"('$p')").mkString(", ")
+    s"""WITH ${QualityModelOps.featCte},
+       |${QualityModelOps.iterCtes},
+       |${CorpusOps.bpeRoundsCtes},
+       |p(phrase) AS (VALUES $vals),
+       |base AS (
+       |  SELECT doc_id, text, 'site' || (doc_id % 7) AS domain,
+       |    doc_id // 2 AS ck
+       |  FROM documents WHERE doc_id % 4 <> 1
+       |), kept AS (
+       |  SELECT doc_id, text, domain FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id)
+       |      AS rn FROM base) t
+       |  WHERE rn = 1
+       |), gated AS (
+       |  SELECT k.doc_id, k.domain FROM kept k
+       |  JOIN f ON f.doc_id = k.doc_id
+       |  CROSS JOIN w${QualityModelOps.Iters} w
+       |  WHERE w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+       |        >= CAST(0.5 AS DOUBLE)
+       |    AND NOT EXISTS (SELECT 1 FROM p WHERE
+       |      ' ' || regexp_replace(lower(k.text), '\\s', ' ', 'g') || ' '
+       |        LIKE '%' || ' ' || p.phrase || ' ' || '%')
+       |), sized AS (
+       |  SELECT g.domain, g.doc_id,
+       |    ((len(string_split(r${CorpusOps.BpeMerges}.s, chr(1))) - 1) // 2)
+       |      ::BIGINT AS n_tok
+       |  FROM gated g
+       |  JOIN r${CorpusOps.BpeMerges}
+       |    ON r${CorpusOps.BpeMerges}.doc_id = g.doc_id
+       |), binned AS (
+       |  SELECT domain, n_tok,
+       |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY domain
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      / ${PrepOps.CtxLen}) AS BIGINT) AS bin
+       |  FROM sized
+       |)
+       |SELECT domain, bin, count(*) AS n_docs,
+       |  sum(n_tok)::BIGINT AS sum_tokens
+       |FROM binned GROUP BY domain, bin ORDER BY domain, bin""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "e_warc_parse" -> warcParseOracle,
     // identical oracle: the gzip member framing must be invisible in
     // the parsed records (the persisted-index "same answer" pattern)
     "e_warc_parse_gz" -> warcParseOracle,
-    "e_pipeline_warc" -> warcPipelineOracle)
+    "e_pipeline_warc" -> warcPipelineOracle,
+    "e_pipeline_full" -> fullPipelineOracle)
 }

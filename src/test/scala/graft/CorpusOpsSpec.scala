@@ -269,34 +269,6 @@ class CorpusOpsSpec extends SparkSpec {
       "hashed lane diverged from the text lane (hash collision or bug)")
   }
 
-  test("hashed-paragraph lane: identical output to the text lane, and " +
-      "no paragraph string crosses the first-seen window exchange") {
-    val docs = Tables.load(spark, sf, "documents")
-    val textLane = CorpusOps.dedupParagraphs(docs)
-    val hashLane = CorpusOps.dedupParagraphs(docs, hashedKey = true)
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case _ => p.children
-    }).flatMap(flat)
-    def positional(df: org.apache.spark.sql.DataFrame) =
-      flat(df.queryExecution.executedPlan)
-        .collect { case e: ShuffleExchangeLike => e }
-        .filter(_.output.exists(_.name == "para_idx"))
-    val isStr = (a: org.apache.spark.sql.catalyst.expressions.Attribute) =>
-      a.dataType.isInstanceOf[org.apache.spark.sql.types.StringType]
-    assert(positional(textLane).exists(_.output.exists(isStr)),
-      "sanity: the text lane's window exchange should carry paragraphs")
-    val hashEx = positional(hashLane)
-    assert(hashEx.nonEmpty, "no positional exchange found in hashed lane")
-    hashEx.foreach(e => assert(!e.output.exists(isStr),
-      s"string column crosses a positional exchange: ${e.output}"))
-    assert(hashLane.collect().toSeq == textLane.collect().toSeq,
-      "hashed lane diverged from the text lane (hash collision or bug)")
-  }
-
   test("bpe merges back-to-back occurrences in one round " +
       "(per-token wrap: no shared boundary to consume)") {
     // "x y x y": both (x,y) occurrences must merge in round 1 — the
