@@ -80,11 +80,24 @@ object SparkEntry {
   private val planAuditCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, Int, Int, Int, Int, Int)]]()
 
+  // The pagerank walks persist their edge/degree/node frames; Spark's
+  // CacheManager substitutes a materialized persist into ANY later
+  // plan with the same logical fragment, so their audited shape
+  // depends on whether the walk already ran in this session (first
+  // build: raw scans + build shuffles visible; steady state:
+  // InMemoryRelation reuse). Pin the STEADY state — the one every
+  // repeated invocation sees — by materializing once before auditing.
+  private val preMaterialize =
+    Set("e_pagerank", "e_pagerank_links", "e_pagerank_dangling")
+
   private def planAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     planAuditCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}#$dir", _ =>
         planAuditTargets.map { name =>
+          if (preMaterialize(name))
+            baseQueries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
           val r = graft.engine.PlanAudit.audit(baseQueries(name)(spark, dir))
           (name, r.shuffles, r.broadcasts, r.windows, r.scans.size,
             r.partitionPrunedScans)
@@ -149,9 +162,9 @@ object SparkEntry {
         |('e_link_extract', 1, 0, 0, 1, 0),
         |('e_merge_upsert', 1, 1, 0, 3, 0),
         |('e_multimodal_dedup', 5, 2, 0, 0, 0),
-        |('e_pagerank', 4, 6, 0, 0, 0),
-        |('e_pagerank_dangling', 15, 28, 0, 0, 0),
-        |('e_pagerank_links', 4, 6, 0, 0, 0),
+        |('e_pagerank', 4, 0, 0, 0, 0),
+        |('e_pagerank_dangling', 15, 7, 0, 0, 0),
+        |('e_pagerank_links', 4, 0, 0, 0, 0),
         |('e_partition_prune', 2, 0, 0, 1, 1),
         |('e_pii_redact', 1, 0, 0, 1, 0),
         |('e_pipeline_crawl_model', 3, 0, 1, 1, 0),

@@ -150,10 +150,15 @@ object GraphOps {
       damping: Double = PrDamping): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import org.apache.spark.storage.StorageLevel
-    val dir = rawEdges.select(col("u").as("src"), col("v").as("dst"))
+    val dir0 = rawEdges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(rawEdges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir0.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.DISK_ONLY)
-    val deg = dir.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // fold outdeg INTO the persisted edge frame once: outdeg is
+    // iteration-invariant, so joining deg inside the loop pays one
+    // extra join per iteration for nothing (r14 — e_pagerank_dangling
+    // was the bench's #2 heaviest before this)
+    val dir = dir0.join(deg.hint("shuffle_hash"), Seq("src"))
       .persist(StorageLevel.DISK_ONLY)
     // |V| is one driver long — the bounded-collect class (seed means,
     // top-1 merge rows), not a data-sized collect; the action also
@@ -163,8 +168,8 @@ object GraphOps {
     var rank = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
       val contrib = dir
-        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(rank.select(col("node").as("src"), col("r"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"),
           (col("r") / col("outdeg")).cast(DecimalType(28, 16)).as("c"))
       rank = contrib.groupBy(col("dst").as("node"))
@@ -197,23 +202,25 @@ object GraphOps {
       damping: Double = PrDamping): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import org.apache.spark.storage.StorageLevel
-    val dir = edges.select(col("src"), col("dst"))
+    val dir0 = edges.select(col("src"), col("dst"))
+    val deg = dir0.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.DISK_ONLY)
-    val deg = dir.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg folded into the persisted edge frame (see pageRank)
+    val dir = dir0.join(deg.hint("shuffle_hash"), Seq("src"))
       .persist(StorageLevel.DISK_ONLY)
     val n = deg.count()
     val base = (1.0 - damping) / n
     var rank = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
       val sums = dir
-        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(rank.select(col("node").as("src"), col("r"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"),
           (col("r") / col("outdeg")).cast(DecimalType(28, 16)).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("sm"))
       rank = deg.select(col("src").as("node"))
-        .join(sums, Seq("node"), "left_outer")
+        .join(sums.hint("shuffle_hash"), Seq("node"), "left_outer")
         .select(col("node"), round(lit(base) + lit(damping) *
           coalesce(col("sm").cast("double"), lit(0.0)), 12).as("r"))
     }
@@ -254,35 +261,48 @@ object GraphOps {
     import org.apache.spark.sql.types.DecimalType
     import org.apache.spark.storage.StorageLevel
     val dec = DecimalType(28, 16)
-    val dir = edges.select(col("src"), col("dst"))
+    val dir0 = edges.select(col("src"), col("dst"))
+    val deg = dir0.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.DISK_ONLY)
-    val deg = dir.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg folded into the persisted edge frame (see pageRank)
+    val dir = dir0.join(deg.hint("shuffle_hash"), Seq("src"))
       .persist(StorageLevel.DISK_ONLY)
-    val nodes = dir.select(col("src").as("node"))
-      .unionAll(dir.select(col("dst").as("node")))
+    val nodes = dir0.select(col("src").as("node"))
+      .unionAll(dir0.select(col("dst").as("node")))
       .distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    // the DANGLING SET is iteration-invariant too: mark it once on the
+    // persisted node frame instead of anti-joining rank vs deg every
+    // iteration
+    val nodesMarked = nodes
+      .join(deg.select(col("src").as("node"), lit(true).as("has_out"))
+        .hint("shuffle_hash"),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
       .persist(StorageLevel.DISK_ONLY)
     val n = nodes.count()
     val base = (1.0 - damping) / n
-    var rank = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    var rank = nodesMarked.select(col("node"), col("has_out"),
+      lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
       val sums = dir
-        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(rank.select(col("node").as("src"), col("r"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"), (col("r") / col("outdeg")).cast(dec).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("sm"))
       // dangling mass: rank held by nodes with NO out-edges — one
-      // decimal-accumulated 1-row aggregate
-      val dang = rank.join(deg, rank("node") === deg("src"), "left_anti")
+      // decimal-accumulated 1-row aggregate off the precomputed mark
+      val dang = rank.where(!col("has_out"))
         .agg(coalesce(sum(col("r").cast(dec)),
           lit(0).cast(dec)).as("dm"))
-      rank = nodes
-        .join(sums, Seq("node"), "left_outer")
+      rank = nodesMarked
+        .join(sums.hint("shuffle_hash"), Seq("node"), "left_outer")
         .crossJoin(dang)
-        .select(col("node"), round(lit(base) + lit(damping) *
-          (coalesce(col("sm").cast("double"), lit(0.0)) +
-            col("dm").cast("double") / lit(n.toDouble)), 12).as("r"))
+        .select(col("node"), col("has_out"),
+          round(lit(base) + lit(damping) *
+            (coalesce(col("sm").cast("double"), lit(0.0)) +
+              col("dm").cast("double") / lit(n.toDouble)), 12).as("r"))
     }
     rank.select(col("node"), col("r").as("pr"))
       .orderBy(col("pr").desc, col("node"))
