@@ -317,6 +317,7 @@ object SparkEntry {
         |('e_pii_redact', 4, 'doc_id:bigint,n_emails:bigint,n_phones:bigint,red_fp:string'),
         |('e_pipeline_crawl', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_crawl_model', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
+        |('e_pipeline_frontier', 6, 'doc_id:bigint,domain:string,path:string,n_inlinks:bigint,pr:double,fetch_rank:int'),
         |('e_pipeline_full', 4, 'domain:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_pipeline_tokenize_pack', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_pipeline_warc', 3, 'domain:string,n_docs:bigint,total_chars:bigint'),

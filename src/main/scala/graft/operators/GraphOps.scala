@@ -318,11 +318,67 @@ object GraphOps {
       .where(pmod(col("src_doc"), lit(3L)) =!= 0)
       .select(col("src_doc").as("src"), col("dst_doc").as("dst")))
 
+  /** Fetch-queue slots per domain in the frontier composition. */
+  val FrontierCap = 3
+
+  /** THE CRAWL-SCHEDULER COMPOSITION — what a frontier actually does
+    * with the pieces this library provides, in one plan: take the
+    * links extracted from CRAWLED pages (src % 3 ≠ 0 — the crawled
+    * subset of the link fixture), keep the UNCRAWLED targets (the
+    * fetch candidates) with their inlink counts, drop targets the
+    * site's robots.txt disallows (RFC 9309 — parsed from the real
+    * fixture text), PRIORITIZE by the dangling-mass PageRank of the
+    * full link graph (exactly what [[pageRankDangling]] ranks
+    * uncrawled targets FOR), and admit the top-[[FrontierCap]] per
+    * domain (politeness budget). Output: the ranked fetch queue.
+    *
+    * 100 TB shape: candidates aggregate on dst (one shuffle of narrow
+    * edge rows); robots rules are a |domains|-row broadcast; the rank
+    * join is narrow (node, pr); the per-domain cap is a bounded window
+    * over fetch candidates. The walk itself is [[pageRankDangling]]'s
+    * plan, reused.
+    */
+  def frontierSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = DomainOps.linkEdgesWithUrl(spark, dir)
+      .where(pmod(col("src_doc"), lit(3L)) =!= 0)
+      .select(col("src_doc").as("src"), col("dst_doc").as("dst"))
+    val pr = pageRankDangling(edges)
+    val cand = edges.where(pmod(col("dst"), lit(3L)) === 0)
+      .groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("n_inlinks"))
+    val frontier = cand.select(col("doc_id"),
+      pmod(col("doc_id"), lit(20L)).as("h"),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit("/private/p"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("/doc/open"), col("doc_id")))
+        .otherwise(concat(lit("/doc/d"), col("doc_id"))).as("path"),
+      col("n_inlinks"))
+    val doms = frontier.select("h").distinct()
+    val rules = DomainOps.parseRobots(
+      doms.withColumn("robots_txt", DomainOps.synthRobotsTxt(col("h"))))
+    val allowed = DomainOps.robotsFilter(frontier, rules)
+      .where(col("allowed"))
+    val w = Window.partitionBy("h").orderBy(col("pr").desc, col("doc_id"))
+    allowed
+      .join(pr.select(col("node").as("doc_id"), col("pr"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("fetch_rank", row_number().over(w))
+      .where(col("fetch_rank") <= FrontierCap)
+      .select(col("doc_id"), concat(lit("site"), col("h")).as("domain"),
+        col("path"), col("n_inlinks"), col("pr"), col("fetch_rank"))
+      .orderBy("domain", "fetch_rank")
+  }
+
+  private val frontierQ: Q = (spark, dir) => frontierSchedule(spark, dir)
+
   val queries: Map[String, Q] = Map(
     "e_triangles" -> trianglesQ,
     "e_pagerank" -> pageRankQ,
     "e_pagerank_links" -> pageRankLinksQ,
     "e_pagerank_dangling" -> pageRankDanglingQ,
+    "e_pipeline_frontier" -> frontierQ,
   )
 
   /** The oracle counts triangles WITHOUT the orientation machinery
@@ -428,7 +484,17 @@ object GraphOps {
     * CTE pair — the SAME decimal accumulations and the same pinned
     * double order (contrib + D/n, ×d, +base, round 12).
     */
-  private def pageRankDanglingOracle: String = {
+  private def pageRankDanglingOracle: String =
+    s"""WITH $danglingWalkCtes
+       |SELECT node, r AS pr FROM r$PrIters
+       |ORDER BY pr DESC, node""".stripMargin
+
+  /** The dangling-walk replay as a reusable WITH body (edge arithmetic
+    * → crawled-subset dir → deg/nodes/n/r0 → per-iteration CTE pairs,
+    * ending in r[[PrIters]]) — shared by the e_pagerank_dangling
+    * oracle and the frontier-scheduler composition.
+    */
+  private[graft] def danglingWalkCtes: String = {
     val iters = (1 to PrIters).map { k =>
       s"""d$k AS (
          |  SELECT coalesce(sum(CAST(p.r AS DECIMAL(28,16))),
@@ -449,7 +515,7 @@ object GraphOps {
          |    JOIN deg ON dir.src = deg.src
          |    GROUP BY dir.dst) s ON s.dst = nd.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${DomainOps.linkEdgeCtes},
+    s"""${DomainOps.linkEdgeCtes},
        |dir AS (SELECT src_doc AS src, dst_doc AS dst FROM edges
        |        WHERE src_doc % 3 <> 0),
        |deg AS (SELECT src, count(*) AS outdeg FROM dir GROUP BY src),
@@ -460,15 +526,60 @@ object GraphOps {
        |  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS r
        |  FROM nodes
        |),
-       |$iters
-       |SELECT node, r AS pr FROM r$PrIters
-       |ORDER BY pr DESC, node""".stripMargin
+       |$iters""".stripMargin
   }
+
+  /** Frontier replay: the dangling-walk CTEs, then candidates /
+    * robots rules / longest-match decision / rank join / per-domain
+    * cap — the rules stated arithmetically (the e_robots_filter
+    * oracle's discipline) and the walk reused verbatim.
+    */
+  private def frontierOracle: String =
+    s"""WITH $danglingWalkCtes,
+       |cand AS (
+       |  SELECT dst AS doc_id, count(*)::BIGINT AS n_inlinks
+       |  FROM dir WHERE dst % 3 = 0 GROUP BY dst
+       |), urls AS (
+       |  SELECT doc_id, doc_id % 20 AS h,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN '/private/p' || doc_id
+       |      WHEN 1 THEN '/doc/open' || doc_id
+       |      ELSE '/doc/d' || doc_id END AS path,
+       |    n_inlinks
+       |  FROM cand
+       |), doms AS (SELECT DISTINCT h FROM urls),
+       |rules AS (
+       |  SELECT h, FALSE AS allow, '/private/' AS rpath FROM doms
+       |  UNION ALL SELECT h, FALSE, '/doc/' FROM doms WHERE h % 3 = 0
+       |  UNION ALL SELECT h, TRUE, '/doc/open' FROM doms WHERE h % 3 = 0
+       |), matched AS (
+       |  SELECT u.doc_id, r.allow, length(r.rpath) AS l
+       |  FROM urls u JOIN rules r
+       |    ON r.h = u.h AND starts_with(u.path, r.rpath)
+       |), best AS (
+       |  SELECT doc_id, allow FROM (
+       |    SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY l DESC, allow DESC) AS brn FROM matched)
+       |  WHERE brn = 1
+       |), ranked AS (
+       |  SELECT u.doc_id, u.h, u.path, u.n_inlinks, r.r AS pr,
+       |    row_number() OVER (PARTITION BY u.h
+       |      ORDER BY r.r DESC, u.doc_id) AS fetch_rank
+       |  FROM urls u
+       |  JOIN r$PrIters r ON r.node = u.doc_id
+       |  LEFT JOIN best b USING (doc_id)
+       |  WHERE coalesce(b.allow, TRUE)
+       |)
+       |SELECT doc_id, 'site' || h AS domain, path, n_inlinks, pr,
+       |  CAST(fetch_rank AS INT) AS fetch_rank
+       |FROM ranked WHERE fetch_rank <= $FrontierCap
+       |ORDER BY domain, fetch_rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e_pagerank" -> pageRankOracle,
     "e_pagerank_links" -> pageRankLinksOracle,
     "e_pagerank_dangling" -> pageRankDanglingOracle,
+    "e_pipeline_frontier" -> frontierOracle,
     "e_triangles" ->
       s"""WITH $edgeCtes,
         |deg AS (

@@ -102,6 +102,24 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gz property: random binary members round-trip through the " +
+      "framing — including 0x1f8b sequences inside compressed data") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val members = Seq.fill(1 + rnd.nextInt(5)) {
+        val a = new Array[Byte](rnd.nextInt(2000))
+        rnd.nextBytes(a)
+        a
+      }
+      val blob = members.map(WarcOps.gzipMember).reduce(_ ++ _)
+      val back = WarcOps.gunzipMembers(blob)
+      assert(back.length == members.length)
+      back.zip(members).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b))
+      }
+    }
+  }
+
   test("gz fixture gate twin equals the plain gate row exactly") {
     val plain = SparkEntry.queries("e_warc_parse")(spark, sf).collect().toSeq
     val gz = SparkEntry.queries("e_warc_parse_gz")(spark, sf).collect().toSeq
