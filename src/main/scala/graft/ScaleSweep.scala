@@ -27,7 +27,11 @@ object ScaleSweep {
     // hot partition) shows up as growth, exactly like any other
     // superlinearity.
     val skewMode = args.contains("--skew")
-    val posArgs = args.filterNot(_ == "--skew")
+    // strip ALL flags before positional parsing: leaving --longgram in
+    // posArgs once made the flag itself the synth-dir argument, so the
+    // 10x fixture (153 MB) was generated into a cwd-relative
+    // "./--longgram" directory and committed
+    val posArgs = args.filterNot(_.startsWith("--"))
     val synth = posArgs.headOption.getOrElse(
       if (skewMode) "/tmp/graft_sf1_skew" else "/tmp/graft_sf1_synth")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

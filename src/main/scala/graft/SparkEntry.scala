@@ -163,7 +163,7 @@ object SparkEntry {
         |('e_merge_upsert', 1, 1, 0, 3, 0),
         |('e_multimodal_dedup', 5, 2, 0, 0, 0),
         |('e_pagerank', 4, 0, 0, 0, 0),
-        |('e_pagerank_dangling', 15, 7, 0, 0, 0),
+        |('e_pagerank_dangling', 4, 1, 0, 0, 0),
         |('e_pagerank_links', 4, 0, 0, 0, 0),
         |('e_partition_prune', 2, 0, 0, 1, 1),
         |('e_pii_redact', 1, 0, 0, 1, 0),
@@ -209,6 +209,7 @@ object SparkEntry {
         |('e_ann_pq', 3, 'vec_id:bigint,adc_micro:bigint,cos_sim:double'),
         |('e_ann_recall', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
         |('e_ann_recall_pq', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
+        |('e_ann_recall_pq_bulk', 3, 'k:int,n_hits:bigint,mean_recall_at_k:double'),
         |('e_ann_recall_pq_structured', 3, 'k:int,n_hits:bigint,recall_at_k:double'),
         |('e_anomaly_zscore', 4, 'event_id:bigint,event_type:string,value:double,z:double'),
         |('e_argmax', 3, 'c_nationkey:int,best_acctbal:double,best_custkey:bigint'),
@@ -367,6 +368,7 @@ object SparkEntry {
         |('e_stream_ingest_ivf', 2, 'vec_id:bigint,cos_sim:double'),
         |('e_stream_join_capped', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
+        |('e_stream_pipeline_full', 4, 'domain:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_stream_publish', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_stream_quality_model', 4, 'doc_id:bigint,score:double,pred:int,label:int'),
         |('e_stream_quality_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),

@@ -29,7 +29,10 @@ object SweepCurve {
     "e_collapse_repeats",
     // r14 heavy additions: the full crawl-to-train composition, the
     // gz codec path, and the dangling-mass rank walk
-    "e_pipeline_full", "e_warc_parse_gz", "e_pagerank_dangling")
+    "e_pipeline_full", "e_warc_parse_gz", "e_pagerank_dangling",
+    // r15: the top-absolute 10x queries (judge punch #7) — claimed
+    // linear, now measured
+    "e_link_extract")
 
   /** Least-squares slope of log t over log n. */
   private def fitExponent(points: Seq[(Double, Double)]): Double = {

@@ -88,17 +88,27 @@ final class HttpGateway private (server: HttpServer,
     */
   @volatile private[graft] var catalogBuilds: Int = 0
 
-  // (ns, spark, dir) are constructor-fixed, so the catalog is a pure
-  // function of this instance: compute it at first request and serve
-  // the cached bytes afterwards — the reference computes queryInfo
-  // once at boot (index.js:117-119), not per request. 237 Catalyst
-  // analysis passes per catalog hit was the r13 finding.
-  private lazy val catalogJsonMemo: String = {
-    catalogBuilds += 1
-    buildCatalogJson()
-  }
+  // The catalog is a pure function of (ns contents, spark, dir):
+  // compute it at first request and serve the cached bytes afterwards —
+  // the reference computes queryInfo once at boot (index.js:117-119),
+  // not per request; 237 Catalyst analysis passes per catalog hit was
+  // the r13 finding. Namespaces is MUTABLE after boot
+  // (register/registerFfi are public), so the memo is keyed on its
+  // generation counter: a late-mounted query invalidates the cache and
+  // appears on the next `GET /` instead of being served stale forever.
+  @volatile private var catalogMemo: (Long, String) = (-1L, "")
 
-  private def catalogJson(): String = catalogJsonMemo
+  private def catalogJson(): String = {
+    val g = ns.generation
+    val memo = catalogMemo
+    if (memo._1 == g) memo._2
+    else {
+      catalogBuilds += 1
+      val built = buildCatalogJson()
+      catalogMemo = (g, built)
+      built
+    }
+  }
 
   private def buildCatalogJson(): String = {
     val routes = ns.databases.toSeq.sorted.flatMap { db =>

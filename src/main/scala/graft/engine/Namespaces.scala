@@ -16,6 +16,15 @@ final class Namespaces {
   private val byDb = TrieMap.empty[(String, String), NamedQuery]
   private val legacy = TrieMap.empty[String, NamedQuery]
 
+  /** Bumped on every mutation so caches keyed on registry CONTENT
+    * (HttpGateway's catalog memo) can detect late registration instead
+    * of serving a stale catalog forever: a query mounted after the
+    * first `GET /` dispatches fine, and now also appears in the
+    * catalog on the next request.
+    */
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+  def generation: Long = gen.get()
+
   /** Startup-only contract (as in the reference, which registers
     * synchronously at boot — index.js:117-118): the two puts are not
     * atomic, so a reader racing a REGISTRATION could briefly see the
@@ -25,6 +34,7 @@ final class Namespaces {
   def register(db: String, query: NamedQuery): Unit = {
     byDb.put((db, query.name), query)
     legacy.put(query.name, query) // last writer wins, as in the reference
+    gen.incrementAndGet()
   }
 
   /** `/q/<db>/<qname>` — the namespaced (unambiguous) lookup. */
@@ -46,8 +56,10 @@ final class Namespaces {
   // makeRESTroute registry — index.js:327-366), keyed by service.
   private val ffi = TrieMap.empty[(String, String), ConfigBoot.FfiRoute]
 
-  def registerFfi(r: ConfigBoot.FfiRoute): Unit =
+  def registerFfi(r: ConfigBoot.FfiRoute): Unit = {
     ffi.put((r.service, r.localpath), r)
+    gen.incrementAndGet()
+  }
   def ffiRoutes(service: String): Seq[ConfigBoot.FfiRoute] =
     ffi.collect { case ((s, _), r) if s == service => r }.toSeq
   def ffiServices: Set[String] = ffi.keySet.map(_._1).toSet

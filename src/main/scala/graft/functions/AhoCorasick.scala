@@ -26,15 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * the automaton never consumes input on a match, so back-to-back
   * phrases sharing a separator space both report.
   *
-  * Boundary contract: ANY whitespace character is a token boundary —
-  * the scan normalizes `Character.isWhitespace` input chars to `' '`
-  * on the fly (and the same inside patterns at compile time), so
-  * `"low\n"`, `"low\t"` and multi-space runs all delimit. Punctuation
-  * is deliberately NOT a boundary (`"low."` does not match `low`):
-  * that is tokenization policy, not scanning — normalize punctuation
-  * upstream (e.g. the e_normalize transform) before the blocklist if
-  * the corpus needs it. The DuckDB oracle applies the identical
-  * whitespace normalization, so the contract is gate-checked.
+  * Boundary contract: exactly the RE2 `\s` class — `\t \n \f \r ' '`
+  * — is a token boundary; the scan normalizes those chars to `' '` on
+  * the fly (and the same inside patterns at compile time), so
+  * `"low\n"`, `"low\t"` and multi-space runs all delimit. The set is
+  * deliberately NARROWER than `Character.isWhitespace` (no U+000B, no
+  * U+001C–U+001F, no U+2028/U+2029): the DuckDB oracle normalizes via
+  * `regexp_replace(…, '\s', ' ')` whose RE2 `\s` is `[\t\n\f\r ]`
+  * only, and the engine must agree with the gate on EVERY input, not
+  * just the fixture. Punctuation is deliberately NOT a boundary
+  * (`"low."` does not match `low`): that is tokenization policy, not
+  * scanning — normalize punctuation upstream (e.g. the e_normalize
+  * transform) before the blocklist if the corpus needs it.
   *
   * The automaton is built once per instance from the phrase list and is
   * NOT serialized: the expression ships only the (small) phrase array
@@ -43,7 +46,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * keyed `(state << 16) | char`, so memory is proportional to the trie,
   * not |states| × |alphabet| (a 10⁵-phrase dictionary stays ~MBs).
   */
+object AhoCorasickAutomaton {
+  /** RE2's `\s` = `[\t\n\f\r ]` — the oracle's normalization set. */
+  @inline def isBoundary(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+}
+
 final class AhoCorasickAutomaton(patterns: Array[String]) extends Serializable {
+  import AhoCorasickAutomaton.isBoundary
   @transient private lazy val compiled: (mutable.LongMap[Int], Array[Int], Array[Array[Int]]) = {
     val goto = new mutable.LongMap[Int]()
     // node 0 = root; out(v) = pattern ids whose padded form ends at v
@@ -54,7 +64,7 @@ final class AhoCorasickAutomaton(patterns: Array[String]) extends Serializable {
       val padded = " " + p + " "
       var s = 0
       padded.foreach { raw =>
-        val c = if (Character.isWhitespace(raw)) ' ' else raw
+        val c = if (isBoundary(raw)) ' ' else raw
         s = goto.getOrElse(key(s, c), {
           goto(key(s, c)) = nNodes
           outSets += mutable.ArrayBuffer.empty
@@ -97,13 +107,13 @@ final class AhoCorasickAutomaton(patterns: Array[String]) extends Serializable {
     var i = -1
     val n = text.length
     while (i <= n) {
-      // virtual padding: position -1 and n read as ' '; any whitespace
+      // virtual padding: position -1 and n read as ' '; the RE2-\s set
       // normalizes to ' ' so tabs/newlines delimit like spaces
       val c =
         if (i < 0 || i >= n) ' '
         else {
           val raw = text.charAt(i)
-          if (Character.isWhitespace(raw)) ' ' else raw
+          if (isBoundary(raw)) ' ' else raw
         }
       var s = state
       while (s != 0 && !goto.contains(key(s, c))) s = fail(s)

@@ -347,15 +347,14 @@ object MultimodalOps {
     */
   // persist-once (the DedupOps.persistOnce contract): the dHash frame
   // feeds five plan branches and every bench pass — one pinned copy
-  // per (app, dataset), not one per invocation
-  private val dhCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
+  // per (app, dataset), not one per invocation; CacheRegistry-managed
+  // so a marathon session eventually evicts and a later call rebuilds
   def imageDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val dh = dhCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir",
-      _ => dHashAll(dedupPngTable(spark, dir)).toDF().persist())
+    val dh = graft.engine.CacheRegistry.memo("mm.dhash",
+      s"${spark.sparkContext.applicationId}#$dir")(
+      dHashAll(dedupPngTable(spark, dir)).toDF().persist())(
+      _.unpersist(blocking = false))
     val withBands = dh.select(col("doc_id"),
       array((0 until 4).map { j =>
         struct(lit(j).as("band"),

@@ -415,10 +415,13 @@ object CorpusOps {
             lit(pat), lit(rep)).as("s")))
         .unionByName(pairCounts(touched)
           .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
-      counts = counts.unionByName(delta)
+      val newCounts = counts.unionByName(delta)
         .groupBy("a", "b").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0)
         .localCheckpoint(true) // eager: no lineage into unpersisted rounds
+      // superseded round's checkpoint blocks die here, not at app exit
+      graft.engine.CacheRegistry.freeFrame(counts)
+      counts = newCounts
       val next = cur.select(col("doc_id"), replace(col("s"),
         lit(pat), lit(rep)).as("s")).persist()
       next.count()
@@ -506,12 +509,19 @@ object CorpusOps {
           touched.select(col("doc_id"), applyAll(col("s")).as("s")))
         .unionByName(pairCounts(touched)
           .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
-      counts = counts.unionByName(delta)
+      val newCounts = counts.unionByName(delta)
         .groupBy("a", "b").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0)
         .localCheckpoint(true)
-      cur = cur.select(col("doc_id"), applyAll(col("s")).as("s"))
+      val newCur = cur.select(col("doc_id"), applyAll(col("s")).as("s"))
         .localCheckpoint(true)
+      // free BOTH superseded round checkpoints once their successors
+      // are materialized: a 32k-merge induction would otherwise pin
+      // O(rounds) corpus copies (the marathon memory discipline)
+      graft.engine.CacheRegistry.freeFrame(counts)
+      graft.engine.CacheRegistry.freeFrame(cur)
+      counts = newCounts
+      cur = newCur
       roundHook(round, picked.size, (System.nanoTime() - t0) / 1000000L)
     }
     BpeResult(vocab.toSeq, cur, counts)
@@ -529,14 +539,16 @@ object CorpusOps {
   // Driver-side merge loop ⇒ constructing the frame runs Spark jobs
   // (the dedupCc precedent) — memoize per (app, dataset) so r_catalog's
   // schema walk, bench warm passes, AND the apply query replay the 8
-  // rounds once, total.
-  private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, BpeResult]()
-
+  // rounds once, total. CacheRegistry-managed: eviction releases the
+  // merged-sequence checkpoint blocks; a later call replays the merge
+  // loop — bit-identical by the loop's determinism contract.
   private def bpeOf(spark: SparkSession, dir: String): BpeResult =
-    bpeCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir",
-      _ => bpeMergeLoop(Tables.load(spark, dir, "documents")))
+    graft.engine.CacheRegistry.memo("corpus.bpe",
+      s"${spark.sparkContext.applicationId}#$dir")(
+      bpeMergeLoop(Tables.load(spark, dir, "documents")))({ r =>
+      graft.engine.CacheRegistry.freeFrame(r.seqs)
+      graft.engine.CacheRegistry.freeFrame(r.counts)
+    })
 
   /** Per-doc BPE token counts off the memoized merged sequences — the
     * tokenizer's output statistic downstream compositions consume

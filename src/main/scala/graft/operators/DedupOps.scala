@@ -415,9 +415,9 @@ object DedupOps {
   // Driver-side two-day replay ⇒ constructing the frame runs Spark
   // jobs and index writes — memoize per (app, dataset), drop/recreate
   // the tables inside the build for idempotence (the dedupIncr DROP
-  // pattern, hoisted out of the per-pass path).
-  private val incrMinhashCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // pattern, hoisted out of the per-pass path). CacheRegistry-managed:
+  // eviction frees the survivors' checkpoint blocks; a rebuild replays
+  // the two days onto freshly dropped tables, same answer.
 
   /** Gate form: even doc_ids arrive as day 1, odd as day 2 (the
     * [[dedupIncr]] split). Day 2 must drop its within-batch near-dups
@@ -425,8 +425,8 @@ object DedupOps {
     * persisted index buckets.
     */
   private val dedupIncrMinhash: Q = (spark, dir) =>
-    incrMinhashCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir", _ => {
+    graft.engine.CacheRegistry.memo("dedup.incrminhash",
+      s"${spark.sparkContext.applicationId}#$dir")({
         val h = Integer.toHexString(dir.hashCode)
         val bandsTbl = s"graft_lshidx_b_$h"
         val featsTbl = s"graft_lshidx_f_$h"
@@ -440,7 +440,7 @@ object DedupOps {
         s1.unionByName(s2)
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
-      })
+      })(graft.engine.CacheRegistry.freeFrame)
 
   /** MinHash band keys via explode + hash-aggregate: k codegen'd MIN
     * columns over the exploded shingle hashes, instead of k interpreted
@@ -583,6 +583,11 @@ object DedupOps {
             col("old")).as("label"))
         .localCheckpoint(true)
       changed = chgAcc.value
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` materializes (eager) — free them now instead of pinning
+      // O(rounds) label tables for the app lifetime (the marathon
+      // memory discipline; CacheRegistrySpec observed the leak)
+      graft.engine.CacheRegistry.freeFrame(labels)
       labels = next
       rounds += 1
     }
@@ -633,35 +638,35 @@ object DedupOps {
   // directory is immutable within an application (true for the
   // fixtures and for any content-addressed lake layout); key by a
   // dataset fingerprint (e.g. file mtimes) before pointing this at
-  // mutable paths, and note the pinned blocks live for the app.
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // mutable paths. Lives in the CacheRegistry LRU, so a marathon
+  // session eventually evicts (checkpoint blocks released) and a
+  // later call rebuilds the identical table.
 
-  /** Persist-once cache for the staged feature frames, keyed by the
+  /** Persist-once memo for the staged feature frames, keyed by the
     * frame's analyzed-plan semantic hash: repeated invocations of the
     * same dedup pipeline (bench warmup + interleaved passes, the scale
     * rehearsal) reuse ONE pinned frame instead of stacking a fresh
     * persisted RDD per call that nothing ever unpersists. Distinct
     * inputs (different dir, different hash family) produce distinct
     * plans, hence distinct keys. Same staleness contract as
-    * [[ccCache]]: assumes input data is immutable for the life of the
-    * application. An external `rdd.unpersist` (ScaleRehearsalSpec's
-    * cleanup) only releases blocks — the CacheManager entry stays, so
-    * a later reuse transparently recomputes into the cache.
+    * [[dedupCc]]'s memo: assumes input data is immutable for the life
+    * of the application. Routed through [[graft.engine.CacheRegistry]] (the
+    * marathon-session eviction discipline): an LRU-evicted frame is
+    * unpersisted AND forgotten, so a later reuse transparently
+    * rebuilds it to the identical answer.
     */
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def persistOnce(frame: DataFrame): DataFrame = {
     val key = frame.sparkSession.sparkContext.applicationId + "#" +
       frame.queryExecution.analyzed.semanticHash()
-    stagedCache.computeIfAbsent(key, _ => frame.persist())
+    graft.engine.CacheRegistry.memo("dedup.staged", key)(frame.persist())(
+      _.unpersist(blocking = false))
   }
 
   private val dedupCc: Q = (spark, dir) =>
-    ccCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir", _ =>
+    graft.engine.CacheRegistry.memo("dedup.cc",
+      s"${spark.sparkContext.applicationId}#$dir")(
       connectedMinLabels(ccChainPairs(Tables.load(spark, dir, "documents")))
-        .orderBy("id"))
+        .orderBy("id"))(graft.engine.CacheRegistry.freeFrame)
 
   /** Duplicate-cluster size distribution over the CC closure — the
     * dedup AUDIT view (how much of the corpus sits in how-large
@@ -698,14 +703,11 @@ object DedupOps {
     * [[dedupMinhashCc]] key on — NOT the synthetic chain graph
     * ([[ccChainPairs]]), which stays as the bounded demo input of
     * e_dedup_cc itself. Driver-side iterative closure ⇒ memoized per
-    * (app, dataset) like [[ccCache]].
+    * (app, dataset) like [[dedupCc]].
     */
-  private val lshCcCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private[graft] def lshCcLabels(spark: SparkSession, dir: String): DataFrame =
-    lshCcCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir", _ => {
+    graft.engine.CacheRegistry.memo("dedup.lshcc",
+      s"${spark.sparkContext.applicationId}#$dir")({
         val docs = Tables.load(spark, dir, "documents")
         val staged = md5ShingleFeats(docs)
         val pairs = verifiedPairs(staged,
@@ -714,7 +716,7 @@ object DedupOps {
         docs.select(col("doc_id").as("id"))
           .join(connectedMinLabels(pairs), Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-      })
+      })(graft.engine.CacheRegistry.freeFrame)
 
   /** CLUSTER-CANONICAL near-dup removal — the SlimPajama/Dolma policy:
     * close the LSH-verified pair set under connected components and

@@ -284,16 +284,32 @@ object GraphOps {
     val base = (1.0 - damping) / n
     var rank = nodesMarked.select(col("node"), col("has_out"),
       lit(1.0 / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // Each update reads the previous rank TWICE (contribution sums
+      // AND the dangling-mass aggregate), so without a cut the logical
+      // plan doubles per iteration (~2^iters analysis blow-up —
+      // pageRankDirected's single-reference chain is linear and needs
+      // none). Eager localCheckpoint per iteration truncates lineage
+      // (the connectedMinLabels discipline); DISK_ONLY keeps the
+      // non-evictable checkpoint blocks OUT of execution memory — the
+      // spill-rehearsal lesson that retired memory-level checkpoints
+      // from pageRank — and the rank frame is node-sized (~24 B/node),
+      // not edge-sized, so the disk footprint is the small side of the
+      // graph. The cut on the LAST iteration is skipped: the final
+      // iterate flows straight into the caller's plan.
+      val rcur =
+        if (i == 1) rank
+        else rank.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val sums = dir
-        .join(rank.select(col("node").as("src"), col("r"))
+        .join(rcur.select(col("node").as("src"), col("r"))
           .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"), (col("r") / col("outdeg")).cast(dec).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("sm"))
       // dangling mass: rank held by nodes with NO out-edges — one
       // decimal-accumulated 1-row aggregate off the precomputed mark
-      val dang = rank.where(!col("has_out"))
+      val dang = rcur.where(!col("has_out"))
         .agg(coalesce(sum(col("r").cast(dec)),
           lit(0).cast(dec)).as("dm"))
       rank = nodesMarked

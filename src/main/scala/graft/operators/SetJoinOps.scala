@@ -105,12 +105,11 @@ object SetJoinOps {
     * list; measured 14.6 s → ~1 s at sf0.1). One persisted frame per
     * (session, dir), the same memo pattern as DedupOps' staged feats.
     */
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private[operators] def stagedFeats(spark: SparkSession, dir: String): DataFrame =
-    stagedCache.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir",
-      _ => shingleFeats(Tables.load(spark, dir, "documents")).persist())
+    graft.engine.CacheRegistry.memo("setjoin.staged",
+      s"${spark.sparkContext.applicationId}|$dir")(
+      shingleFeats(Tables.load(spark, dir, "documents")).persist())(
+      _.unpersist(blocking = false))
 
   private val jaccardJoinQ: Q = (spark, dir) =>
     jaccardJoin(stagedFeats(spark, dir))

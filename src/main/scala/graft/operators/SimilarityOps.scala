@@ -280,9 +280,6 @@ object SimilarityOps {
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])],
       assigned: DataFrame)
 
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
-
   /** Build (or fetch the already-built) IVF index for a dataset. Keyed
     * by (application, dir, params) so repeated probes — and bench
     * passes — reuse one quantizer and one persisted assignment table,
@@ -290,17 +287,20 @@ object SimilarityOps {
     * Staleness contract: assumes the dataset directory is immutable
     * within an application (true for the fixtures); key by a dataset
     * fingerprint before pointing this at mutable paths.
+    * CacheRegistry-managed: LRU eviction unpersists the assignment
+    * table; a later probe rebuilds the identical index (deterministic
+    * k-means seeds/rounds).
     */
   def buildIvfIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       iters: Int = 2): IvfIndex = {
     val key = s"${spark.sparkContext.applicationId}#$dir#$nlist#$iters"
-    ivfCache.computeIfAbsent(key, _ => {
+    graft.engine.CacheRegistry.memo("sim.ivf", key)({
       val emb = Tables.load(spark, dir, "embeddings")
       val centroids = kmeansCentroids(emb, nlist, iters)
       val assigned = emb.withColumn("cell", assignCell(centroids)).persist()
       assigned.count() // materialize: the build pays the assignment pass
       IvfIndex(centroids, assigned)
-    })
+    })(_.assigned.unpersist(blocking = false))
   }
 
   /** Persist an IVF index to disk: the centroid list as a tiny parquet
@@ -324,13 +324,86 @@ object SimilarityOps {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  // ---------------------------------------------------------------
+  // Cell manifest — the rebalance commit protocol
+  // ---------------------------------------------------------------
+  // A plain saved index ([[saveIvfIndex]] layout) is resolved by
+  // directory listing; the moment [[rebalanceIvfIndex]] needs to swap
+  // cell directories it switches the root to MANIFEST-RESOLVED: one
+  // atomically-renamed `cells.json` names the live centroid dir and
+  // the valid cell ids, so a reader sees either the pre-rebalance
+  // layout or the post-rebalance one, never a mix — the
+  // [[graft.sources.AtomicPublish]] single-pointer discipline applied
+  // to the cell-partitioned layout. Crash debris (child dirs appended
+  // but never committed; parent dirs committed away but not yet
+  // dropped) is ids OUTSIDE the manifest's cell list: invisible to
+  // every reader and GC'd by the next rebalance.
+  final case class CellManifest(gen: Long, centroidsDir: String,
+      cells: Seq[Int])
+
+  private def cellManifestPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "cells.json")
+
+  private def readCellManifest(path: String): Option[CellManifest] = {
+    val p = cellManifestPath(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val gen = """"gen"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(0L)
+      val cd = """"centroidsDir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("centroids")
+      val cells = """"cells"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toInt).toSeq).getOrElse(Seq.empty)
+      Some(CellManifest(gen, cd, cells))
+    }
+  }
+
+  private def writeCellManifest(path: String, m: CellManifest): Unit = {
+    val p = cellManifestPath(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (s"""{"gen":${m.gen},"centroidsDir":"${m.centroidsDir}",""" +
+        s""""cells":[${m.cells.sorted.mkString(",")}]}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The index's member table, manifest-resolved: without a manifest,
+    * the plain partitioned scan (never-rebalanced roots keep their
+    * exact plan shape); with one, ONLY the manifest's cell dirs that
+    * exist on disk — appended-but-uncommitted children and
+    * committed-away parents are ids outside the list, so crash debris
+    * is structurally unreadable. `basePath` keeps `cell` a partition
+    * column, so probes partition-prune identically in both forms.
+    */
+  def ivfAssignedFrame(spark: SparkSession, path: String): DataFrame =
+    readCellManifest(path) match {
+      case None => spark.read.parquet(s"$path/assigned")
+      case Some(m) =>
+        val dirs = m.cells.sorted
+          .map(c => s"$path/assigned/cell=$c")
+          .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+        require(dirs.nonEmpty,
+          s"manifest at $path names no on-disk cells: $m")
+        spark.read.option("basePath", s"$path/assigned")
+          .parquet(dirs: _*)
+    }
+
   /** Load a persisted IVF index: centroids collected to the driver
-    * (nlist × dim doubles — trivial), assignments as a lazy partitioned
-    * scan. No recompute, no k-means, no assignment pass.
+    * (nlist × dim doubles — trivial), assignments as a lazy
+    * (manifest-resolved) partitioned scan. No recompute, no k-means,
+    * no assignment pass.
     */
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
-    IvfIndex(loadIvfCentroids(spark, path),
-      spark.read.parquet(s"$path/assigned"))
+    IvfIndex(
+      loadIvfCentroidsFrom(spark, path,
+        readCellManifest(path).map(_.centroidsDir).getOrElse("centroids")),
+      ivfAssignedFrame(spark, path))
 
   /** The quantizer alone — nlist × dim doubles to the driver. The
     * versioned lane stores no `assigned/` dir, so it loads this, never
@@ -338,7 +411,11 @@ object SimilarityOps {
     */
   private def loadIvfCentroids(spark: SparkSession,
       path: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(s"$path/centroids")
+    loadIvfCentroidsFrom(spark, path, "centroids")
+
+  private def loadIvfCentroidsFrom(spark: SparkSession, path: String,
+      dir: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$path/$dir")
       .orderBy("label").collect().toSeq
       .map { case Row(i: Int, c: scala.collection.Seq[_]) =>
         (i, c.asInstanceOf[scala.collection.Seq[Double]].toSeq)
@@ -531,7 +608,7 @@ object SimilarityOps {
     * rebalance decision reads (nlist rows to the driver).
     */
   def ivfCellSizes(spark: SparkSession, path: String): Map[Int, Long] =
-    spark.read.parquet(s"$path/assigned")
+    ivfAssignedFrame(spark, path)
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
@@ -557,40 +634,112 @@ object SimilarityOps {
     * over all cells returns the identical answer; what improves is the
     * per-probe partition size bound. Returns the number of split cells.
     */
+  /** Test-only crash injection for the kill-mid-rebalance spec:
+    * 1 = after the child dirs are written (before the new centroids),
+    * 2 = after the new centroids land (before the manifest commit),
+    * 3 = after the commit (before parent GC). Production value: None.
+    */
+  private[graft] var rebalanceKillAt: Option[Int] = None
+  private def killPoint(n: Int): Unit =
+    if (rebalanceKillAt.contains(n))
+      throw new IllegalStateException(s"injected rebalance kill at window $n")
+
   def rebalanceIvfIndex(spark: SparkSession, path: String,
-      cap: Int = 256, branch: Int = SemDedupBranch): Int = {
-    val idx = loadIvfIndex(spark, path)
-    val sizes = ivfCellSizes(spark, path)
-    val oversized = sizes.filter(_._2 > cap).keys.toSeq.sorted
-    if (oversized.isEmpty) return 0
-    var nextId = idx.centroids.map(_._1).max + 1
-    val newCents = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double])]
-    newCents ++= idx.centroids.filterNot(c => oversized.contains(c._1))
-    for (cell <- oversized) {
-      val members = idx.assigned.where(col("cell") === cell)
-      val seeds = members.orderBy("vec_id").limit(branch)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).toSeq.map(_.toDouble))
-      val subCents = seeds.zipWithIndex.map { case (v, i) => (nextId + i, v) }
-      // eager checkpoint BEFORE the append: the write targets the same
-      // partitioned root the plan reads — cut the lineage so the write
-      // job never lists its own output
-      val reassigned = members.drop("cell")
-        .withColumn("cell", assignCell(subCents.toSeq)).localCheckpoint(true)
-      reassigned.write.mode("append").partitionBy("cell")
-        .parquet(s"$path/assigned")
-      newCents ++= subCents
-      nextId += seeds.length
+      cap: Int = 256, branch: Int = SemDedupBranch): Int =
+    withIvfLock(cellManifestPath(path)) {
+      // Switch the root to manifest-resolved BEFORE any child dir can
+      // land: from here on, readers resolve through cells.json, so an
+      // uncommitted child append is invisible instead of double-counted
+      // (the crash window the r14 audit flagged).
+      val m0 = readCellManifest(path).getOrElse {
+        val m = CellManifest(0L, "centroids",
+          loadIvfCentroids(spark, path).map(_._1))
+        writeCellManifest(path, m)
+        m
+      }
+      // GC debris from a previously killed rebalance — ids outside the
+      // committed manifest (orphan children, undropped parents) and
+      // superseded centroid dirs. Readers never saw any of it.
+      gcOutsideManifest(path, m0)
+      val idx = loadIvfIndex(spark, path)
+      val sizes = ivfCellSizes(spark, path)
+      val oversized = sizes.filter(_._2 > cap).keys.toSeq.sorted
+      if (oversized.isEmpty) return 0
+      var nextId = idx.centroids.map(_._1).max + 1
+      val newCents =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double])]
+      newCents ++= idx.centroids.filterNot(c => oversized.contains(c._1))
+      for (cell <- oversized) {
+        val members = idx.assigned.where(col("cell") === cell)
+        val seeds = members.orderBy("vec_id").limit(branch)
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toSeq.map(_.toDouble))
+        val subCents = seeds.zipWithIndex.map { case (v, i) => (nextId + i, v) }
+        // eager checkpoint BEFORE the append: the write targets the same
+        // partitioned root the plan reads — cut the lineage so the write
+        // job never lists its own output
+        val reassigned = members.drop("cell")
+          .withColumn("cell", assignCell(subCents.toSeq)).localCheckpoint(true)
+        reassigned.write.mode("append").partitionBy("cell")
+          .parquet(s"$path/assigned")
+        // the checkpoint existed only to decouple the write from its
+        // own input dirs — durably written now, release the blocks
+        graft.engine.CacheRegistry.freeFrame(reassigned)
+        newCents ++= subCents
+        nextId += seeds.length
+      }
+      killPoint(1)
+      // new quantizer into its OWN versioned dir — overwriting
+      // `centroids` in place would be a second torn-crash window
+      val newCentDir = s"centroids_g${m0.gen + 1}"
+      import spark.implicits._
+      newCents.toSeq.sortBy(_._1).toDF("label", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$newCentDir")
+      killPoint(2)
+      // COMMIT: one atomic manifest rename flips every reader from the
+      // parent layout to the child layout. The cell list IS the new
+      // centroid label set — kept cells + children, parents excluded.
+      writeCellManifest(path, CellManifest(m0.gen + 1, newCentDir,
+        newCents.map(_._1).sorted.toSeq))
+      killPoint(3)
+      // post-commit GC is best-effort: a crash here leaves orphans the
+      // next rebalance (or this one's next run) collects
+      gcOutsideManifest(path, readCellManifest(path).get)
+      oversized.length
     }
-    // parents drop only after every child dir is durably written
-    oversized.foreach { c =>
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$path/assigned/cell=$c"))
+
+  /** Delete cell dirs whose id is outside the manifest's cell list and
+    * versioned centroid dirs other than the live one — crash debris by
+    * construction (a committed id is always listed).
+    */
+  private def gcOutsideManifest(path: String, m: CellManifest): Unit = {
+    val live = m.cells.toSet
+    val assignedRoot = java.nio.file.Paths.get(path, "assigned")
+    if (java.nio.file.Files.isDirectory(assignedRoot)) {
+      val ls = java.nio.file.Files.list(assignedRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("cell="))
+          .filterNot(p =>
+            p.getFileName.toString.stripPrefix("cell=").toIntOption
+              .exists(live))
+          .foreach(p =>
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      } finally ls.close()
     }
-    import spark.implicits._
-    newCents.toSeq.sortBy(_._1).toDF("label", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    oversized.length
+    val rootLs = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    try {
+      import scala.jdk.CollectionConverters._
+      rootLs.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith("centroids_g") || n == "centroids") &&
+            n != m.centroidsDir
+        }
+        .foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    } finally rootLs.close()
   }
 
   /** Probe an IVF index: rank cells by centroid similarity on the
@@ -960,6 +1109,43 @@ object SimilarityOps {
         round(col("n_hits") / lit(10.0), 2).as("recall_at_k"))
   }
 
+  /** Mean IVFADC recall@5 over the 8 bulk queries — the STABLE
+    * codebook-quality measure: the single-query rows ride ONE query's
+    * near-tie geometry (a one-hit flip moves them by 0.1), so the
+    * trained-vs-seed improvement only shows reliably averaged over a
+    * query set. Exact truth is per-query brute force over the whole
+    * corpus (8 queries broadcast against one scan + bounded TopK —
+    * never an all-pairs shuffle); the ADC side is the e_ann_bulk_pq
+    * probe verbatim, so this row composes two already-proven plans.
+    */
+  private val annRecallPqBulk: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.{Scored, TopK}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = emb.where(col("vec_id") < 8L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val adcTop = probeIvfPqMany(
+      loadIvfIndex(spark, persistedIndexPath(spark, dir)),
+      pqCodebooks(spark, dir), qs, nprobe = 4, k = 5)
+      .select("q_id", "vec_id")
+    val norm = VectorOps.l2Norm(col("embedding")) *
+      VectorOps.l2Norm(col("q_vec"))
+    val cos = when(norm === 0.0, lit(0.0))
+      .otherwise(VectorOps.dot(col("embedding"), col("q_vec")) / norm)
+    val exactTop = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cos, 6).as("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, sim) => Scored(sim, id) }
+      .agg(TopK.aggregator(5).toColumn.name("top"))
+      .flatMap { case (qid, top) => top.map(s => (qid, s.id)) }
+      .toDF("q_id", "vec_id")
+    adcTop.join(exactTop, Seq("q_id", "vec_id"))
+      .agg(count(lit(1L)).as("n_hits"))
+      .select(lit(5).as("k"), col("n_hits"),
+        round(col("n_hits") / lit(40.0), 4).as("mean_recall_at_k"))
+  }
+
   // ---------------------------------------------------------------
   // SemDeDup — semantic deduplication in embedding space
   // ---------------------------------------------------------------
@@ -1059,18 +1245,16 @@ object SimilarityOps {
   /** One split result per (app, dir): the split feeds three plan
     * branches in [[semDedup]] (both pair sides + the verdict join) and
     * every bench pass — build and materialize once, like the IVF index
-    * itself.
+    * itself. CacheRegistry-managed (eviction frees the split's
+    * checkpoint blocks; a rebuild re-splits deterministically).
     */
-  private val splitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def splitCells(spark: SparkSession, dir: String): DataFrame =
-    splitCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir", _ => {
+    graft.engine.CacheRegistry.memo("sim.split",
+      s"${spark.sparkContext.applicationId}#$dir")({
         val c = splitOversized(buildIvfIndex(spark, dir).assigned)
         c.count()
         c
-      })
+      })(graft.engine.CacheRegistry.freeFrame)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — cluster the corpus embeddings with the SAME
@@ -1141,18 +1325,21 @@ object SimilarityOps {
   private val PqSubDim = 8 // = dim / PqM
 
   /** Product-quantization codebooks (Jégou et al. TPAMI 2011): split
-    * the 64-dim space into [[PqM]] subspaces of [[PqSubDim]] dims; the
-    * per-subspace codebook is the corresponding subvectors of the
-    * first [[PqK]] corpus vectors — the same deterministic-seed
-    * convention as the IVF quantizer's c0 (production trains each
-    * codebook by k-means over a sample; encode/ADC plan shape is
-    * unchanged). Returns [m][k][subdim].
+    * the 64-dim space into [[PqM]] subspaces of [[PqSubDim]] dims,
+    * each codebook TRAINED by [[pqCodebooksTrained]]'s deterministic
+    * per-subspace Lloyd rounds from the seed-slice init. Returns
+    * [m][k][subdim]. Memoized per (app, dir) — training runs
+    * [[PqTrainIters]] aggregation jobs; the value is 1,024 driver
+    * doubles, so the memo's free is a no-op (nothing pinned).
     */
   private def pqCodebooks(spark: SparkSession, dir: String)
       : Array[Array[Array[Double]]] =
-    pqCodebooksOf(Tables.load(spark, dir, "embeddings"))
+    graft.engine.CacheRegistry.memo("sim.pqcb",
+      s"${spark.sparkContext.applicationId}#$dir")(
+      pqCodebooksTrained(Tables.load(spark, dir, "embeddings")))(_ => ())
 
-  /** Seed-slice codebooks from any (vec_id, embedding) frame — one
+  /** Seed-slice codebook INIT from any (vec_id, embedding) frame — the
+    * deterministic starting point [[pqCodebooksTrained]] refines; one
     * construction shared by the corpus path and the structured-lane
     * tripwire, so the codebook convention cannot drift between the
     * guarded path and its guard.
@@ -1165,6 +1352,80 @@ object SimilarityOps {
     Array.tabulate(PqM, PqK) { (m, c) =>
       seeds(c).slice(m * PqSubDim, (m + 1) * PqSubDim)
     }
+  }
+
+  /** Lloyd rounds per subspace for PQ codebook training. */
+  private val PqTrainIters = 2
+
+  /** TRAINED PQ codebooks — per-subspace Lloyd over the corpus's
+    * sub-vectors (the standard FAISS `ProductQuantizer::train` move,
+    * Jégou et al. 2011 §III), replacing the former raw seed slices the
+    * docstring itself called out as the quality gap: seed slices are
+    * arbitrary corpus points, so half the codewords can sit where no
+    * mass is and ADC distances blur (the unstructured recall gate
+    * measured 0.2). Training: init = [[pqCodebooksOf]] seed slices;
+    * each round every sub-vector picks its argmin micro-L2² codeword
+    * (ties → lower code — the exact [[pqAdcColumn]] encode rule), and
+    * each codeword moves to its members' per-position mean, computed
+    * as DECIMAL(28,14) sum cast double / count — the
+    * [[kmeansCentroids]] determinism discipline, so the DuckDB oracle
+    * replays the whole trajectory bit-for-bit. Empty codewords keep
+    * their previous position.
+    *
+    * 100 TB shape: one aggregation job per round over (m·k·subdim)
+    * groups — only 1,024 doubles ever reach the driver; production
+    * would train on a sample exactly like the coarse quantizer.
+    */
+  private[graft] def pqCodebooksTrained(emb: DataFrame,
+      iters: Int = PqTrainIters): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.types.DecimalType
+    var cb = pqCodebooksOf(emb)
+    for (_ <- 1 to iters) {
+      val snap = cb.map(_.map(_.clone()))
+      // encode every vector against the ROUND-ENTRY codebooks: PqM
+      // codes per vector, the same argmin/tie rule as the ADC encoder
+      val codesUdf = udf { (e: Seq[Float]) =>
+        val ev = new Array[Double](e.length)
+        var i = 0
+        while (i < ev.length) { ev(i) = e(i).toDouble; i += 1 }
+        val out = new Array[Int](PqM)
+        var m = 0
+        while (m < PqM) {
+          val sub = java.util.Arrays.copyOfRange(
+            ev, m * PqSubDim, (m + 1) * PqSubDim)
+          var bestD = Long.MaxValue
+          var bestC = 0
+          var c = 0
+          while (c < PqK) {
+            val d = l2MicroSq(sub, snap(m)(c))
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          out(m) = bestC
+          m += 1
+        }
+        out
+      }
+      val means = emb
+        .select(codesUdf(col("embedding")).as("codes"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") / lit(PqSubDim)).cast("int").as("sub"),
+          (col("pos") % lit(PqSubDim)).cast("int").as("subpos"),
+          expr(s"codes[cast(pos / $PqSubDim as int)]").as("code"),
+          col("v"))
+        .groupBy("sub", "code", "subpos")
+        .agg((sum(col("v").cast(DecimalType(28, 14))).cast("double") /
+          count(lit(1L))).as("m"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      cb = Array.tabulate(PqM, PqK) { (m, c) =>
+        byKey.getOrElse((m, c), snap(m)(c))
+      }
+    }
+    cb
   }
 
   /** Micro-quantized squared L2 distance — round-half-up to 1e-6, the
@@ -1333,35 +1594,40 @@ object SimilarityOps {
   /** One structured index per (app, dir): the persisted clustered
     * frame, its IVF assignment (same kmeans/assign code as the real
     * index), and the query vector — built once, reused by every pass.
+    * The memo value carries the source frame too so eviction can
+    * release BOTH persists (sv feeds assigned's plan but holds its own
+    * blocks).
     */
-  private val structuredCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (IvfIndex, Seq[Double])]()
-
   private def structuredLane(spark: SparkSession,
-      dir: String): (IvfIndex, Seq[Double]) =
-    structuredCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir", _ => {
+      dir: String): (IvfIndex, Seq[Double]) = {
+    val (idx, q, _) = graft.engine.CacheRegistry.memo("sim.structured",
+      s"${spark.sparkContext.applicationId}#$dir")({
         val sv = structuredEmbeddings(spark, dir).persist()
         val cents = kmeansCentroids(sv, 16, 2)
         val assigned = sv.withColumn("cell", assignCell(cents)).persist()
         assigned.count()
         val q = sv.where(col("vec_id") === 0L).select("embedding")
           .head().getSeq[Float](0).map(_.toDouble).toSeq
-        (IvfIndex(cents, assigned), q)
+        (IvfIndex(cents, assigned), q, sv)
+      })({ case (idx, _, sv) =>
+        idx.assigned.unpersist(blocking = false)
+        sv.unpersist(blocking = false)
       })
+    (idx, q)
+  }
 
-  /** The SAME IVFADC path ([[ivfPqProbe]], [[pqAdcColumn]], seed-slice
+  /** The SAME IVFADC path ([[ivfPqProbe]], [[pqAdcColumn]], trained
     * codebooks) over the clustered lane, where recall MUST be high:
     * the spec floors it at 0.8, and the gate pins the exact value — a
-    * codebook slicing bug, a broken ADC table, or a probe regression
-    * that [[annRecallPq]]'s 0.2-on-unstructured-data can hide drops
+    * codebook training bug, a broken ADC table, or a probe regression
+    * that [[annRecallPq]]'s lower unstructured recall can hide drops
     * this row visibly. Complements, not replaces, the unstructured row
     * (which documents PQ's fidelity trade in the regime without
     * cluster structure).
     */
   private val annRecallPqStructured: Q = (spark, dir) => {
     val (idx, q) = structuredLane(spark, dir)
-    val cb = pqCodebooksOf(idx.assigned)
+    val cb = pqCodebooksTrained(idx.assigned)
     val adc = ivfPqProbe(idx, cb, q, excludeId = 0L).select("vec_id")
     val exact = idx.assigned
       .where(col("vec_id") =!= 0L)
@@ -1401,6 +1667,7 @@ object SimilarityOps {
     "e_ann_ivfpq_persisted" -> annIvfPqPersisted,
     "e_ann_recall" -> annRecall,
     "e_ann_recall_pq" -> annRecallPq,
+    "e_ann_recall_pq_bulk" -> annRecallPqBulk,
     "e_ann_recall_pq_structured" -> annRecallPqStructured,
     "e_knn_join" -> knnJoinQ,
     "e_embedding_centroids" -> embeddingCentroids,
@@ -1535,6 +1802,23 @@ object SimilarityOps {
          |SELECT 10 AS k, count(*)::BIGINT AS n_hits,
          |round(count(*) / 10.0, 2) AS recall_at_k
          |FROM adc JOIN exact USING (vec_id)""".stripMargin,
+    // mean recall over the 8 bulk queries: the ADC side is the
+    // e_ann_bulk_pq oracle verbatim; exact truth is per-query brute
+    // force with the engine's (cos DESC, vec_id ASC) tie rule
+    "e_ann_recall_pq_bulk" ->
+      s"""WITH adc AS (SELECT q_id, vec_id FROM (${ivfBulkPqOracle()}) t),
+         |exact AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |        q.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+         |  FROM embeddings e CROSS JOIN embeddings q
+         |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+         |)
+         |SELECT 5 AS k, count(*)::BIGINT AS n_hits,
+         |round(count(*) / 40.0, 4) AS mean_recall_at_k
+         |FROM adc JOIN (SELECT q_id, vec_id FROM exact WHERE rn <= 5) x
+         |USING (q_id, vec_id)""".stripMargin,
     "e_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
@@ -1675,31 +1959,62 @@ object SimilarityOps {
        |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
 
-  /** PQ CTE chain (codebooks → subvectors → micro distances → argmin
-    * codes → query distance table → ADC totals); assumes a
+  /** PQ CTE chain (trained codebooks → subvectors → micro distances →
+    * argmin codes → query distance table → ADC totals); assumes a
     * `vecs(vec_id, v DOUBLE[])` CTE is in scope. Shared by the e_ann_pq
     * and e_ann_ivfpq oracles.
     */
-  /** Codebook + corpus-encode replay (cw/subv/dist/codes) — shared by
-    * the single-query ADC tail below and the bulk per-query oracle.
+  /** Codebook-TRAINING + corpus-encode replay (pw0…pwN/cw/subv/dist/
+    * codes) — shared by the single-query ADC tail below and the bulk
+    * per-query oracle. Replays [[pqCodebooksTrained]] decision for
+    * decision: seed-slice init, then per round argmin micro-L2²
+    * assignment (ties → lower code) and the DECIMAL(28,14)-sum-mean
+    * codeword update, empty codewords carried forward.
     */
-  private def pqCoreCtes: String =
-    s"""cw AS (
+  private def pqCoreCtes: String = {
+    val micro = (sv: String, c: String) =>
+      s"""CAST(floor(list_sum([ ($sv[i]-$c[i])*($sv[i]-$c[i])
+         |      for i in range(1, ${PqSubDim + 1}) ]) * 1000000 + 0.5) AS BIGINT)""".stripMargin
+    val rounds = (1 to PqTrainIters).map { r =>
+      s"""pd$r AS (
+         |  SELECT subv.vec_id, subv.sub, w.code,
+         |    ${micro("subv.sv", "w.c")} AS dmicro
+         |  FROM subv JOIN pw${r - 1} w ON subv.sub = w.sub
+         |),
+         |pa$r AS (
+         |  SELECT vec_id, sub, code FROM pd$r
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dmicro ASC, code ASC) = 1
+         |),
+         |pm$r AS (
+         |  SELECT a.sub, a.code, gs.i AS p,
+         |    (sum((s.sv[gs.i])::DECIMAL(28,14)))::DOUBLE / count(*) AS m
+         |  FROM pa$r a JOIN subv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |  CROSS JOIN generate_series(1, $PqSubDim) AS gs(i)
+         |  GROUP BY a.sub, a.code, gs.i
+         |),
+         |pw$r AS (
+         |  SELECT w.sub, w.code, coalesce(mm.c, w.c) AS c FROM pw${r - 1} w
+         |  LEFT JOIN (SELECT sub, code, list(m ORDER BY p) AS c
+         |             FROM pm$r GROUP BY sub, code) mm USING (sub, code)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""subv AS (
+       |  SELECT e.vec_id, gs.m AS sub,
+       |    e.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS sv
+       |  FROM vecs e CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
+       |),
+       |pw0 AS (
        |  SELECT s.vec_id::INT AS code, gs.m AS sub,
        |    s.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS c
        |  FROM vecs s CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
        |  WHERE s.vec_id < $PqK
        |),
-       |subv AS (
-       |  SELECT e.vec_id, gs.m AS sub,
-       |    e.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS sv
-       |  FROM vecs e CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
-       |),
+       |$rounds,
+       |cw AS (SELECT sub, code, c FROM pw$PqTrainIters),
        |dist AS (
        |  SELECT subv.vec_id, subv.sub, cw.code,
-       |    CAST(floor(list_sum([ (subv.sv[i]-cw.c[i])*(subv.sv[i]-cw.c[i])
-       |      for i in range(1, ${PqSubDim + 1}) ]) * 1000000 + 0.5) AS BIGINT)
-       |      AS dmicro
+       |    ${micro("subv.sv", "cw.c")} AS dmicro
        |  FROM subv JOIN cw ON subv.sub = cw.sub
        |),
        |codes AS (
@@ -1707,6 +2022,7 @@ object SimilarityOps {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
        |    ORDER BY dmicro ASC, code ASC) = 1
        |)""".stripMargin
+  }
 
   private def pqCtes: String =
     s"""$pqCoreCtes,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.CorpusOps
@@ -386,13 +386,14 @@ object WarcOps {
     * narrow shuffles (canon window, domain packing window) plus the
     * tokenizer-count join.
     */
-  private val fullPipeline: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    import graft.operators.{DomainOps, PrepOps, QualityModelOps}
-    val docs = Tables.load(spark, dir, "documents")
-    val w = QualityModelOps.trainedWeights(spark, dir)
-    val recs = parseWarcBlobsGz(synthWarcFilesGz(docs)).toDF()
-    val pages = recs
+  /** Parse + HTTP-status filter + text extraction + URL
+    * canonicalization for one (micro)batch of warc.gz blobs — the
+    * stateless head of the curation pipeline, shared verbatim by the
+    * batch showpiece and [[graft.streaming.StreamingOps]]'s micro-batch
+    * twin so the two cannot drift.
+    */
+  private[graft] def extractCanonPages(blobs: DataFrame): DataFrame =
+    parseWarcBlobsGz(blobs).toDF()
       .where(col("warc_type") === "response")
       .where(regexp_extract(col("payload"), "^HTTP/1\\.1 (\\d+)", 1) === "200")
       .select(
@@ -400,19 +401,32 @@ object WarcOps {
           .cast("long").as("doc_id"),
         substring_index(lower(parse_url(col("target_uri"), lit("HOST"))),
           ".", 1).as("domain"),
-        CorpusOps.htmlExtract(col("payload").substr(
+        graft.operators.CorpusOps.htmlExtract(col("payload").substr(
           instr(col("payload"), "\r\n\r\n") + lit(4),
           length(col("payload")))).as("text"))
-    val kept = pages
       .withColumn("canon_url",
-        DomainOps.urlCanonicalize(DomainOps.synthUrl(col("doc_id"))))
+        graft.operators.DomainOps.urlCanonicalize(
+          graft.operators.DomainOps.synthUrl(col("doc_id"))))
+
+  /** The trained-model + blocklist gate as one boolean column —
+    * stateless, shared by both pipeline forms.
+    */
+  private[graft] def gateColumn(spark: SparkSession,
+      w: Array[Double]): Column =
+    (graft.operators.QualityModelOps.scoreOn(col("text"), w) >= 0.5) &&
+      (size(graft.functions.AhoMatches.blocklistHits(spark,
+        lower(col("text")), graft.functions.TextOps.BadPhrases)) === 0)
+
+  private val fullPipeline: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{PrepOps, QualityModelOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val w = QualityModelOps.trainedWeights(spark, dir)
+    val kept = extractCanonPages(synthWarcFilesGz(docs))
       .withColumn("url_rank", row_number().over(
         Window.partitionBy("canon_url").orderBy("doc_id")))
       .where(col("url_rank") === 1)
-    val gated = kept
-      .where(QualityModelOps.scoreOn(col("text"), w) >= 0.5)
-      .where(size(graft.functions.AhoMatches.blocklistHits(spark,
-        lower(col("text")), graft.functions.TextOps.BadPhrases)) === 0)
+    val gated = kept.where(gateColumn(spark, w))
     PrepOps.packCounted(
         gated.join(CorpusOps.bpeTokenCounts(spark, dir), "doc_id")
           .select(col("domain").as("lang"), col("doc_id"), col("n_tok")))
@@ -459,7 +473,7 @@ object WarcOps {
     * rounds, and the curation chain composed as one WITH body. The
     * oracle trains the model AND the tokenizer itself.
     */
-  private def fullPipelineOracle: String = {
+  private[graft] def fullPipelineOracle: String = {
     import graft.operators.{CorpusOps, PrepOps, QualityModelOps}
     val vals = graft.functions.TextOps.BadPhrases
       .map(p => s"('$p')").mkString(", ")

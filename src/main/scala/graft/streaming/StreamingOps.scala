@@ -250,16 +250,15 @@ object StreamingOps {
   // its point is the cap semantics, oracle-checked; the live-stream
   // execution cost stays honestly measured by the UNCAPPED
   // e_stream_join_replay, which drains fresh on every call.
-  private val drainedPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
+  // CacheRegistry-managed: eviction frees the drained checkpoint
+  // blocks; a later call re-drains the stream to the same pair set.
   def replayClickViewJoin(spark: SparkSession, dir: String,
       capPairsPerKey: Option[Int] = None): DataFrame = {
     val pairs = capPairsPerKey match {
       case None => drainClickViewPairs(spark, dir)
-      case Some(_) => drainedPairsCache.computeIfAbsent(
-        s"${spark.sparkContext.applicationId}#$dir",
-        _ => drainClickViewPairs(spark, dir))
+      case Some(_) => graft.engine.CacheRegistry.memo("stream.drained",
+        s"${spark.sparkContext.applicationId}#$dir")(
+        drainClickViewPairs(spark, dir))(graft.engine.CacheRegistry.freeFrame)
     }
     val kept = capPairsPerKey match {
       case None => pairs
@@ -715,6 +714,137 @@ object StreamingOps {
   private val ingestPublished =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Day split for [[runFullPipelineStream]]: 103 ≡ 3 (mod 4), so the
+    * canonical-URL group {102, 103} straddles the two micro-batches
+    * AND its odd member survives the HTTP-status filter — the
+    * cross-batch dedup path is exercised ON the gate, not just in a
+    * spec.
+    */
+  private[graft] val PipelineSplitId = 103L
+
+  /** THE STREAMED SHOWPIECE — e_pipeline_full as a micro-batch
+    * pipeline, the production shape of continuous curation: warc.gz
+    * blobs arrive as a file stream; each micro-batch parses/extracts
+    * ([[graft.sources.WarcOps.extractCanonPages]] — the batch
+    * pipeline's own head, shared so the forms cannot drift),
+    * URL-canon-dedups batch-locally (keep lowest doc_id) AND against
+    * everything already committed (an anti-join on the published
+    * state — the pipeline's own output IS its cross-batch dedup
+    * index), gates through the trained model + blocklist, joins the
+    * offline-trained tokenizer's counts, and publishes exactly-once
+    * via [[graft.sources.AtomicPublish.publishStreamBatch]]. Days
+    * split by doc_id RANGE, so arrival order equals doc_id order and
+    * keep-first-arrival ≡ the batch rule (keep lowest doc_id) — which
+    * is what lets the gate check the streamed pool against the BATCH
+    * composition's oracle verbatim.
+    *
+    * Gate-failed canon winners publish too (kept = false): they must
+    * keep shadowing their canon group in later batches exactly as the
+    * batch window does, or a day-2 variant of a day-1 rejected page
+    * would resurrect. The pack/serve query filters kept.
+    *
+    * Model weights and BPE merges are OFFLINE artifacts (train once,
+    * apply in-stream — the FineWeb/DCLM serving shape); packing runs
+    * over the published snapshot (training-prep is a batch job over a
+    * committed pool, not a per-micro-batch restatement).
+    */
+  def runFullPipelineStream(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{CorpusOps, QualityModelOps}
+    import graft.sources.{AtomicPublish, WarcOps}
+    val replayDir = java.nio.file.Files.createTempDirectory("graft_pipe")
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_pipe_cp")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val w = QualityModelOps.trainedWeights(spark, dir)
+    val tokCounts = CorpusOps.bpeTokenCounts(spark, dir)
+    def ship(half: DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_pipe_$tag")
+      WarcOps.synthWarcFilesGz(half)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $tag"))
+      java.nio.file.Files.move(part, replayDir.resolve(s"$tag.parquet"))
+      dropReplayDir(tmp)
+    }
+    ship(docs.where(col("doc_id") < PipelineSplitId), "day1")
+    val blobSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("warc_file",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("blob",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream
+      .schema(blobSchema).format("parquet").load(replayDir.toString)
+      .writeStream
+      .option("checkpointLocation", cpDir.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPipelineBatch(spark, batch, batchId, root, w, tokCounts)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 0 = day 1
+      ship(docs.where(col("doc_id") >= PipelineSplitId), "day2")
+      q.processAllAvailable() // batch 1 = day 2
+    } finally {
+      q.stop()
+      dropReplayDir(replayDir)
+      dropReplayDir(cpDir)
+    }
+  }
+
+  /** One micro-batch of the streamed pipeline — separated so the
+    * kill/replay spec can re-deliver a batch exactly as foreachBatch's
+    * at-least-once contract does. Safe to replay: the anti-join state
+    * is the COMMITTED manifest, and [[AtomicPublish.publishStreamBatch]]
+    * refuses an already-committed batchId.
+    */
+  private[graft] def processPipelineBatch(spark: SparkSession,
+      batch: DataFrame, batchId: Long, root: String, w: Array[Double],
+      tokCounts: DataFrame): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.{AtomicPublish, WarcOps}
+    val pages = WarcOps.extractCanonPages(batch)
+    val local = pages
+      .withColumn("url_rank", row_number().over(
+        Window.partitionBy("canon_url").orderBy("doc_id")))
+      .where(col("url_rank") === 1).drop("url_rank")
+    val winners = AtomicPublish.currentStream(root) match {
+      case Some(st) if st.dirs.nonEmpty =>
+        local.join(
+          AtomicPublish.readStreamPublished(spark, root)
+            .select(col("canon_url")),
+          Seq("canon_url"), "left_anti")
+      case _ => local
+    }
+    val out = winners
+      .withColumn("kept", WarcOps.gateColumn(spark, w))
+      .join(tokCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"), col("canon_url"),
+        col("kept"), coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+    AtomicPublish.publishStreamBatch(out, root, batchId)
+  }
+
+  private val streamPipelineFull: Q = (spark, dir) => {
+    import graft.operators.PrepOps
+    val root = ingestPublished.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir#pipeline", _ => {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_pipe_pub").toString
+        runFullPipelineStream(spark, dir, r)
+        r
+      })
+    PrepOps.packCounted(
+        graft.sources.AtomicPublish.readStreamPublished(spark, root)
+          .where(col("kept"))
+          .select(col("domain").as("lang"), col("doc_id"), col("n_tok")))
+      .select(col("lang").as("domain"), col("bin"), col("n_docs"),
+        col("sum_tokens"))
+      .orderBy("domain", "bin")
+  }
+
   private val streamIngestDedup: Q = (spark, dir) => {
     val root = ingestPublished.computeIfAbsent(
       s"${spark.sparkContext.applicationId}#$dir", _ => {
@@ -858,6 +988,7 @@ object StreamingOps {
     "e_stream_ingest_dedup" -> streamIngestDedup,
     "e_stream_ingest_compact" -> streamIngestCompact,
     "e_stream_ingest_ivf" -> streamIngestIvf,
+    "e_stream_pipeline_full" -> streamPipelineFull,
     "e_stream_dedup_replay" -> (replayDedupStream(_, _)),
     "e_stream_upsert_replay" -> (replayUpsertStream(_, _)),
     "e_stream_static_replay" -> (replayStreamStaticJoin(_, _)),
@@ -958,6 +1089,12 @@ object StreamingOps {
     // probes identically to the batch-built one: the e_ann_ivf_persisted
     // oracle verbatim
     "e_stream_ingest_ivf" -> graft.operators.SimilarityOps.ivfOracle(),
+    // the streamed micro-batch pipeline must publish the pool the
+    // BATCH showpiece computes — its oracle VERBATIM (arrival order =
+    // doc_id order makes the two dedup rules coincide; see
+    // runFullPipelineStream)
+    "e_stream_pipeline_full" ->
+      graft.sources.WarcOps.fullPipelineOracle,
     // the batch exact-dedup answer — the streaming stateful path must
     // reproduce it exactly (same SQL as e_dedup_exact)
     "e_stream_dedup_replay" ->

@@ -39,6 +39,24 @@ class AhoCorasickSpec extends SparkSpec {
     assert(a.matchedIds("low. and (low)").toSeq == Seq.empty)
   }
 
+  test("the boundary set is exactly RE2 \\s — Unicode whitespace " +
+      "outside [\\t\\n\\f\\r ] does NOT delimit (oracle agreement)") {
+    val a = ac("low")
+    // every member of the RE2 class delimits
+    for (c <- Seq('\t', '\n', '\f', '\r', ' '))
+      assert(a.matchedIds(s"x${c}low${c}x").toSeq == Seq(0),
+        s"U+${c.toInt.toHexString} should be a boundary")
+    // Character.isWhitespace members OUTSIDE the RE2 class must not:
+    // the DuckDB oracle normalizes with regexp_replace '\s' and would
+    // disagree on these inputs (the r14 advice divergence)
+    for (c <- Seq('\u000B', '\u001C', '\u001D', '\u001E', '\u001F',
+        '\u2028', '\u2029', '\u1680', '\u3000')) {
+      assert(Character.isWhitespace(c), s"fixture assumption: U+${c.toInt.toHexString}")
+      assert(a.matchedIds(s"x${c}low${c}x").toSeq == Seq.empty,
+        s"U+${c.toInt.toHexString} must NOT be a boundary")
+    }
+  }
+
   test("a NULL phrase element is rejected with a clear error, not an NPE") {
     import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
     import org.apache.spark.sql.types.StringType

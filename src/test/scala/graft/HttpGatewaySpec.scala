@@ -138,4 +138,21 @@ class HttpGatewaySpec extends SparkSpec
     assert(second == first && third == first,
       "memoized catalog must be byte-identical across requests")
   }
+
+  test("a query mounted AFTER the first GET / appears in the next " +
+      "catalog (generation-keyed memo, not a boot-frozen snapshot)") {
+    val (_, _, before) = http("/")
+    val buildsBefore = gw.catalogBuilds
+    ns.register("billing", graft.engine.NamedQuery("late_mounted",
+      (s, d) => ReferenceOps.queries("r_scan_all")(s, d), None))
+    val (_, _, after) = http("/")
+    assert(after.contains("/q/billing/late_mounted"),
+      s"late-mounted route missing from refreshed catalog: $after")
+    assert(!before.contains("late_mounted"), "test setup: route preexisted")
+    assert(gw.catalogBuilds == buildsBefore + 1,
+      "exactly one rebuild after one registration")
+    // and the refreshed catalog memoizes again
+    val (_, _, again) = http("/")
+    assert(again == after && gw.catalogBuilds == buildsBefore + 1)
+  }
 }

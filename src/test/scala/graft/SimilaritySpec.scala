@@ -454,7 +454,31 @@ class SimilaritySpec extends SparkSpec {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       math.floor(s * 1e6 + 0.5).toLong
     }
-    val cb = Array.tabulate(8, 16) { (m, c) => vecs(c.toLong).slice(m * 8, m * 8 + 8) }
+    // independent driver-side replay of the TRAINED codebooks: seed
+    // slices, then 2 Lloyd rounds of argmin-micro-L2² assignment (ties
+    // → lower code) and the DECIMAL(28,14)-sum / count mean — the
+    // exact arithmetic pqCodebooksTrained ships to the cluster
+    def decMean(vals: Seq[Double]): Double =
+      vals.map(v => BigDecimal(v)
+        .setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        vals.length
+    var cb = Array.tabulate(8, 16) { (m, c) =>
+      vecs(c.toLong).slice(m * 8, m * 8 + 8)
+    }
+    for (_ <- 1 to 2) {
+      val snap = cb
+      val members = Array.fill(8, 16)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      for ((_, v) <- emb; m <- 0 until 8) {
+        val sub = v.slice(m * 8, m * 8 + 8)
+        val best = (0 until 16).minBy(c => (l2Micro(sub, snap(m)(c)), c))
+        members(m)(best) += sub
+      }
+      cb = Array.tabulate(8, 16) { (m, c) =>
+        if (members(m)(c).isEmpty) snap(m)(c)
+        else Array.tabulate(8)(i => decMean(members(m)(c).toSeq.map(_(i))))
+      }
+    }
     val q = vecs(0L)
     val dt = Array.tabulate(8, 16) { (m, c) => l2Micro(q.slice(m * 8, m * 8 + 8), cb(m)(c)) }
     def adc(v: Array[Double]): Long =
@@ -553,10 +577,90 @@ class SimilaritySpec extends SparkSpec {
     assert(membersAfter == membersBefore, "rebalance changed membership")
     assert(fullProbe() == answerBefore, "rebalance changed the answer")
     // centroid list stays consistent with the layout: one centroid per
-    // cell dir, labels unique
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("label").collect().map(_.getInt(0)).toSeq
+    // cell dir, labels unique (centroids resolve through the manifest
+    // after a rebalance — the committed dir, not the stale boot dir)
+    val cents = SimilarityOps.loadIvfIndex(spark, path)
+      .centroids.map(_._1)
     assert(cents.distinct.length == cents.length)
     assert(cents.toSet == sizesAfter.keySet)
+  }
+
+  /** Fabricate a skew-bloated index root exactly like the rebalance
+    * test above: saved plain layout + 120 near-copies of vector 0
+    * appended into one cell.
+    */
+  private def skewedIndexRoot(): String = {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = SimilarityOps.kmeansCentroids(emb, 16, 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_kill").toString
+    SimilarityOps.saveIvfIndex(
+      SimilarityOps.IvfIndex(centroids,
+        emb.withColumn("cell", SimilarityOps.cellExpr(centroids))), path)
+    val base = SimilarityOps.vectorOf(spark, sf, 0L).map(_.toFloat)
+    val skew = spark.range(10000L, 10120L)
+      .select(col("id").as("vec_id"),
+        transform(typedLit(base), (x, i) =>
+          x + when(i === pmod(col("id"), lit(64L)).cast("int"),
+            pmod(col("id"), lit(7L)).cast("float") * lit(0.001f))
+            .otherwise(lit(0.0f))).as("embedding"),
+        lit(0).as("label"))
+    SimilarityOps.appendToIvfIndex(spark, skew, path)
+    path
+  }
+
+  test("kill-mid-rebalance at every window: readers never see a " +
+      "duplicated or lost member; the retry completes to the " +
+      "never-crashed answer") {
+    def members(path: String): Seq[Long] =
+      SimilarityOps.ivfAssignedFrame(spark, path)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the never-crashed reference run — one pass, then a SECOND pass
+    // (a child of the first split is itself still over cap, so the
+    // next scheduled rebalance legitimately splits again; window 3's
+    // retry lands on pass-2 state, windows 1-2's on pass-1 state)
+    val ref = skewedIndexRoot()
+    val refMembers = members(ref)
+    assert(SimilarityOps.rebalanceIvfIndex(spark, ref, cap = 100) >= 1)
+    val refPass1 = (members(ref), SimilarityOps.ivfCellSizes(spark, ref))
+    SimilarityOps.rebalanceIvfIndex(spark, ref, cap = 100)
+    val refPass2 = (members(ref), SimilarityOps.ivfCellSizes(spark, ref))
+    for (window <- Seq(1, 2, 3)) {
+      val refAfter = if (window == 3) refPass2 else refPass1
+      val path = skewedIndexRoot()
+      SimilarityOps.rebalanceKillAt = Some(window)
+      try intercept[IllegalStateException] {
+        SimilarityOps.rebalanceIvfIndex(spark, path, cap = 100)
+      } finally SimilarityOps.rebalanceKillAt = None
+      // crash state: every reader (load, census, membership) resolves
+      // through the manifest — NO duplicated members (windows 1-2
+      // leave children on disk uncommitted; window 3 leaves parents
+      // undropped), NO lost members
+      assert(members(path) == refMembers,
+        s"window $window: torn state visible to readers")
+      val sizes = SimilarityOps.ivfCellSizes(spark, path)
+      assert(sizes.values.sum == refMembers.size,
+        s"window $window: census double-counts")
+      // the retry completes: same member set and cell census as the
+      // never-crashed run (window 3 committed already, so its retry
+      // is a no-op GC pass — rebalance returns 0 splits but the
+      // LAYOUT must already equal the reference)
+      SimilarityOps.rebalanceIvfIndex(spark, path, cap = 100)
+      assert(members(path) == refAfter._1,
+        s"window $window: retry lost or duplicated members")
+      assert(SimilarityOps.ivfCellSizes(spark, path) == refAfter._2,
+        s"window $window: retry census differs from never-crashed run")
+      // no orphan debris survives the retry
+      val onDisk = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "assigned"))
+      val cellDirs =
+        try {
+          import scala.jdk.CollectionConverters._
+          onDisk.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt)
+            .toSet
+        } finally onDisk.close()
+      assert(cellDirs == SimilarityOps.ivfCellSizes(spark, path).keySet,
+        s"window $window: orphan cell dirs remain")
+    }
   }
 }
