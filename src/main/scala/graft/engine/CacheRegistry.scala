@@ -23,12 +23,20 @@ import org.apache.spark.sql.DataFrame
   *  - `memo(site, key)(build)(free)` returns the cached value or
   *    builds (and registers) it. Each hit refreshes recency.
   *  - When the resident-entry count exceeds `maxResident`
-  *    (`-Dgraft.cache.maxResident`, default 8), the least-recently
+  *    (`-Dgraft.cache.maxResident`, default 16), the least-recently
   *    used entry is EVICTED: its `free` thunk releases the Spark
   *    storage (unpersist / checkpoint-RDD release) and the entry is
   *    dropped, so the next request REBUILDS it — to the identical
   *    answer, because every build here is deterministic by the
   *    engine-wide oracle contract (CacheRegistrySpec pins this).
+  *    The default is sized to the full query suite's working set
+  *    (~15 entries per dataset): a first cut at 8 made the bench's
+  *    interleaved passes re-pay the four driver-side builds (CC
+  *    labels, incremental minhash, stream drain) on every pass —
+  *    measured +18 s over 246 queries — while the 768 MB spill
+  *    marathon passes at 16 just as it did at 8 (the r14 failure was
+  *    UNBOUNDED accumulation plus the per-round checkpoint leaks, not
+  *    the last factor-2 of resident entries).
   *  - `evictAll()` is the explicit phase boundary a long pipeline
   *    calls between stages (and specs call between scenarios).
   *
@@ -60,7 +68,7 @@ object CacheRegistry {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   def maxResident: Int =
-    sys.props.get("graft.cache.maxResident").map(_.toInt).getOrElse(8)
+    sys.props.get("graft.cache.maxResident").map(_.toInt).getOrElse(16)
 
   def resident: Int = synchronized(entries.size)
 
