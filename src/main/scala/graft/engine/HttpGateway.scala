@@ -152,7 +152,15 @@ final class HttpGateway private (server: HttpServer,
                 respond(ex, 200,
                   s"""{"ok":false,"error":${jsonStr(err)}}""")
               case Right(df) =>
-                val rows = df.toJSON.collect()
+                // Driver-side materialization is CLAMPED to the
+                // registry's F2 page bound: an unbounded full-scan
+                // served over HTTP would otherwise be a driver OOM at
+                // scale. take(N) runs an incremental bounded job (no
+                // full collect); clients paging past the clamp use the
+                // registry's keyset pagination. Every declared
+                // reference query pages under the clamp, so envelope
+                // parity is unchanged on the contract surface.
+                val rows = df.toJSON.take(HttpGateway.MaxResultRows)
                 respond(ex, 200,
                   s"""{"results":[${rows.mkString(",")}],"ok":true}""")
             }
@@ -171,6 +179,12 @@ final class HttpGateway private (server: HttpServer,
 }
 
 object HttpGateway {
+  /** Per-response row clamp — the registry's [1,1000] page bound (F2)
+    * applied at the transport too, so no route can materialize an
+    * unbounded result on the gateway process.
+    */
+  val MaxResultRows: Int = 1000
+
   /** Bind 127.0.0.1 on an ephemeral port and serve `ns` over HTTP. */
   def start(ns: Namespaces, spark: SparkSession, dir: String): HttpGateway = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)

@@ -284,6 +284,12 @@ object GraphOps {
     val base = (1.0 - damping) / n
     var rank = nodesMarked.select(col("node"), col("has_out"),
       lit(1.0 / n).as("r"))
+    // superseded iterates' checkpoint blocks are freed as soon as the
+    // next iterate materializes (the CorpusOps/DedupOps loop
+    // discipline) — only the LAST checkpoint, which the returned plan
+    // reads, stays pinned: O(1) checkpoint residency instead of
+    // O(iters) for the app lifetime
+    var prevCp: DataFrame = null
     for (i <- 1 to iters) {
       // Each update reads the previous rank TWICE (contribution sums
       // AND the dangling-mass aggregate), so without a cut the logical
@@ -301,6 +307,11 @@ object GraphOps {
         if (i == 1) rank
         else rank.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      if (prevCp != null && (rcur ne prevCp)) {
+        // rcur is durably materialized from prevCp's blocks — release them
+        graft.engine.CacheRegistry.freeFrame(prevCp)
+      }
+      if (rcur ne rank) prevCp = rcur
       val sums = dir
         .join(rcur.select(col("node").as("src"), col("r"))
           .hint("shuffle_hash"), Seq("src"))

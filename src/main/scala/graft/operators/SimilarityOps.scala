@@ -338,8 +338,20 @@ object SimilarityOps {
   // but never committed; parent dirs committed away but not yet
   // dropped) is ids OUTSIDE the manifest's cell list: invisible to
   // every reader and GC'd by the next rebalance.
+  //
+  // `prevCells`/`prevDir` record the generation a commit SUPERSEDED:
+  // those dirs stay on disk until the NEXT rebalance entry (a grace
+  // window), because readers are lock-free — a reader that resolved
+  // the pre-commit manifest may still be scanning the parent dirs when
+  // the commit lands, and an immediate post-commit delete would fail
+  // it with FileNotFound. One superseded generation on disk makes
+  // "a reader sees either layout, never a mix" hold for CONCURRENT
+  // reads too, not just crashes; a reader two generations behind would
+  // have to straddle two full rebalances, which the per-root writer
+  // lock makes a much older read.
   final case class CellManifest(gen: Long, centroidsDir: String,
-      cells: Seq[Int])
+      cells: Seq[Int], prevCells: Seq[Int] = Seq.empty,
+      prevDir: Option[String] = None)
 
   private def cellManifestPath(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path, "cells.json")
@@ -354,19 +366,26 @@ object SimilarityOps {
         .map(_.group(1).toLong).getOrElse(0L)
       val cd = """"centroidsDir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse("centroids")
-      val cells = """"cells"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
-          .map(_.toInt).toSeq).getOrElse(Seq.empty)
-      Some(CellManifest(gen, cd, cells))
+      def intList(k: String) =
+        (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+            .map(_.toInt).toSeq).getOrElse(Seq.empty)
+      val prevDir = """"prevDir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+      Some(CellManifest(gen, cd, intList("cells"), intList("prevCells"),
+        prevDir))
     }
   }
 
   private def writeCellManifest(path: String, m: CellManifest): Unit = {
     val p = cellManifestPath(path)
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val prevDirJson = m.prevDir.map(d => s""","prevDir":"$d"""").getOrElse("")
     java.nio.file.Files.write(tmp,
       (s"""{"gen":${m.gen},"centroidsDir":"${m.centroidsDir}",""" +
-        s""""cells":[${m.cells.sorted.mkString(",")}]}""")
+        s""""cells":[${m.cells.sorted.mkString(",")}],""" +
+        s""""prevCells":[${m.prevCells.sorted.mkString(",")}]""" +
+        prevDirJson + "}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -657,10 +676,13 @@ object SimilarityOps {
         writeCellManifest(path, m)
         m
       }
-      // GC debris from a previously killed rebalance — ids outside the
-      // committed manifest (orphan children, undropped parents) and
-      // superseded centroid dirs. Readers never saw any of it.
-      gcOutsideManifest(path, m0)
+      // GC debris from a previously killed rebalance (ids outside the
+      // committed manifest — orphan children readers never saw) AND the
+      // previous commit's GRACED generation (its grace window ends at
+      // this entry: any reader that resolved that manifest has long
+      // finished — the writer lock serialized at least one full
+      // rebalance in between). Entry GC keeps live ids only.
+      gcOutsideManifest(path, m0, keepPrev = false)
       val idx = loadIvfIndex(spark, path)
       val sizes = ivfCellSizes(spark, path)
       val oversized = sizes.filter(_._2 > cap).keys.toSeq.sorted
@@ -699,12 +721,17 @@ object SimilarityOps {
       // COMMIT: one atomic manifest rename flips every reader from the
       // parent layout to the child layout. The cell list IS the new
       // centroid label set — kept cells + children, parents excluded.
+      // The superseded parents/centroid dir are recorded as the GRACED
+      // generation: they stay on disk until the next rebalance entry,
+      // so a lock-free reader that resolved the pre-commit manifest can
+      // finish its scan (no post-commit FileNotFound window).
       writeCellManifest(path, CellManifest(m0.gen + 1, newCentDir,
-        newCents.map(_._1).sorted.toSeq))
+        newCents.map(_._1).sorted.toSeq,
+        prevCells = oversized, prevDir = Some(m0.centroidsDir)))
       killPoint(3)
-      // post-commit GC is best-effort: a crash here leaves orphans the
-      // next rebalance (or this one's next run) collects
-      gcOutsideManifest(path, readCellManifest(path).get)
+      // post-commit GC collects only debris OUTSIDE live ∪ graced —
+      // older junk from crashes; the graced generation survives
+      gcOutsideManifest(path, readCellManifest(path).get, keepPrev = true)
       oversized.length
     }
 
@@ -712,8 +739,13 @@ object SimilarityOps {
     * versioned centroid dirs other than the live one — crash debris by
     * construction (a committed id is always listed).
     */
-  private def gcOutsideManifest(path: String, m: CellManifest): Unit = {
-    val live = m.cells.toSet
+  private def gcOutsideManifest(path: String, m: CellManifest,
+      keepPrev: Boolean): Unit = {
+    val live =
+      if (keepPrev) m.cells.toSet ++ m.prevCells else m.cells.toSet
+    val liveDirs =
+      if (keepPrev) Set(m.centroidsDir) ++ m.prevDir
+      else Set(m.centroidsDir)
     val assignedRoot = java.nio.file.Paths.get(path, "assigned")
     if (java.nio.file.Files.isDirectory(assignedRoot)) {
       val ls = java.nio.file.Files.list(assignedRoot)
@@ -735,7 +767,7 @@ object SimilarityOps {
         .filter { p =>
           val n = p.getFileName.toString
           (n.startsWith("centroids_g") || n == "centroids") &&
-            n != m.centroidsDir
+            !liveDirs(n)
         }
         .foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
@@ -1627,7 +1659,13 @@ object SimilarityOps {
     */
   private val annRecallPqStructured: Q = (spark, dir) => {
     val (idx, q) = structuredLane(spark, dir)
-    val cb = pqCodebooksTrained(idx.assigned)
+    // trained-codebook memo rides beside sim.structured: training runs
+    // PqTrainIters encode+aggregate Spark jobs, so an unmemoized call
+    // would retrain on every bench warm pass (free is a no-op — the
+    // value is driver-side arrays, nothing pinned)
+    val cb = graft.engine.CacheRegistry.memo("sim.structcb",
+      s"${spark.sparkContext.applicationId}#$dir")(
+      pqCodebooksTrained(idx.assigned))(_ => ())
     val adc = ivfPqProbe(idx, cb, q, excludeId = 0L).select("vec_id")
     val exact = idx.assigned
       .where(col("vec_id") =!= 0L)

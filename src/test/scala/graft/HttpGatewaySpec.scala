@@ -139,6 +139,22 @@ class HttpGatewaySpec extends SparkSpec
       "memoized catalog must be byte-identical across requests")
   }
 
+  test("an unbounded query result is clamped to the registry's [1,1000] " +
+      "page bound at the transport — no full-scan driver materialization") {
+    // 2,500-row result: over the clamp, under a second of work
+    ns.register("billing", graft.engine.NamedQuery("wide_open",
+      (s, _) => s.range(2500L).selectExpr("id AS k"), None))
+    val (code, _, body) = http("/q/billing/wide_open")
+    assert(code == 200)
+    assert(body.endsWith("""],"ok":true}"""), body.takeRight(40))
+    val n = body.sliding("""{"k":""".length).count(_ == """{"k":""")
+    assert(n == HttpGateway.MaxResultRows,
+      s"expected exactly ${HttpGateway.MaxResultRows} clamped rows, got $n")
+    // the clamp keeps the PREFIX (take, not sample): first and last rows
+    assert(body.contains("""{"k":0}""") && body.contains("""{"k":999}"""))
+    assert(!body.contains("""{"k":1000}"""), "clamp exceeded")
+  }
+
   test("a query mounted AFTER the first GET / appears in the next " +
       "catalog (generation-keyed memo, not a boot-frozen snapshot)") {
     val (_, _, before) = http("/")

@@ -570,12 +570,29 @@ class SimilaritySpec extends SparkSpec {
     assert(sizesAfter.size > sizesBefore.size)
     sizesBefore.filter(_._2 > cap).keys.foreach(c =>
       assert(!sizesAfter.contains(c), s"parent cell $c still present"))
-    // logical invariance: same member set, and a probe over ALL cells
-    // returns the identical top-k — rebalance is layout-only
-    val membersAfter = spark.read.parquet(s"$path/assigned")
+    // logical invariance: same member set (through the manifest — the
+    // raw dir legitimately keeps ONE graced superseded generation for
+    // lock-free readers), and a probe over ALL cells returns the
+    // identical top-k — rebalance is layout-only
+    val membersAfter = SimilarityOps.ivfAssignedFrame(spark, path)
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(membersAfter == membersBefore, "rebalance changed membership")
     assert(fullProbe() == answerBefore, "rebalance changed the answer")
+    // the graced parent dirs ARE still on disk right after the commit
+    // (the concurrent-reader grace window)…
+    def rawCellDirs(): Set[Int] = {
+      val onDisk = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "assigned"))
+      try {
+        import scala.jdk.CollectionConverters._
+        onDisk.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt)
+          .toSet
+      } finally onDisk.close()
+    }
+    val parents = sizesBefore.filter(_._2 > cap).keySet
+    assert(parents.subsetOf(rawCellDirs()),
+      "graced parent dirs deleted immediately — no reader grace window")
     // centroid list stays consistent with the layout: one centroid per
     // cell dir, labels unique (centroids resolve through the manifest
     // after a rebalance — the committed dir, not the stale boot dir)
@@ -583,6 +600,13 @@ class SimilaritySpec extends SparkSpec {
       .centroids.map(_._1)
     assert(cents.distinct.length == cents.length)
     assert(cents.toSet == sizesAfter.keySet)
+    // …and rebalance entries collect superseded generations: drain the
+    // split schedule (a child can itself still be over cap) — the final
+    // 0-split entry's GC leaves disk exactly equal to the live layout
+    while (SimilarityOps.rebalanceIvfIndex(spark, path, cap = cap) > 0) {}
+    assert(rawCellDirs() == SimilarityOps.ivfCellSizes(spark, path).keySet,
+      "graced generation not collected at the next rebalance entry")
+    assert(fullProbe() == answerBefore, "drained rebalances changed the answer")
   }
 
   /** Fabricate a skew-bloated index root exactly like the rebalance
@@ -649,7 +673,10 @@ class SimilaritySpec extends SparkSpec {
         s"window $window: retry lost or duplicated members")
       assert(SimilarityOps.ivfCellSizes(spark, path) == refAfter._2,
         s"window $window: retry census differs from never-crashed run")
-      // no orphan debris survives the retry
+      // debris discipline: a splitting pass legitimately leaves ONE
+      // graced superseded generation (the concurrent-reader window);
+      // draining the schedule to a 0-split entry collects everything
+      while (SimilarityOps.rebalanceIvfIndex(spark, path, cap = 100) > 0) {}
       val onDisk = java.nio.file.Files.list(
         java.nio.file.Paths.get(path, "assigned"))
       val cellDirs =
