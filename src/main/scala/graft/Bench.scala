@@ -26,9 +26,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runFull(name: String): Unit =
+    // one consumption scope per execution: memo values stay pinned
+    // from build through the noop sink's action
+    def runFull(name: String): Unit = graft.engine.CacheRegistry.scoped {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    }
 
     runFull("r_inner_join") // warmup: JIT + parquet footer caches
 

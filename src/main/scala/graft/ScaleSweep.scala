@@ -62,8 +62,10 @@ object ScaleSweep {
     }
 
     def runFull(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      graft.engine.CacheRegistry.scoped {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
     def timed(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       runFull(name, dir)

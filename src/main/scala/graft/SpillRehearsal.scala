@@ -61,9 +61,10 @@ object SpillRehearsal {
       }
     })
 
-    def runFull(name: String): Unit =
+    def runFull(name: String): Unit = graft.engine.CacheRegistry.scoped {
       SparkEntry.queries(name)(spark, synth)
         .write.format("noop").mode("overwrite").save()
+    }
 
     val only = args.drop(1).toSet
     val names = (SparkEntry.queries.keySet - "r_catalog").toSeq.sorted

@@ -71,8 +71,10 @@ object SweepCurve {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     def runFull(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      graft.engine.CacheRegistry.scoped {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
     // min-of-2 at every scale: first pass pays memoized builds (IVF
     // index, staged features) exactly like ScaleSweep
     def timed(name: String, dir: String): Double = (1 to 2).map { _ =>

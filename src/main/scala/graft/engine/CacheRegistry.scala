@@ -22,82 +22,227 @@ import org.apache.spark.sql.DataFrame
   *
   *  - `memo(site, key)(build)(free)` returns the cached value or
   *    builds (and registers) it. Each hit refreshes recency.
-  *  - When the resident-entry count exceeds `maxResident`
-  *    (`-Dgraft.cache.maxResident`, default 16), the least-recently
-  *    used entry is EVICTED: its `free` thunk releases the Spark
-  *    storage (unpersist / checkpoint-RDD release) and the entry is
-  *    dropped, so the next request REBUILDS it — to the identical
-  *    answer, because every build here is deterministic by the
-  *    engine-wide oracle contract (CacheRegistrySpec pins this).
-  *    The default is sized to the full query suite's working set
-  *    (~15 entries per dataset): a first cut at 8 made the bench's
-  *    interleaved passes re-pay the four driver-side builds (CC
-  *    labels, incremental minhash, stream drain) on every pass —
-  *    measured +18 s over 246 queries — while the 768 MB spill
-  *    marathon passes at 16 just as it did at 8 (the r14 failure was
-  *    UNBOUNDED accumulation plus the per-round checkpoint leaks, not
-  *    the last factor-2 of resident entries).
+  *  - Eviction accounting is BYTES-FIRST (r16): each entry records the
+  *    persistent-RDD ids its build pinned (the before/after delta of
+  *    `sc.getPersistentRDDs` around the build — uniform across
+  *    persist- and checkpoint-backed families), and the entry's live
+  *    footprint is read from `sc.getRDDStorageInfo` (memSize +
+  *    diskSize) at each eviction check, so unpersisted-behind-our-back
+  *    or spilled-to-disk state is accounted as it actually is. LRU
+  *    victims are evicted while the total exceeds `maxResidentBytes`
+  *    (`-Dgraft.cache.maxResidentBytes`, default maxMemory/4 — on the
+  *    512 MB spill-rehearsal heap that is ~128 MB, on a production
+  *    driver it is large) OR while the entry COUNT exceeds
+  *    `maxResident` (`-Dgraft.cache.maxResident`, default 16 — the
+  *    fallback for driver-side values that pin no Spark storage).
+  *    Eviction runs the entry's `free` thunk (unpersist /
+  *    checkpoint-RDD release) and drops the entry, so the next request
+  *    REBUILDS it — to the identical answer, because every build here
+  *    is deterministic by the engine-wide oracle contract
+  *    (CacheRegistrySpec pins this).
   *  - `evictAll()` is the explicit phase boundary a long pipeline
   *    calls between stages (and specs call between scenarios).
   *
-  * Consistency contract: callers obtain a value and consume it within
-  * one query execution (build → action), so LRU only ever evicts
-  * entries from PRIOR queries as long as no single query touches more
-  * than `maxResident` memo sites (the widest composition today
-  * touches 5). Eviction of a checkpoint-backed frame frees blocks
-  * that have no lineage to recompute from — safe precisely because
-  * the entry is removed in the same critical section, so no caller
-  * can reach the freed frame afterwards.
+  * Consistency under CONCURRENT callers (the HttpGateway 4-thread
+  * pool; r16):
   *
-  * The registry is a plain synchronized monitor: builds run Spark
-  * jobs while holding it, which serializes concurrent memo calls
-  * exactly like the per-key `computeIfAbsent` blocking it replaces;
-  * nested memo calls during a build (the split→IVF, lshCc→staged
-  * chains) re-enter the same monitor safely.
+  *  - Builds run OUTSIDE the registry monitor. `memo` installs a
+  *    per-key latch under the monitor, releases it, runs the build,
+  *    then re-enters to publish; a second caller of the SAME key
+  *    awaits the latch and returns the published value, while callers
+  *    of OTHER keys proceed immediately — no head-of-line blocking of
+  *    unrelated builds behind one long Spark job. A build that throws
+  *    removes its latch so a waiter retries (one of them rebuilds).
+  *    Nested memo calls during a build (the split→IVF, lshCc→staged
+  *    chains) target different keys and compose freely.
+  *  - Values are PINNED while a caller consumes them: `scoped { … }`
+  *    opens a consumption scope on the current thread; every memo hit
+  *    or build inside it increments the entry's pin count, released
+  *    when the scope closes (query end). Eviction skips pinned
+  *    entries, so another thread's builds can never free a frame (or
+  *    a checkpoint block with no lineage to recompute from) out from
+  *    under an in-flight query. The driver mains and the gateway wrap
+  *    each query execution in a scope; an unscoped call (sequential
+  *    spec code) behaves exactly as before.
   */
 object CacheRegistry {
 
-  private final case class Entry(value: AnyRef, free: () => Unit)
+  private final class Entry(val value: AnyRef, val free: () => Unit,
+      val rddIds: Set[Int]) {
+    var pins: Int = 0
+  }
 
   // access-order LinkedHashMap = LRU order maintained on get()
   private val entries =
     new java.util.LinkedHashMap[String, Entry](32, 0.75f, true)
 
-  /** Eviction events observable by specs: (site#key) in order. */
+  // per-key build-in-progress latches — the computeIfAbsent-with-
+  // placeholder pattern, so builds run outside the monitor
+  private val building =
+    new java.util.HashMap[String, java.util.concurrent.CountDownLatch]()
+
+  /** Eviction events observable by specs: count of evictions. */
   private[graft] val evicted =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   def maxResident: Int =
     sys.props.get("graft.cache.maxResident").map(_.toInt).getOrElse(16)
 
+  /** Byte budget for pinned Spark storage across all resident entries.
+    * Default: a quarter of the JVM heap — small on the spill-rehearsal
+    * heap (memory pressure is exactly when eviction must engage),
+    * large on a production driver.
+    */
+  def maxResidentBytes: Long =
+    sys.props.get("graft.cache.maxResidentBytes").map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 4)
+
   def resident: Int = synchronized(entries.size)
 
-  /** The memo: cached value for (site, key), else build + register.
-    * `free` must release every Spark storage handle the value pins
-    * (persisted frames, checkpoint RDDs); it runs at eviction, under
-    * the registry monitor, and must not throw (wrapped defensively).
+  // ---- consumption pins -------------------------------------------
+
+  private val pinScope = new ThreadLocal[java.util.ArrayList[String]]()
+
+  /** Open a consumption scope: every memo value obtained on this
+    * thread inside `body` stays pinned (never evicted) until `body`
+    * returns — the query-execution lifetime. Scopes nest (inner scope
+    * releases only its own pins).
     */
-  def memo[T <: AnyRef](site: String, key: String)(build: => T)(
-      free: T => Unit): T = synchronized {
-    val k = site + "#" + key
-    val hit = entries.get(k) // refreshes LRU recency
-    if (hit != null) hit.value.asInstanceOf[T]
-    else {
-      val v = build
-      entries.put(k, Entry(v, () => free(v)))
-      // evict AFTER inserting: the fresh entry is MRU, never a victim
-      while (entries.size > maxResident) {
-        val it = entries.entrySet().iterator()
-        val victim = it.next()
-        it.remove()
-        evicted.incrementAndGet()
-        runFree(victim.getKey, victim.getValue)
+  def scoped[T](body: => T): T = {
+    val outer = pinScope.get()
+    val mine = new java.util.ArrayList[String]()
+    pinScope.set(mine)
+    try body
+    finally {
+      pinScope.set(outer)
+      synchronized {
+        mine.forEach { k =>
+          val e = entries.get(k)
+          if (e != null && e.pins > 0) e.pins -= 1
+        }
+        // pins released — re-enforce the budget now
+        evictOverBudget()
       }
-      v
     }
   }
 
-  /** Drop and free every entry — the explicit phase boundary. */
+  private def pinLocked(k: String, e: Entry): Unit = {
+    val scope = pinScope.get()
+    if (scope != null) { e.pins += 1; scope.add(k) }
+  }
+
+  // ---- the memo ----------------------------------------------------
+
+  /** The memo: cached value for (site, key), else build + register.
+    * `free` must release every Spark storage handle the value pins
+    * (persisted frames, checkpoint RDDs); it runs at eviction, outside
+    * any consumption pin, and must not throw (wrapped defensively).
+    */
+  def memo[T <: AnyRef](site: String, key: String)(build: => T)(
+      free: T => Unit): T = {
+    val k = site + "#" + key
+    while (true) {
+      var latch: java.util.concurrent.CountDownLatch = null
+      var mine = false
+      synchronized {
+        val hit = entries.get(k) // refreshes LRU recency
+        if (hit != null) { pinLocked(k, hit); return hit.value.asInstanceOf[T] }
+        latch = building.get(k)
+        if (latch == null) {
+          latch = new java.util.concurrent.CountDownLatch(1)
+          building.put(k, latch)
+          mine = true
+        }
+      }
+      if (!mine) { latch.await(); /* published or failed — retry */ }
+      else {
+        val before = persistentIds()
+        var ok = false
+        try {
+          val v = build
+          val pinned = persistentIds() -- before
+          synchronized {
+            val e = new Entry(v, () => free(v), pinned)
+            entries.put(k, e)
+            pinLocked(k, e)
+            // evict AFTER inserting: the fresh entry is MRU (and
+            // possibly pinned), never the first victim
+            evictOverBudget()
+          }
+          ok = true
+          return v
+        } finally {
+          synchronized { building.remove(k) }
+          latch.countDown()
+          if (!ok) () // waiter retries and becomes the builder
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def persistentIds(): Set[Int] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.getPersistentRDDs.keySet.toSet)
+      .getOrElse(Set.empty)
+
+  /** Live pinned bytes of an entry: its recorded RDD ids' current
+    * memSize + diskSize from the storage status — measured, not
+    * estimated, so disk-spilled or already-released blocks count as
+    * what they are.
+    */
+  private def entryBytes(e: Entry,
+      info: Map[Int, Long]): Long =
+    e.rddIds.iterator.map(id => info.getOrElse(id, 0L)).sum
+
+  private def storageBytesById(): Map[Int, Long] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.getRDDStorageInfo
+        .map(i => i.id -> (i.memSize + i.diskSize)).toMap)
+      .getOrElse(Map.empty)
+
+  /** Total measured bytes currently pinned by resident entries. */
+  def residentBytes: Long = synchronized {
+    val info = storageBytesById()
+    var total = 0L
+    entries.values().forEach(e => total += entryBytes(e, info))
+    total
+  }
+
+  // must hold the monitor
+  private def evictOverBudget(): Unit = {
+    val capN = maxResident
+    val capB = maxResidentBytes
+    var info = storageBytesById()
+    def totalBytes: Long = {
+      var t = 0L; entries.values().forEach(e => t += entryBytes(e, info)); t
+    }
+    var progress = true
+    while (progress &&
+        (entries.size > capN || totalBytes > capB)) {
+      progress = false
+      val it = entries.entrySet().iterator()
+      var done = false
+      while (it.hasNext && !done) {
+        val cand = it.next()
+        if (cand.getValue.pins == 0) {
+          it.remove()
+          evicted.incrementAndGet()
+          runFree(cand.getKey, cand.getValue)
+          info = storageBytesById()
+          progress = true
+          done = true
+        }
+        // pinned entries are skipped: an in-flight consumer holds them
+      }
+    }
+  }
+
+  /** Drop and free every entry — the explicit phase boundary. Pins are
+    * ignored here: the caller asserts no consumer is in flight.
+    */
   def evictAll(): Unit = synchronized {
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
@@ -122,7 +267,7 @@ object CacheRegistry {
     * localCheckpoint output — LogicalRDD leaves). After this the
     * frame object must not be used: checkpoint blocks are the data's
     * only copy, which is exactly why eviction removes the memo entry
-    * in the same critical section.
+    * before any caller can reach the freed frame.
     */
   def freeFrame(df: DataFrame): Unit = {
     df.unpersist(blocking = false)

@@ -145,24 +145,31 @@ final class HttpGateway private (server: HttpServer,
           if (path == "/") respond(ex, 200, catalogJson())
           else {
             // request params become $vars (the reference's req.param
-            // space); `token` is the session key, not a query var
+            // space); `token` is the session key, not a query var.
+            // The whole dispatch+materialize runs in ONE CacheRegistry
+            // consumption scope: memo values this request obtains stay
+            // pinned until the response rows are materialized, so a
+            // concurrent worker thread's builds can never evict a
+            // frame out from under this request (4-thread pool).
             val vars = queryParams(ex) - "token"
-            Router.dispatch(ns, path, vars)(spark, dir) match {
-              case Left(err) =>
-                respond(ex, 200,
-                  s"""{"ok":false,"error":${jsonStr(err)}}""")
-              case Right(df) =>
-                // Driver-side materialization is CLAMPED to the
-                // registry's F2 page bound: an unbounded full-scan
-                // served over HTTP would otherwise be a driver OOM at
-                // scale. take(N) runs an incremental bounded job (no
-                // full collect); clients paging past the clamp use the
-                // registry's keyset pagination. Every declared
-                // reference query pages under the clamp, so envelope
-                // parity is unchanged on the contract surface.
-                val rows = df.toJSON.take(HttpGateway.MaxResultRows)
-                respond(ex, 200,
-                  s"""{"results":[${rows.mkString(",")}],"ok":true}""")
+            CacheRegistry.scoped {
+              Router.dispatch(ns, path, vars)(spark, dir) match {
+                case Left(err) =>
+                  respond(ex, 200,
+                    s"""{"ok":false,"error":${jsonStr(err)}}""")
+                case Right(df) =>
+                  // Driver-side materialization is CLAMPED to the
+                  // registry's F2 page bound: an unbounded full-scan
+                  // served over HTTP would otherwise be a driver OOM at
+                  // scale. take(N) runs an incremental bounded job (no
+                  // full collect); clients paging past the clamp use the
+                  // registry's keyset pagination. Every declared
+                  // reference query pages under the clamp, so envelope
+                  // parity is unchanged on the contract surface.
+                  val rows = df.toJSON.take(HttpGateway.MaxResultRows)
+                  respond(ex, 200,
+                    s"""{"results":[${rows.mkString(",")}],"ok":true}""")
+              }
             }
           }
         }

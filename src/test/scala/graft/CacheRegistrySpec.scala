@@ -90,6 +90,125 @@ class CacheRegistrySpec extends SparkSpec {
     CacheRegistry.evictAll()
   }
 
+  test("byte-budget LRU: entries' MEASURED pinned storage counts " +
+      "against maxResidentBytes and the LRU frame is evicted under a " +
+      "tight byte cap while a tiny driver-side entry survives") {
+    CacheRegistry.evictAll()
+    val savedB = sys.props.get("graft.cache.maxResidentBytes")
+    try {
+      var freed = List.empty[String]
+      // distinct row counts per key: identical plans would be deduped
+      // by the CacheManager (one shared InMemoryRelation), and the
+      // second entry would pin nothing new
+      def putFrame(k: String, n: Long): org.apache.spark.sql.DataFrame =
+        CacheRegistry.memo("spec.bytes", k)({
+          val df = spark.range(n)
+            .selectExpr("id", "repeat('x', 64) AS pad").persist()
+          df.count()
+          df
+        })(df => { freed ::= k; df.unpersist(blocking = true) })
+      putFrame("f1", 200000L)
+      val oneFrame = CacheRegistry.residentBytes
+      assert(oneFrame > 0L,
+        "persisted frame bytes must be measured from storage status")
+      // driver-side value: pins no Spark storage, counts 0 bytes
+      CacheRegistry.memo("spec.bytes", "tiny")("just-a-string")(_ => ())
+      assert(CacheRegistry.residentBytes == oneFrame)
+      // cap below two frames (but above one): inserting f2 must evict
+      // the LRU frame f1 — and NOT the byte-free tiny entry before it
+      sys.props("graft.cache.maxResidentBytes") = (oneFrame * 3 / 2).toString
+      putFrame("f2", 250000L)
+      assert(freed == List("f1"), s"expected f1 evicted, got $freed")
+      assert(CacheRegistry.residentBytes <= oneFrame * 3 / 2)
+      var rebuiltTiny = 0
+      CacheRegistry.memo("spec.bytes", "tiny")({ rebuiltTiny += 1; "x" })(_ => ())
+      assert(rebuiltTiny == 0, "byte-free entry was evicted by byte pressure")
+    } finally {
+      savedB match {
+        case Some(v) => sys.props("graft.cache.maxResidentBytes") = v
+        case None => sys.props -= "graft.cache.maxResidentBytes"
+      }
+      CacheRegistry.evictAll()
+    }
+  }
+
+  test("consumption pins: a scoped caller's entries survive another " +
+      "thread's eviction pressure; the pin releases at scope end") {
+    CacheRegistry.evictAll()
+    val saved = sys.props.get("graft.cache.maxResident")
+    sys.props("graft.cache.maxResident") = "1"
+    try {
+      var freed = List.empty[String]
+      CacheRegistry.scoped {
+        CacheRegistry.memo("spec.pin", "held")("H")(v => freed ::= v)
+        // another caller overflows the cap from a different thread —
+        // the pinned entry must be skipped, the new entries evict
+        val t = new Thread(() => {
+          CacheRegistry.memo("spec.pin", "other1")("O1")(v => freed ::= v)
+          CacheRegistry.memo("spec.pin", "other2")("O2")(v => freed ::= v)
+        })
+        t.start(); t.join()
+        assert(!freed.contains("H"), s"pinned entry evicted: $freed")
+        var rebuilt = 0
+        CacheRegistry.memo("spec.pin", "held")({ rebuilt += 1; "H2" })(_ => ())
+        assert(rebuilt == 0, "pinned entry was lost while in scope")
+      }
+      // scope closed: the pin is gone, budget re-enforced (cap 1)
+      assert(CacheRegistry.resident <= 1)
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.cache.maxResident") = v
+        case None => sys.props -= "graft.cache.maxResident"
+      }
+      CacheRegistry.evictAll()
+    }
+  }
+
+  test("builds run outside the registry monitor: a slow build of one " +
+      "key does not block a different key's build (no head-of-line)") {
+    CacheRegistry.evictAll()
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() =>
+      CacheRegistry.memo("spec.hol", "slow")({
+        slowEntered.countDown()
+        release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        "slow-value"
+      })(_ => ()))
+    slow.start()
+    assert(slowEntered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // while the slow build is in flight, an unrelated key completes
+    val fast = CacheRegistry.memo("spec.hol", "fast")("fast-value")(_ => ())
+    assert(fast == "fast-value")
+    release.countDown()
+    slow.join(10000)
+    assert(!slow.isAlive, "slow build did not finish")
+    assert(CacheRegistry.memo("spec.hol", "slow")("rebuilt")(_ => ())
+      == "slow-value", "slow build's value was not published")
+    // and a SAME-key waiter during a build receives the builder's value
+    val barrier = new java.util.concurrent.CountDownLatch(1)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    @volatile var waiterGot: String = null
+    val builder = new Thread(() =>
+      CacheRegistry.memo("spec.hol", "shared")({
+        barrier.countDown()
+        go.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        "built-once"
+      })(_ => ()))
+    builder.start()
+    assert(barrier.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    val waiter = new Thread(() => {
+      waiterGot = CacheRegistry.memo("spec.hol", "shared")("waiter-built")(_ => ())
+    })
+    waiter.start()
+    Thread.sleep(100) // waiter parks on the latch
+    go.countDown()
+    builder.join(10000); waiter.join(10000)
+    assert(waiterGot == "built-once",
+      s"same-key waiter rebuilt instead of awaiting: $waiterGot")
+    CacheRegistry.evictAll()
+  }
+
   test("the gate queries that ride memoized indexes survive " +
       "evict-rebuild cycles (IVF probe + BPE vocab)") {
     CacheRegistry.evictAll()
