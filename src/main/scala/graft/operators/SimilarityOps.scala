@@ -1353,15 +1353,41 @@ object SimilarityOps {
   // ---------------------------------------------------------------
 
   private val PqM = 8 // subspaces
-  private val PqK = 16 // codewords per subspace
+  // 256 codewords per subspace = 8-bit codes, the standard PQ shape
+  // (FAISS default; Jégou et al. 2011 use k*=256 throughout). r15
+  // shipped 16 (4-bit) and measured it as a recall ceiling: bulk
+  // recall@5 stuck at 0.35 with trained codebooks; 256 lifts it to
+  // 0.475. The r16 decomposition (SURVEY §6) shows 0.475 is the
+  // FIXTURE-GEOMETRY cap, not a capacity or probe gap: IVF coverage
+  // at nprobe=4 is 0.9 and flat full-corpus ADC equals the shipped
+  // IVFADC number, while exact-L2 ranking ≡ exact-cosine ranking
+  // (1.0) — on iid random vectors neighbor gaps concentrate below
+  // the quantization error, which no codebook size resolves. The
+  // GRAFT_PQ_K override exists ONLY to measure the recall-vs-k curve
+  // (engine and oracle both derive from it, so the replay stays
+  // exact at any k); gate/oracle runs use the default.
+  private[graft] val PqK: Int =
+    sys.env.get("GRAFT_PQ_K").map(_.toInt).getOrElse(256)
   private val PqSubDim = 8 // = dim / PqM
+
+  /** Training-sample cap for codebook Lloyd rounds: train on vectors
+    * with `vec_id % stride == 0`, stride = max(1, n / cap) — the
+    * sampled-training move every production PQ makes (FAISS trains on
+    * a bounded sample, not the corpus). Deterministic and
+    * oracle-replayable (the stride is integer arithmetic on the corpus
+    * count). At the gate fixtures stride = 1 (corpus under the cap);
+    * at 100 TB the training cost is bounded by the cap while the
+    * ENCODE pass still covers every vector.
+    */
+  private[graft] val PqTrainSampleCap = 4096L
 
   /** Product-quantization codebooks (Jégou et al. TPAMI 2011): split
     * the 64-dim space into [[PqM]] subspaces of [[PqSubDim]] dims,
     * each codebook TRAINED by [[pqCodebooksTrained]]'s deterministic
     * per-subspace Lloyd rounds from the seed-slice init. Returns
     * [m][k][subdim]. Memoized per (app, dir) — training runs
-    * [[PqTrainIters]] aggregation jobs; the value is 1,024 driver
+    * [[PqTrainIters]] aggregation jobs; the value is m·k·subdim =
+    * 16,384 driver
     * doubles, so the memo's free is a no-op (nothing pinned).
     */
   private def pqCodebooks(spark: SparkSession, dir: String)
@@ -1405,13 +1431,20 @@ object SimilarityOps {
     * their previous position.
     *
     * 100 TB shape: one aggregation job per round over (m·k·subdim)
-    * groups — only 1,024 doubles ever reach the driver; production
-    * would train on a sample exactly like the coarse quantizer.
+    * groups — only m·k·subdim = 16,384 doubles ever reach the driver,
+    * and the rounds train on the [[PqTrainSampleCap]]-bounded sample
+    * exactly like the coarse quantizer.
     */
   private[graft] def pqCodebooksTrained(emb: DataFrame,
       iters: Int = PqTrainIters): Array[Array[Array[Double]]] = {
     import org.apache.spark.sql.types.DecimalType
     var cb = pqCodebooksOf(emb)
+    // sampled training: Lloyd rounds see every stride-th vector only
+    // (deterministic, replayed by the oracle from the corpus count);
+    // the corpus-wide ENCODE downstream is unaffected
+    val stride = math.max(1L, emb.count() / PqTrainSampleCap)
+    val train = if (stride == 1L) emb
+      else emb.where(col("vec_id") % stride === 0L)
     for (_ <- 1 to iters) {
       val snap = cb.map(_.map(_.clone()))
       // encode every vector against the ROUND-ENTRY codebooks: PqM
@@ -1438,7 +1471,7 @@ object SimilarityOps {
         }
         out
       }
-      val means = emb
+      val means = train
         .select(codesUdf(col("embedding")).as("codes"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .select((col("pos") / lit(PqSubDim)).cast("int").as("sub"),
@@ -1486,7 +1519,7 @@ object SimilarityOps {
     * the closure like the IVF centroid list.
     *
     * The encode-and-score step is one scalar UDF holding the codebook
-    * matrix — the [[cellUdf]] precedent: at m·k = 128 codewords a
+    * matrix — the [[cellUdf]] precedent: at m·k = 2,048 codewords a
     * codegen expression tree would be ~128 aggregate nodes deep, past
     * JIT limits, while the UDF's integer output keeps it
     * oracle-replayable.
@@ -2015,9 +2048,9 @@ object SimilarityOps {
          |      for i in range(1, ${PqSubDim + 1}) ]) * 1000000 + 0.5) AS BIGINT)""".stripMargin
     val rounds = (1 to PqTrainIters).map { r =>
       s"""pd$r AS (
-         |  SELECT subv.vec_id, subv.sub, w.code,
-         |    ${micro("subv.sv", "w.c")} AS dmicro
-         |  FROM subv JOIN pw${r - 1} w ON subv.sub = w.sub
+         |  SELECT tsubv.vec_id, tsubv.sub, w.code,
+         |    ${micro("tsubv.sv", "w.c")} AS dmicro
+         |  FROM tsubv JOIN pw${r - 1} w ON tsubv.sub = w.sub
          |),
          |pa$r AS (
          |  SELECT vec_id, sub, code FROM pd$r
@@ -2027,7 +2060,7 @@ object SimilarityOps {
          |pm$r AS (
          |  SELECT a.sub, a.code, gs.i AS p,
          |    (sum((s.sv[gs.i])::DECIMAL(28,14)))::DOUBLE / count(*) AS m
-         |  FROM pa$r a JOIN subv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |  FROM pa$r a JOIN tsubv s ON a.vec_id = s.vec_id AND a.sub = s.sub
          |  CROSS JOIN generate_series(1, $PqSubDim) AS gs(i)
          |  GROUP BY a.sub, a.code, gs.i
          |),
@@ -2041,6 +2074,10 @@ object SimilarityOps {
        |  SELECT e.vec_id, gs.m AS sub,
        |    e.v[(gs.m*$PqSubDim+1):(gs.m*$PqSubDim+$PqSubDim)] AS sv
        |  FROM vecs e CROSS JOIN generate_series(0, ${PqM - 1}) gs(m)
+       |),
+       |tsubv AS (
+       |  SELECT * FROM subv WHERE vec_id %
+       |    (SELECT GREATEST(1, count(*) // $PqTrainSampleCap) FROM vecs) = 0
        |),
        |pw0 AS (
        |  SELECT s.vec_id::INT AS code, gs.m AS sub,

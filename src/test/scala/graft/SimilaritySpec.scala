@@ -462,29 +462,30 @@ class SimilaritySpec extends SparkSpec {
       vals.map(v => BigDecimal(v)
         .setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
         vals.length
-    var cb = Array.tabulate(8, 16) { (m, c) =>
+    val K = SimilarityOps.PqK
+    var cb = Array.tabulate(8, K) { (m, c) =>
       vecs(c.toLong).slice(m * 8, m * 8 + 8)
     }
     for (_ <- 1 to 2) {
       val snap = cb
-      val members = Array.fill(8, 16)(
+      val members = Array.fill(8, K)(
         scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
       for ((_, v) <- emb; m <- 0 until 8) {
         val sub = v.slice(m * 8, m * 8 + 8)
-        val best = (0 until 16).minBy(c => (l2Micro(sub, snap(m)(c)), c))
+        val best = (0 until K).minBy(c => (l2Micro(sub, snap(m)(c)), c))
         members(m)(best) += sub
       }
-      cb = Array.tabulate(8, 16) { (m, c) =>
+      cb = Array.tabulate(8, K) { (m, c) =>
         if (members(m)(c).isEmpty) snap(m)(c)
         else Array.tabulate(8)(i => decMean(members(m)(c).toSeq.map(_(i))))
       }
     }
     val q = vecs(0L)
-    val dt = Array.tabulate(8, 16) { (m, c) => l2Micro(q.slice(m * 8, m * 8 + 8), cb(m)(c)) }
+    val dt = Array.tabulate(8, K) { (m, c) => l2Micro(q.slice(m * 8, m * 8 + 8), cb(m)(c)) }
     def adc(v: Array[Double]): Long =
       (0 until 8).map { m =>
         val sub = v.slice(m * 8, m * 8 + 8)
-        val best = (0 until 16).minBy(c => (l2Micro(sub, cb(m)(c)), c))
+        val best = (0 until K).minBy(c => (l2Micro(sub, cb(m)(c)), c))
         dt(m)(best)
       }.sum
     val expected = emb.filter(_._1 != 0L)
