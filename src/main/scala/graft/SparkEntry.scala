@@ -320,6 +320,7 @@ object SparkEntry {
         |('e_pipeline_crawl_model', 3, 'source:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_frontier', 6, 'doc_id:bigint,domain:string,path:string,n_inlinks:bigint,pr:double,fetch_rank:int'),
         |('e_pipeline_full', 4, 'domain:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
+        |('e_pipeline_full_neardup', 4, 'domain:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_pipeline_tokenize_pack', 4, 'lang:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_pipeline_warc', 3, 'domain:string,n_docs:bigint,total_chars:bigint'),
         |('e_pipeline_e2e', 4, 'lang:string,n_docs:bigint,avg_chars:double,total_tokens:bigint'),
@@ -369,6 +370,7 @@ object SparkEntry {
         |('e_stream_join_capped', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |('e_stream_join_replay', 3, 'user_id:bigint,n_pairs:bigint,sum_gap_us:bigint'),
         |('e_stream_pipeline_full', 4, 'domain:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
+        |('e_stream_pipeline_neardup', 4, 'domain:string,bin:bigint,n_docs:bigint,sum_tokens:bigint'),
         |('e_stream_publish', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),
         |('e_stream_quality_model', 4, 'doc_id:bigint,score:double,pred:int,label:int'),
         |('e_stream_quality_replay', 4, 'doc_id:bigint,lang:string,source:string,n_chars:bigint'),

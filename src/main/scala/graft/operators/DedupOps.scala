@@ -1488,6 +1488,108 @@ object DedupOps {
   private[graft] def minhashMd5DupsCtes: String =
     lshMd5DupsCtes(shingleFeatsCte, 16, 7L, 4, 4, 0.8)
 
+  /** TWO-DAY incremental LSH replay parameterized on the day-member
+    * sets — the [[minhashIncrementalDedup]] /
+    * [[minhashDedupBatchVersioned]] protocol as WITH-body CTEs, for
+    * composition into pipeline oracles (the incrMinhashOracle
+    * machinery with the `doc_id % 2` day split generalized to caller
+    * CTEs). Split in two so the caller can define the day-2 member set
+    * FROM `nds1` (e.g. a canon anti-join against day-1 survivors):
+    * [[lshDayOneCtes]]`(day1)` emits shared feats/sigs/bands plus
+    * `nds1(doc_id)` (day-1 survivors: within-batch verified pairs
+    * drop the larger id) and `ndidxb` (the survivor band index);
+    * [[lshDayTwoCtes]]`(day2)` emits `nds2(doc_id)` (day-2 survivors:
+    * within-batch pairs plus the UNCAPPED cross-index bucket join —
+    * arrival precedence, the index doc always wins). Shingle
+    * feats/sigs/bands are computed over all of `documents` and
+    * restricted per day by join, exactly like the engine's per-batch
+    * [[sigBands]].
+    */
+  private[graft] def lshDayOneCtes(day1: String): String = {
+    val p = 2147483647L
+    val params = TS.hashParams(16, 7L)
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"    list_min(list_transform(feat, h -> (h % $p * $a + $b) % $p)) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"m${j * 4 + r}").mkString(", ")
+      s"  SELECT doc_id, $j AS band, ('0x' || substr(md5(array_to_string([$cols], ',')), 1, 15))::BIGINT AS key FROM ndsigs"
+    }.mkString("\n  UNION ALL\n")
+    def jacc(a: String, b: String): String =
+      s"CASE WHEN len(list_distinct($a.feat || $b.feat)) = 0 THEN 0.0 " +
+        s"ELSE len(list_intersect($a.feat, $b.feat))::DOUBLE " +
+        s"/ len(list_distinct($a.feat || $b.feat)) END >= 0.8"
+    s"""ndtoked AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents
+       |), ndfeats AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS feat
+       |  FROM ndtoked
+       |), ndsigs AS (
+       |  SELECT doc_id,
+       |$minExprs
+       |  FROM ndfeats WHERE len(feat) > 0
+       |), ndbands AS (
+       |$bandSelects
+       |), ndokb1 AS (
+       |  SELECT b.* FROM ndbands b JOIN $day1 USING (doc_id)
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+       |), ndpairs1 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ndokb1 a JOIN ndokb1 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), nddups1 AS (
+       |  SELECT DISTINCT p.id_b AS doc_id FROM ndpairs1 p
+       |  JOIN ndfeats fa ON fa.doc_id = p.id_a
+       |  JOIN ndfeats fb ON fb.doc_id = p.id_b
+       |  WHERE ${jacc("fa", "fb")}
+       |), nds1 AS (
+       |  SELECT d.doc_id FROM $day1 d LEFT JOIN nddups1 USING (doc_id)
+       |  WHERE nddups1.doc_id IS NULL
+       |), ndidxb AS (
+       |  SELECT b.* FROM ndbands b JOIN nds1 USING (doc_id)
+       |)""".stripMargin
+  }
+
+  /** Day-2 half of the two-day LSH replay — see [[lshDayOneCtes]]. */
+  private[graft] def lshDayTwoCtes(day2: String): String = {
+    def jacc(a: String, b: String): String =
+      s"CASE WHEN len(list_distinct($a.feat || $b.feat)) = 0 THEN 0.0 " +
+        s"ELSE len(list_intersect($a.feat, $b.feat))::DOUBLE " +
+        s"/ len(list_distinct($a.feat || $b.feat)) END >= 0.8"
+    s"""ndokb2 AS (
+       |  SELECT b.* FROM ndbands b JOIN $day2 USING (doc_id)
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
+       |), ndpairs2 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ndokb2 a JOIN ndokb2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), ndcrossc AS (
+       |  SELECT DISTINCT i.doc_id AS idx_id, n.doc_id AS doc_id
+       |  FROM ndbands n JOIN $day2 USING (doc_id)
+       |  JOIN ndidxb i ON n.band = i.band AND n.key = i.key
+       |), nddups2 AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT p.id_b AS doc_id FROM ndpairs2 p
+       |    JOIN ndfeats fa ON fa.doc_id = p.id_a
+       |    JOIN ndfeats fb ON fb.doc_id = p.id_b
+       |    WHERE ${jacc("fa", "fb")}
+       |    UNION
+       |    SELECT c.doc_id FROM ndcrossc c
+       |    JOIN ndfeats fi ON fi.doc_id = c.idx_id
+       |    JOIN ndfeats fn ON fn.doc_id = c.doc_id
+       |    WHERE ${jacc("fi", "fn")}
+       |  ) u
+       |), nds2 AS (
+       |  SELECT d.doc_id FROM $day2 d LEFT JOIN nddups2 USING (doc_id)
+       |  WHERE nddups2.doc_id IS NULL
+       |)""".stripMargin
+  }
+
   private def lshMd5Oracle(featsCte: String, k: Int, seed: Long,
       bands: Int, rowsPerBand: Int, threshold: Double): String = {
     s"""WITH ${lshMd5DupsCtes(featsCte, k, seed, bands, rowsPerBand, threshold)}

@@ -435,11 +435,66 @@ object WarcOps {
       .orderBy("domain", "bin")
   }
 
+  /** The batch TWIN of the near-dup streamed pipeline
+    * ([[graft.streaming.StreamingOps]]'s `e_stream_pipeline_neardup`):
+    * [[fullPipeline]] with the MinHash-LSH near-dup lane composed in
+    * after canon dedup, run as the same two-day schedule the stream
+    * replays — day 1's canon winners LSH-dedup within the day and seed
+    * the persisted band/feature index; day 2's canon winners first
+    * anti-join the published canon set, then LSH-dedup within the day
+    * AND against the index (arrival precedence), so a re-crawled
+    * near-duplicate page — same text, different URL, which the
+    * canon-url lane cannot see — drops too. The pool (all LSH
+    * survivors; gate-failed winners keep shadowing their canon group)
+    * then flows through the identical model-gate → blocklist →
+    * tokenize → pack tail. The fixture exercises both LSH paths on the
+    * gate: 7 verified cross-canon near-dup pairs straddle the day
+    * split (cross-index) and 7 sit inside day 2 (within-batch).
+    */
+  private val fullPipelineNearDup: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{DedupOps, PrepOps, QualityModelOps}
+    val split = graft.streaming.StreamingOps.PipelineSplitId
+    val pool = graft.engine.CacheRegistry.memo("warc.neardup",
+      s"${spark.sparkContext.applicationId}#$dir")({
+        val h = Integer.toHexString(dir.hashCode)
+        val bandsTbl = s"graft_pipelsh_b_$h"
+        val featsTbl = s"graft_pipelsh_f_$h"
+        spark.sql(s"DROP TABLE IF EXISTS $bandsTbl")
+        spark.sql(s"DROP TABLE IF EXISTS $featsTbl")
+        val docs = Tables.load(spark, dir, "documents")
+        def winners(day: DataFrame): DataFrame = day
+          .withColumn("url_rank", row_number().over(
+            Window.partitionBy("canon_url").orderBy("doc_id")))
+          .where(col("url_rank") === 1).drop("url_rank")
+        val w1 = winners(extractCanonPages(synthWarcFilesGz(
+          docs.where(col("doc_id") < split))))
+        val s1 = DedupOps.minhashIncrementalDedup(w1, bandsTbl, featsTbl)
+        val w2 = winners(extractCanonPages(synthWarcFilesGz(
+          docs.where(col("doc_id") >= split))))
+          .join(s1.select("canon_url"), Seq("canon_url"), "left_anti")
+        val s2 = DedupOps.minhashIncrementalDedup(w2, bandsTbl, featsTbl)
+        // both days' survivors are already localCheckpointed by the
+        // dedup (self-invalidation discipline); the union's plan roots
+        // at both LogicalRDDs, so one freeFrame releases both
+        s1.unionByName(s2)
+      })(graft.engine.CacheRegistry.freeFrame)
+    val w = QualityModelOps.trainedWeights(spark, dir)
+    val gated = pool.where(gateColumn(spark, w))
+    PrepOps.packCounted(
+        gated.join(CorpusOps.bpeTokenCounts(spark, dir), "doc_id")
+          .select(col("domain").as("lang"), col("doc_id"), col("n_tok")))
+      .select(col("lang").as("domain"), col("bin"), col("n_docs"),
+        col("sum_tokens"))
+      .orderBy("domain", "bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "e_warc_parse" -> warcParse,
     "e_warc_parse_gz" -> warcParseGz,
     "e_pipeline_warc" -> warcPipeline,
-    "e_pipeline_full" -> fullPipeline)
+    "e_pipeline_full" -> fullPipeline,
+    "e_pipeline_full_neardup" -> fullPipelineNearDup)
 
   private def warcPipelineOracle: String = {
     val vals = graft.functions.TextOps.BadPhrases
@@ -519,11 +574,81 @@ object WarcOps {
        |FROM binned GROUP BY domain, bin ORDER BY domain, bin""".stripMargin
   }
 
+  /** Replay of [[fullPipelineNearDup]] (shared verbatim by the
+    * streamed twin): [[fullPipelineOracle]]'s model/BPE/curation
+    * machinery composed with [[graft.operators.DedupOps]]'s two-day
+    * incremental LSH replay. Day membership: canon winners within each
+    * doc_id-range day; day 2 additionally anti-joins the published
+    * canon set (day-1 LSH survivors) BEFORE its LSH pass — the CTE
+    * order the split [[graft.operators.DedupOps.lshDayOneCtes]] /
+    * `lshDayTwoCtes` builders exist for.
+    */
+  private[graft] def nearDupPipelineOracle: String = {
+    import graft.operators.{CorpusOps, DedupOps, PrepOps, QualityModelOps}
+    val split = graft.streaming.StreamingOps.PipelineSplitId
+    val vals = graft.functions.TextOps.BadPhrases
+      .map(p => s"('$p')").mkString(", ")
+    s"""WITH ${QualityModelOps.featCte},
+       |${QualityModelOps.iterCtes},
+       |${CorpusOps.bpeRoundsCtes},
+       |p(phrase) AS (VALUES $vals),
+       |base AS (
+       |  SELECT doc_id, text, 'site' || (doc_id % 7) AS domain,
+       |    doc_id // 2 AS ck
+       |  FROM documents WHERE doc_id % 4 <> 1
+       |), ndw1 AS (
+       |  SELECT doc_id, ck FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id)
+       |      AS rn FROM base WHERE doc_id < $split) t
+       |  WHERE rn = 1
+       |),
+       |${DedupOps.lshDayOneCtes("ndw1")},
+       |ndw2 AS (
+       |  SELECT doc_id, ck FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id)
+       |      AS rn FROM base WHERE doc_id >= $split) t
+       |  WHERE rn = 1
+       |    AND ck NOT IN (SELECT w.ck FROM nds1 s JOIN ndw1 w USING (doc_id))
+       |),
+       |${DedupOps.lshDayTwoCtes("ndw2")},
+       |pool AS (
+       |  SELECT doc_id FROM nds1 UNION ALL SELECT doc_id FROM nds2
+       |), gated AS (
+       |  SELECT b.doc_id, b.domain FROM pool k
+       |  JOIN base b ON b.doc_id = k.doc_id
+       |  JOIN f ON f.doc_id = k.doc_id
+       |  CROSS JOIN w${QualityModelOps.Iters} w
+       |  WHERE w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+       |        >= CAST(0.5 AS DOUBLE)
+       |    AND NOT EXISTS (SELECT 1 FROM p WHERE
+       |      ' ' || regexp_replace(lower(b.text), '\\s', ' ', 'g') || ' '
+       |        LIKE '%' || ' ' || p.phrase || ' ' || '%')
+       |), sized AS (
+       |  SELECT g.domain, g.doc_id,
+       |    ((len(string_split(r${CorpusOps.BpeMerges}.s, chr(1))) - 1) // 2)
+       |      ::BIGINT AS n_tok
+       |  FROM gated g
+       |  JOIN r${CorpusOps.BpeMerges}
+       |    ON r${CorpusOps.BpeMerges}.doc_id = g.doc_id
+       |), binned AS (
+       |  SELECT domain, n_tok,
+       |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY domain
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      / ${PrepOps.CtxLen}) AS BIGINT) AS bin
+       |  FROM sized
+       |)
+       |SELECT domain, bin, count(*) AS n_docs,
+       |  sum(n_tok)::BIGINT AS sum_tokens
+       |FROM binned GROUP BY domain, bin ORDER BY domain, bin""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "e_warc_parse" -> warcParseOracle,
     // identical oracle: the gzip member framing must be invisible in
     // the parsed records (the persisted-index "same answer" pattern)
     "e_warc_parse_gz" -> warcParseOracle,
     "e_pipeline_warc" -> warcPipelineOracle,
-    "e_pipeline_full" -> fullPipelineOracle)
+    "e_pipeline_full" -> fullPipelineOracle,
+    "e_pipeline_full_neardup" -> nearDupPipelineOracle)
 }

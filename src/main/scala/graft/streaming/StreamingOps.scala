@@ -748,8 +748,19 @@ object StreamingOps {
     * over the published snapshot (training-prep is a batch job over a
     * committed pool, not a per-micro-batch restatement).
     */
+  /** `lshPrefix`: when set, each micro-batch additionally NEAR-DUP
+    * dedups its canon winners against the persisted versioned
+    * MinHash-LSH band index under that prefix
+    * ([[graft.operators.DedupOps.minhashDedupBatchVersioned]] — the
+    * e_stream_ingest_dedup protocol composed INTO the pipeline), so a
+    * re-crawled near-duplicate page (same text, different URL — which
+    * the canon lane cannot see) drops too. Exactly-once holds at both
+    * mutation windows: the LSH index append has its own batchId replay
+    * guard (survivors RECOVERED, index untouched) and the publish has
+    * its own; a crash between them replays into recovery + publish.
+    */
   def runFullPipelineStream(spark: SparkSession, dir: String,
-      root: String): Unit = {
+      root: String, lshPrefix: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{CorpusOps, QualityModelOps}
     import graft.sources.{AtomicPublish, WarcOps}
@@ -780,7 +791,8 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", cpDir.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processPipelineBatch(spark, batch, batchId, root, w, tokCounts)
+        processPipelineBatch(spark, batch, batchId, root, w, tokCounts,
+          lshPrefix)
         ()
       }
       .start()
@@ -803,7 +815,7 @@ object StreamingOps {
     */
   private[graft] def processPipelineBatch(spark: SparkSession,
       batch: DataFrame, batchId: Long, root: String, w: Array[Double],
-      tokCounts: DataFrame): Boolean = {
+      tokCounts: DataFrame, lshPrefix: Option[String] = None): Boolean = {
     import org.apache.spark.sql.expressions.Window
     import graft.sources.{AtomicPublish, WarcOps}
     val pages = WarcOps.extractCanonPages(batch)
@@ -819,7 +831,16 @@ object StreamingOps {
           Seq("canon_url"), "left_anti")
       case _ => local
     }
-    val out = winners
+    // the near-dup lane: within-batch + cross-index LSH dedup of the
+    // canon winners, exactly-once via the versioned band index (its
+    // own replay guard — a re-delivered batch RECOVERS its survivors
+    // without touching the index)
+    val survivors = lshPrefix match {
+      case Some(p) => graft.operators.DedupOps
+        .minhashDedupBatchVersioned(winners, p, batchId)
+      case None => winners
+    }
+    val out = survivors
       .withColumn("kept", WarcOps.gateColumn(spark, w))
       .join(tokCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("domain"), col("canon_url"),
@@ -834,6 +855,30 @@ object StreamingOps {
         val r = java.nio.file.Files
           .createTempDirectory("graft_pipe_pub").toString
         runFullPipelineStream(spark, dir, r)
+        r
+      })
+    PrepOps.packCounted(
+        graft.sources.AtomicPublish.readStreamPublished(spark, root)
+          .where(col("kept"))
+          .select(col("domain").as("lang"), col("doc_id"), col("n_tok")))
+      .select(col("lang").as("domain"), col("bin"), col("n_docs"),
+        col("sum_tokens"))
+      .orderBy("domain", "bin")
+  }
+
+  /** The near-dup streamed pipeline: [[streamPipelineFull]] with the
+    * versioned LSH band index composed into every micro-batch (see
+    * [[runFullPipelineStream]]'s `lshPrefix`). The pool must equal the
+    * batch twin `e_pipeline_full_neardup` — same oracle VERBATIM.
+    */
+  private val streamPipelineNearDup: Q = (spark, dir) => {
+    import graft.operators.PrepOps
+    val root = ingestPublished.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir#pipeline_nd", _ => {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_pipe_nd_pub").toString
+        runFullPipelineStream(spark, dir, r, lshPrefix = Some(
+          s"graft_pipelsh_s_${Integer.toHexString(dir.hashCode)}"))
         r
       })
     PrepOps.packCounted(
@@ -989,6 +1034,7 @@ object StreamingOps {
     "e_stream_ingest_compact" -> streamIngestCompact,
     "e_stream_ingest_ivf" -> streamIngestIvf,
     "e_stream_pipeline_full" -> streamPipelineFull,
+    "e_stream_pipeline_neardup" -> streamPipelineNearDup,
     "e_stream_dedup_replay" -> (replayDedupStream(_, _)),
     "e_stream_upsert_replay" -> (replayUpsertStream(_, _)),
     "e_stream_static_replay" -> (replayStreamStaticJoin(_, _)),
@@ -1095,6 +1141,10 @@ object StreamingOps {
     // runFullPipelineStream)
     "e_stream_pipeline_full" ->
       graft.sources.WarcOps.fullPipelineOracle,
+    // …and the near-dup twin must publish the pool of the batch twin
+    // that applies the same LSH policy — its oracle VERBATIM
+    "e_stream_pipeline_neardup" ->
+      graft.sources.WarcOps.nearDupPipelineOracle,
     // the batch exact-dedup answer — the streaming stateful path must
     // reproduce it exactly (same SQL as e_dedup_exact)
     "e_stream_dedup_replay" ->
