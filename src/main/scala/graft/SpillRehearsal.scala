@@ -17,9 +17,12 @@ import org.apache.spark.sql.SparkSession
   * UnifiedMemoryManager believes it has (the knob Spark's own test
   * suites use for exactly this; JVM heap stays large, so parquet
   * buffers/codegen are unaffected — only the managed
-  * execution+storage pool shrinks). Default 768 MB across the worker
-  * threads ⇒ a few MB of execution memory per task at 10× data, which
-  * forces multi-pass external sorts/aggregations. Spill bytes are
+  * execution+storage pool shrinks). Default 512 MB across the worker
+  * threads (r15 ran green at 768; r16 tightened to find the next
+  * break point) ⇒ a few MB of execution memory per task at 10× data,
+  * which forces multi-pass external sorts/aggregations. The
+  * CacheRegistry byte budget is tied to a quarter of the cap so memo
+  * eviction engages at the simulated pressure. Spill bytes are
   * collected per query from task metrics via a listener.
   *
   * Output: one JSON line per query (seconds, memory/disk spill bytes,
@@ -34,7 +37,16 @@ object SpillRehearsal {
     val synth = args.headOption.getOrElse("/tmp/graft_sf1_synth")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val capBytes = sys.env.getOrElse("SPARK_GRAFT_SPILL_MEM",
-      (768L * 1024 * 1024).toString)
+      (512L * 1024 * 1024).toString)
+    // The CacheRegistry's default byte budget derives from the JVM
+    // heap, but this rehearsal caps the MANAGED pool far below it —
+    // tie the memo budget to the capped pool (a quarter, the same
+    // ratio as the default) so eviction engages at the pressure the
+    // rehearsal simulates, exactly as it would on a genuinely small
+    // executor.
+    if (sys.props.get("graft.cache.maxResidentBytes").isEmpty)
+      sys.props("graft.cache.maxResidentBytes") =
+        (capBytes.toLong / 4).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -9,7 +9,7 @@ log() { echo "[artifacts $(date +%H:%M:%S)] $*"; }
 extract_json() { sed -n 's/^\[info\] \({.*}\)$/\1/p'; }
 
 if [ "${SKIP_SPILL:-0}" != "1" ]; then
-  log "spill rehearsal (768 MB cap, full suite)"
+  log "spill rehearsal (512 MB cap, full suite)"
   sbt -batch "runMain graft.SpillRehearsal" > /tmp/spill_stdout.txt 2>&1
   tail -1 SWEEP_SPILL.json | cut -c1-200
 fi
@@ -28,8 +28,8 @@ log "3-point curvature"
 sbt -batch "runMain graft.SweepCurve" > /tmp/curve_raw.txt 2>&1
 tail -1 SWEEP_CURVE.json
 
-log "BPE depth at 1024 merges"
-sbt -batch "runMain graft.BpeDepth 1024 8" 2>&1 | tee /tmp/bpe_raw.txt | extract_json > /tmp/SWEEP_BPE.json.tmp
+log "BPE depth at 4096 merges"
+sbt -batch "runMain graft.BpeDepth 4096 8" 2>&1 | tee /tmp/bpe_raw.txt | extract_json > /tmp/SWEEP_BPE.json.tmp
 [ -s /tmp/SWEEP_BPE.json.tmp ] && mv /tmp/SWEEP_BPE.json.tmp SWEEP_BPE.json
 tail -1 SWEEP_BPE.json
 
