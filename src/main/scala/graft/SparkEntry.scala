@@ -435,6 +435,9 @@ object SparkEntry {
         |('r_jdbc_two_backends', 4, 'r_regionkey:int,r_name:string,n_customers:bigint,sum_acctbal:double'),
         |('r_page_keyset', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
         |('r_page_sort', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
+        |('r_pgwire_agg', 4, 'n_regionkey:int,n_nations:bigint,max_key:int,min_key:int'),
+        |('r_pgwire_join', 4, 'n_nationkey:int,n_name:string,n_suppliers:bigint,sum_acctbal:double'),
+        |('r_pgwire_scan', 3, 'n_nationkey:int,n_name:string,n_regionkey:int'),
         |('r_point_lookup', 5, 'c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string'),
         |('r_scan_all', 2, 'r_regionkey:int,r_name:string'),
         |('r_soql_proj', 2, 'c_custkey:bigint,c_name:string'),

@@ -275,6 +275,16 @@ object ReferenceOps {
     "r_jdbc_scan" -> rJdbcScan,
     "r_jdbc_agg" -> rJdbcAgg,
     "r_jdbc_join" -> rJdbcJoin,
+    // A1 LIVE: the same three federation shapes against a REAL
+    // PostgreSQL 15 server over the hand-rolled v3 wire client
+    // (graft.sources.PgWire) — the long-carried environment-bound
+    // item, closed r16 when server binaries appeared in the sandbox
+    "r_pgwire_scan" -> ((s: SparkSession, d: String) =>
+      graft.sources.PgWire.pgScan(s, d)),
+    "r_pgwire_agg" -> ((s: SparkSession, d: String) =>
+      graft.sources.PgWire.pgAgg(s, d)),
+    "r_pgwire_join" -> ((s: SparkSession, d: String) =>
+      graft.sources.PgWire.pgJoin(s, d)),
     "r_jdbc_two_backends" -> rJdbcTwoBackends,
     "r_scan_all" -> rScanAll,
     "r_filter_eq_date" -> rFilterEqDate,
@@ -302,6 +312,21 @@ object ReferenceOps {
       """SELECT 'DE' AS country, CAST(y AS BIGINT) AS year,
         |CAST(13700 + y % 100 AS BIGINT) AS value
         |FROM generate_series(1995, 1998) AS t(y) ORDER BY year""".stripMargin,
+    // the pgwire rows share the r_jdbc oracles verbatim: the live
+    // postgres loads from the SAME fixture parquet DuckDB reads, and
+    // the transport must be invisible in the answer
+    "r_pgwire_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin,
+    "r_pgwire_agg" ->
+      """SELECT n_regionkey, count(*)::BIGINT AS n_nations,
+        |max(n_nationkey) AS max_key, min(n_nationkey) AS min_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "r_pgwire_join" ->
+      """SELECT n_nationkey, n_name, count(*)::BIGINT AS n_suppliers,
+        |(sum(CAST(s_acctbal AS DECIMAL(18,2))))::DOUBLE AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
     "r_jdbc_agg" ->
       """SELECT n_regionkey, count(*)::BIGINT AS n_nations,
         |max(n_nationkey) AS max_key, min(n_nationkey) AS min_key
