@@ -35,9 +35,19 @@ import org.apache.spark.sql.SparkSession
 object SpillRehearsal {
   def main(args: Array[String]): Unit = {
     val synth = args.headOption.getOrElse("/tmp/graft_sf1_synth")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val capBytes = sys.env.getOrElse("SPARK_GRAFT_SPILL_MEM",
       (512L * 1024 * 1024).toString)
+    // Task slots scale WITH the cap (~64 MB of managed pool per slot,
+    // floor 4): a genuinely small executor has proportionally few
+    // cores. The r16 512 MB run at the old fixed 32 slots measured the
+    // alternative — ~5 MB of execution memory per task once the
+    // storage floor is carved out, a ratio no deployment guide
+    // permits: eight dedup/TPC-H queries died UNABLE_TO_ACQUIRE and
+    // the leaked task buffers of those failures cascaded into a heap
+    // OOM mid-marathon. 512 MB / 8 slots is the honest small-executor
+    // shape (64 MB/slot); SPARK_GRAFT_CPUS still overrides.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4L, capBytes.toLong / (64L * 1024 * 1024)).toString)
     // The CacheRegistry's default byte budget derives from the JVM
     // heap, but this rehearsal caps the MANAGED pool far below it —
     // tie the memo budget to the capped pool (a quarter, the same
