@@ -66,6 +66,13 @@ object SpillRehearsal {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .config("spark.testing.memory", capBytes)
+      // memory-tight deployments tune the protected storage floor DOWN
+      // (Spark tuning guide): at 512 MB the default 0.5 floor protects
+      // 150+ MB of persisted blocks while a streaming micro-batch's
+      // aggregation starves 256 KB short of a page — measured r16 on
+      // e_stream_ingest_dedup / e_stream_static_replay, the last two
+      // 512 MB victims, both green at 0.1
+      .config("spark.memory.storageFraction", "0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.SyntheticScale.ensure(spark,
