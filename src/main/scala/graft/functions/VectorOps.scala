@@ -3,18 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ARRAY<FLOAT> embedding columns, built entirely from
-  * higher-order Catalyst expressions (zip_with / aggregate) — codegen'd,
-  * no UDFs, so similarity scans stay inside whole-stage codegen at any
-  * scale.
+/** Vector math over ARRAY<FLOAT> embedding columns. The kernels (dot,
+  * Σx²) are the native whole-stage-codegen expressions in
+  * [[VectorExprs]] — the original zip_with/aggregate formulation is a
+  * HigherOrderFunction, which Catalyst evaluates INTERPRETED (a boxed
+  * lambda round-trip per element, plus a materialized product array
+  * per pair for zip_with; BASELINE.md's HOF trap list). Identical
+  * arithmetic order, so every oracle hash is unchanged (r16
+  * optimization pass, guide §4).
   */
 object VectorOps {
 
   /** Σ aᵢ·bᵢ with double accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   /** Dot product against a constant query vector (array literal — the
     * broadcast-free way to scan 100 TB of vectors against one probe).
@@ -22,8 +23,7 @@ object VectorOps {
   def dotConst(a: Column, q: Seq[Double]): Column =
     dot(a, typedLit(q))
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(VectorExprs.sumSq(a))
 
   /** Cosine similarity; 0 when either side has zero norm. */
   def cosine(a: Column, b: Column): Column = {
