@@ -105,13 +105,20 @@ object DomainOps {
   /** Canonicalize a URL column — the normalization every URL-keyed
     * frontier/dedup runs before hashing (scheme and host lowercased,
     * `www.` dropped, default port dropped, trailing path slash
-    * dropped, query params SORTED, fragment dropped). Built on
-    * `parse_url` (codegen'd java.net.URI parts — HOST already excludes
-    * the port, QUERY already excludes the fragment) plus
-    * split/array_sort/join for the params. Per-row map work, zero
-    * shuffle.
+    * dropped, query params SORTED, fragment dropped). One native
+    * single-parse codegen kernel ([[graft.functions.UrlExprs.UrlCanon]]);
+    * the original parse_url chain re-parsed the URL five times per row
+    * through the interpreted ParseUrlEvaluator and is kept below as
+    * [[urlCanonicalizeParsed]] — UrlCanonSpec pins byte-equality
+    * between the two. Per-row map work, zero shuffle.
     */
-  def urlCanonicalize(url: Column): Column = {
+  def urlCanonicalize(url: Column): Column =
+    graft.functions.UrlExprs.urlCanon(url)
+
+  /** The original parse_url/regex formulation — the kernel's
+    * executable semantics spec (exercised only by UrlCanonSpec).
+    */
+  private[graft] def urlCanonicalizeParsed(url: Column): Column = {
     val proto = lower(parse_url(url, lit("PROTOCOL")))
     val host = regexp_replace(lower(parse_url(url, lit("HOST"))),
       "^www\\.", "")
@@ -287,10 +294,18 @@ object DomainOps {
       synthLinkedPage(col("text"), col("doc_id"), n).as("html"))
     // nullif-guarded extraction: a downstream predicate on dst_doc can
     // merge with (and reorder against) the scope filter, so the cast
-    // must be NULL-safe on out-of-corpus links (ANSI cast of '' throws)
+    // must be NULL-safe on out-of-corpus links (ANSI cast of '' throws).
+    // dst_doc reads the PRE-canonicalization `resolved` form:
+    // canonicalization never touches the path segment the regex keys on
+    // (host has no '/', query/fragment follow the path), so the first
+    // "/doc/<digits>" match is identical in both strings — and keying
+    // the filter on `resolved` keeps the inferred IS NOT NULL predicate
+    // from inlining the canonicalization kernel into the scan filter
+    // (it used to run the full parse_url chain once in the filter and
+    // again in the projection).
     linkExtract(pages)
       .withColumn("dst_doc",
-        nullif(regexp_extract(col("link_url"), "/doc/([0-9]+)", 1),
+        nullif(regexp_extract(col("resolved"), "/doc/([0-9]+)", 1),
           lit("")).cast("long"))
       .where(col("dst_doc").isNotNull)
       .select(col("doc_id").as("src_doc"), col("dst_doc"), col("link_url"))
