@@ -154,7 +154,7 @@ object SparkEntry {
         |('e_dedup_substring_h', 4, 0, 4, 2, 0),
         |('e_fuzzy_join', 3, 3, 0, 5, 0),
         |('e_hard_negatives_ivf', 3, 2, 0, 3, 1),
-        |('e_heavy_hitters', 2, 1, 0, 2, 0),
+        |('e_heavy_hitters', 3, 1, 0, 2, 0),
         |('e_hybrid_retrieval_ivf', 7, 3, 1, 4, 1),
         |('e_jaccard_join', 5, 3, 6, 0, 0),
         |('e_join_broadcast', 1, 1, 0, 2, 0),

@@ -330,8 +330,21 @@ object TextOps {
     val terms = docs
       .select(explode(TextShingles.tokens(col("text"))).as("term"))
       .where(length(col("term")) > 0)
-    val counters = cmsCounters(docs)
-    val exactTop = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    // ONE corpus-wide term count feeds both sides; the sketch builds
+    // from the counted (Zipf-small) vocabulary — Σ cnt per (d, bucket)
+    // is integer-identical to counting occurrences directly
+    // ([[cmsCounters]], kept for the streaming lane where a two-stage
+    // aggregation is not expressible), but pays 4 md5s per DISTINCT
+    // term instead of 4 per token occurrence (r16, guide §2/§4)
+    val termCnt = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    val counters = termCnt
+      .select(col("exact_cnt"),
+        explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d).as("d"), cmsBucket(d, col("term")).as("bucket"))): _*))
+          .as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(sum(col("exact_cnt")).as("c"))
+    val exactTop = termCnt
       .orderBy(col("exact_cnt").desc, col("term")).limit(25)
     exactTop
       .select(col("term"), col("exact_cnt"),
@@ -377,10 +390,23 @@ object TextOps {
       .where(col("w2").isNotNull)
       .select(col("doc_id"), col("w1"),
         concat_ws(" ", col("w1"), col("w2")).as("bigram"))
-    val bigramCnt = bigrams.groupBy("bigram").agg(count(lit(1)).as("c12"))
-    val prefixCnt = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // ONE corpus-wide count, keyed (w1, bigram) — the prefix total
+    // C(w1·) is the SUM of bigram counts sharing w1, so it derives
+    // from the counted (vocabulary-sized) frame with a window instead
+    // of a second corpus-wide aggregation; and carrying both counts on
+    // one dim row halves the probe joins (2 joins + 2 corpus aggs →
+    // 1 join + 1 corpus agg; r16, guide §2 "shuffle fewer bytes")
+    val cnt = bigrams.groupBy("w1", "bigram").agg(count(lit(1)).as("c12"))
+    val dim = cnt.withColumn("c1",
+      sum("c12").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("w1")))
+      .select("bigram", "c12", "c1")
+    // explicit broadcast: the dim is the Zipf-small vocabulary (the
+    // side the pre-r16 plan broadcast); without the hint the window on
+    // the dim hides its size and Spark flips to broadcasting the
+    // corpus-sized bigram probe side — exactly backwards at scale
     bigrams
-      .join(bigramCnt, "bigram").join(prefixCnt, "w1")
+      .join(broadcast(dim), "bigram")
       .withColumn("p", col("c12").cast("double") / col("c1").cast("double"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -107,14 +107,22 @@ object CorpusOps {
         Window.partitionBy("h1", "h2"))
       else (grams.select(col("doc_id"), col("pos"), col("gram").as("gk")),
         Window.partitionBy("gk"))
-    val marked = keyed
-      .withColumn("lo", min("doc_id").over(wg))
-      .withColumn("hi", max("doc_id").over(wg))
+    // rn's window FIRST (innermost), lo/hi's on top: rn needs the
+    // partition sorted by (gk, doc_id, pos) while min/max need only
+    // the gk clustering, which that ordering already prefixes — this
+    // order satisfies the second WindowExec with zero extra Sort,
+    // where the reverse order re-sorted the full gram exchange
+    // ([gk] then [gk, doc_id, pos] — the r16 before-plan's Sort(11))
     val pos = (if (dropFirstOccurrence)
-        marked
+        keyed
           .withColumn("rn", row_number().over(wg.orderBy("doc_id", "pos")))
+          .withColumn("lo", min("doc_id").over(wg))
+          .withColumn("hi", max("doc_id").over(wg))
           .where(col("lo") =!= col("hi") && col("rn") > 1)
-      else marked.where(col("lo") =!= col("hi")))
+      else keyed
+          .withColumn("lo", min("doc_id").over(wg))
+          .withColumn("hi", max("doc_id").over(wg))
+          .where(col("lo") =!= col("hi")))
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     pos
@@ -730,7 +738,16 @@ object CorpusOps {
     * speed in the same whole-stage span as the downstream quality
     * and dedup features.
     */
-  def htmlExtract(html: Column): Column = {
+  def htmlExtract(html: Column): Column =
+    graft.functions.HtmlExtract.htmlExtract(html)
+
+  /** The original seven-pass regexp_replace chain — the kernel's
+    * executable semantics spec (each pass a full regex-NFA walk of the
+    * page; [[graft.functions.HtmlExtract]] computes the identical
+    * result in indexOf-driven scans; HtmlExtractSpec pins
+    * byte-equality). Exercised only by the spec.
+    */
+  private[graft] def htmlExtractRegex(html: Column): Column = {
     // the whole <head> goes first (title/meta are chrome, not content;
     // this also drops head-resident scripts/styles in one move) …
     val noHead = regexp_replace(html, "(?s)<head\\b[^>]*>.*?</head>", " ")

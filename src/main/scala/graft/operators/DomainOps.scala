@@ -270,12 +270,18 @@ object DomainOps {
       lit("<a\\s[^>]*href=\"([^\"]*)\""), lit(1))
     val origin = concat(lower(parse_url(col(baseCol), lit("PROTOCOL"))),
       lit("://"), lower(parse_url(col(baseCol), lit("HOST"))))
-    pages.withColumn("href", explode(hrefs))
+    // origin is computed BELOW the explode — once per page, not once
+    // per link row (Catalyst does not push projections through a
+    // Generate, so the two parse_url calls stay at page granularity
+    // instead of being inlined into every per-href filter/projection)
+    pages.withColumn("origin", origin)
+      .withColumn("href", explode(hrefs))
       .withColumn("resolved",
-        when(col("href").startsWith("/"), concat(origin, col("href")))
+        when(col("href").startsWith("/"), concat(col("origin"), col("href")))
           .when(col("href").contains("://"), col("href"))
           .otherwise(lit(null)))
       .where(col("resolved").isNotNull)
+      .drop("origin")
       .withColumn("link_url", urlCanonicalize(col("resolved")))
   }
 

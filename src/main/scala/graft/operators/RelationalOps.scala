@@ -955,6 +955,11 @@ object RelationalOps {
     val n = greatest(size(t) - 1, lit(0))
     val bigrams = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
       (a, b) => concat(a, lit(" "), b))
+    // NOTE (r16): InferFiltersFromGenerate only fires when the
+    // generator child is a bare Attribute (verified in the 4.1.2
+    // bytecode), so exploding this inline zip_with pays no inferred
+    // re-evaluation — an explode_outer rewrite was measured ~0.2 s
+    // WORSE (extra null-filter) and reverted
     val terms = docs
       .select(when(col("doc_id") % 2 === 0, "a").otherwise("b").as("slice"),
         explode(bigrams).as("term"))
