@@ -49,12 +49,19 @@ object TextShingles {
       .otherwise(array())
   }
 
-  /** Character n-grams of the lowercased text (distinct set). */
+  /** Character n-grams of the lowercased text (distinct set). The gram
+    * pass is the native one-scan [[CharGrams]] kernel — the previous
+    * transform(sequence, substr) form was interpreted AND quadratic
+    * (SQL substr walks the UTF-8 bytes from the start per call; the
+    * CharGrams scaladoc records the measurement). Same strings in the
+    * same first-occurrence order, and the when/otherwise null/short
+    * lanes are unchanged (null or < n chars → empty array, not null).
+    */
   def charGrams(text: Column, n: Int): Column = {
     val t = lower(text)
     when(length(t) >= n,
-      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n)))))
+      array_distinct(CharGrams.charGrams(
+        org.apache.spark.sql.SparkSession.active, t, n)))
       .otherwise(array())
   }
 

@@ -392,8 +392,11 @@ object StreamingOps {
     */
   def replayQualityModelStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityModelOps
-    val docs = Tables.load(spark, dir, "documents")
-    val w = QualityModelOps.train(QualityModelOps.features(docs)).last._2
+    // trainedWeights rides the per-(app, dataset) trajectory cache —
+    // the "train once, score everywhere" serve discipline this query
+    // demonstrates; the previous direct train() call re-ran the full
+    // GD trajectory (a Spark job per iteration) on every invocation
+    val w = QualityModelOps.trainedWeights(spark, dir)
     val replayDir = stageReplay(dir, "documents.parquet")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream
